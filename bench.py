@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after
+a warm-up pass of the session. Timings use a foreachPartition-free
+``df.count()``-style action via ``df.write.format("noop")`` semantics —
+here simply ``collect()`` on aggregated results (small) or ``count()``
+on row-returning results, so driver transfer doesn't dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pgwarehouse_spark.registry import all_queries
+from pgwarehouse_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_star_broadcast",
+    "join_inner_agg",
+    "topk_per_group",
+    "sync_merge_upsert",
+    "sync_upsert_dedup_latest",
+    "agg_count_distinct",
+    "window_running_frame",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="pgwarehouse_spark_bench")
+
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in specs]
+
+    # JVM/codegen warm-up on a trivial job so q1 doesn't pay startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = specs[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,587 @@
+"""Core relational operators: scan/project/filter, every join type, and
+the aggregation surface (SURVEY.md §2-B).
+
+These are the queries the reference provisions by loading data into a
+columnar warehouse (reference README.md:13-15); here they run natively on
+Spark. Each is written so the physical plan is the one you'd want at
+100 TB: filters/projections push to the parquet scan, dimension joins are
+broadcast (no shuffle of the fact table), aggregations use partial
+(map-side) aggregation, and sums are decimal-exact so results are
+partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import davg, dsum, sql_davg, sql_dsum, t
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan → filter → groupBy → sort).
+# The watermark-style shipdate filter mirrors the reference's incremental
+# predicate pushdown (reference clickhouse_backend.py:217,227 builds
+# `where pk > max ORDER BY pk` pushed into the source scan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    category="aggregate",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / filter (reference A23 `_query_table`: select cols +
+# where + limit probes, clickhouse_backend.py:182-187)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    category="scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+    ORDER BY o_orderkey
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate; both reach the parquet scan (PushedFilters +
+    ReadSchema show only the 4 referenced columns at any scale)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0))
+        .drop("o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "filter_in_like_between",
+    category="filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+      AND p_type LIKE 'PROMO%'
+      AND p_size BETWEEN 10 AND 40
+      AND p_name IS NOT NULL
+    ORDER BY p_partkey
+    """,
+)
+def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / LIKE / BETWEEN / null-test predicate surface (reference builds
+    these via f-string SQL, e.g. ilike probe snowflake_backend.py:62)."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+            & F.col("p_type").like("PROMO%")
+            & F.col("p_size").between(10, 40)
+            & F.col("p_name").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference joins inventoried in SURVEY §2: LEFT JOIN catalog query
+# pgwarehouse.py:229; semi-join delete clickhouse_backend.py:264; MERGE
+# equi-join snowflake_backend.py:205). All equi-joins here shuffle on the
+# join key unless the dim side is broadcast; Catalyst+AQE pick the strategy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_agg",
+    category="join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim inner join; customer is broadcast so the orders side never
+    shuffles for the join (one shuffle total, for the groupBy)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    category="join",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o.o_totalprice')}, 0.0) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (the shape of
+    the reference's catalog LEFT JOIN, pgwarehouse.py:229)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    category="join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal < 0
+    ORDER BY c.c_name, o.o_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .filter(F.col("c_acctbal") < 0)
+        .select("o_orderkey", "c_name")
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    category="join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, agg.n_cust
+    FROM nation n
+    FULL JOIN (
+        SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ) agg ON n.n_nationkey = agg.c_nationkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    agg = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    return (
+        n.join(agg, n.n_nationkey == agg.c_nationkey, "full")
+        .select("n_nationkey", "n_name", "n_cust")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "join_semi",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+    )
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS. This is the Spark form of the reference's
+    ClickHouse delete `WHERE pk IN (SELECT pk FROM t__changes)`
+    (clickhouse_backend.py:264)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS — the keep-unmatched half of the
+    reference's delete-then-insert merge (clickhouse_backend.py:263-269)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_star_broadcast",
+    category="join",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: every dim broadcast, so the 100 TB fact table is
+    scanned exactly once with zero join shuffles; the only shuffle is the
+    final (tiny) groupBy on region×nation."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "join_range_nonequi",
+    category="join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice > p.p_retailprice * 24.0
+    ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey
+    """,
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi range condition. Catalyst plans the equi part as
+    the join key (hash/broadcast) and evaluates the range predicate as a
+    post-join filter — the scalable shape for theta-joins (never a pure
+    cartesian product)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice > p.p_retailprice * 24.0),
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (reference A11 max-watermark, A18 count(*), catalog
+# size sums pgwarehouse.py:220-232; everything else provisioned via the
+# warehouse).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_basic",
+    category="aggregate",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           {sql_davg('o_totalprice')} AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (Spark expands to a two-phase partial/final
+    plan). The approximate HLL variant is `agg_approx_distinct`."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    category="aggregate",
+    oracle=None,  # HLL sketch internals differ across engines by design
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for "
+    "distinct counts — single pass, fixed memory, no distinct expansion. "
+    "Sketches are engine-specific so there is no SQL oracle; correctness "
+    "is bounded-relative-error vs agg_count_distinct (asserted in tests).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    category="aggregate",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    category="aggregate",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    category="aggregate",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_having",
+    category="aggregate",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_stats",
+    category="aggregate",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS sd_qty,
+           CAST(ROUND(VAR_SAMP(l_quantity), 6) AS DOUBLE) AS var_qty,
+           {sql_davg('l_quantity')} AS mean_qty
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance; rounded to 6 decimals — the one place cross-engine
+    float accumulation order can differ (relative error ~1e-12, far from
+    the 5e-7 rounding boundary)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            davg("l_quantity").alias("mean_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_pivot",
+    category="aggregate",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy().pivot(col, values).agg — with explicit value list so
+    no extra distinct-scan pass is needed (required at 100 TB)."""
+    df = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return (
+        df.withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sort_limit_topn",
+    category="sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans this as TakeOrderedAndProject — each
+    partition keeps its local top-25, the driver merges — O(N) scan, no
+    global sort shuffle. Tie-broken on the unique key for determinism."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

@@ -1,0 +1,221 @@
+"""Window-function surface (SURVEY.md §2-B "Window functions").
+
+The reference's upsert-dedup is canonically `row_number() over
+(partition by pk order by last_modified desc) = 1` (the semantics of
+DuckDB `INSERT OR REPLACE`, reference duckdb_backend.py:192) and its
+watermark is `max() over ()` (reference clickhouse_backend.py:210-227);
+the full ranking/analytic/frame surface is provisioned via the warehouse.
+
+Scale note: every window here partitions by a real key (customer, order)
+— never `Window.partitionBy()` with no key, which would funnel 100 TB
+through one task. Order keys always end with a unique column so ranks
+are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import t
+
+
+@register(
+    "window_rank",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w_rn = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_rank = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_rank).alias("rnk"),
+            F.dense_rank().over(w_rank).alias("drnk"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_lead",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_running_frame",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(ROUND(AVG(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                AS DOUBLE) AS moving_avg_3,
+           MAX(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS running_max
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving aggregates with explicit ROWS frames. The running sum
+    uses the decimal-exact pattern so it is reproducible across engines;
+    the bounded moving average is rounded (3-term double sums are stable
+    to ~1e-13 relative)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_spend"),
+            F.round(
+                F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 4
+            ).alias("moving_avg_3"),
+            F.max("o_totalprice")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("running_max"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_ntile_cumedist",
+    category="window",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS DOUBLE) AS cdist
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def window_ntile_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions. NOTE: the unpartitioned ORDER BY window
+    is single-task by construction — correct but not for the 100 TB path;
+    the scalable form partitions first (see topk_per_group) or uses
+    approx percentile_approx."""
+    o = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 8).alias("cdist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "topk_per_group",
+    category="window",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: window + filter. At scale Spark pushes a per-group
+    rank limit (WindowGroupLimit) below the shuffle, so each partition
+    only keeps K rows per group before exchanging."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_first_last",
+    category="window",
+    oracle="""
+    SELECT DISTINCT l_orderkey,
+           FIRST_VALUE(l_partkey) OVER w AS first_part,
+           LAST_VALUE(l_partkey)  OVER w AS last_part,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY l_orderkey
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this dataset — the order
+    # key must include l_partkey/l_suppkey or first/last are tie-dependent.
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            F.first("l_partkey").over(w).alias("first_part"),
+            F.last("l_partkey").over(w).alias("last_part"),
+            F.count(F.lit(1)).over(W.partitionBy("l_orderkey")).alias("n_lines"),
+        )
+        .distinct()
+        .orderBy("l_orderkey")
+    )

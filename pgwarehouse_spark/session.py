@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what a cluster deployment would set per-node:
+AQE on (runtime coalesce + skew-join), shuffle partitions sized to cores
+(not the 200 default), UTC session timezone (parity with the DuckDB
+oracle, which is UTC-naive), Arrow enabled for the Pandas-UDF slow path.
+
+At 100 TB these same settings scale: AQE handles partition-count tuning
+at runtime, broadcast threshold keeps dimension joins shuffle-free, and
+``spark.sql.files.maxPartitionBytes`` bounds scan-task size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pgwarehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Runtime confs that must hold regardless of who built the session.
+
+    The driver hands us its own SparkSession; session timezone and Arrow
+    are runtime-mutable, so pin them here for deterministic comparison
+    against the UTC-naive DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark

@@ -1,0 +1,41 @@
+"""Every registered query with an oracle must match DuckDB exactly —
+the local mirror of the driver's CORRECTNESS gate (row count + column
+names + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pgwarehouse_spark.registry import all_queries
+
+from .conftest import SF_DIR
+from .oracle_utils import compare, duckdb_conn
+
+SPECS = all_queries()
+WITH_ORACLE = sorted(name for name, s in SPECS.items() if s.oracle)
+NO_ORACLE = sorted(name for name, s in SPECS.items() if not s.oracle)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(spark, sf_dir, con, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    report = compare(df, con, spec.oracle)
+    assert report["ok"], f"{name}: {report}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_runs(spark, sf_dir, name):
+    """Queries without an oracle (sketch/LSH-based) must at least run and
+    return a stable schema with ≥0 rows."""
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name
