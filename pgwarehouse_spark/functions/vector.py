@@ -1,0 +1,53 @@
+"""Vector column expressions (dot product, cosine) — JVM-side folds over
+array<float> columns, no Python UDFs.
+
+Cross-engine determinism: per-element products are computed in double
+(bit-identical in any engine), cast to DECIMAL(28,12) (exact, identical
+rounding), summed exactly, then cast back to double. The decimal fold
+keeps the accumulator at DECIMAL(30,12) with an explicit re-cast each
+step — Spark's decimal `+` would otherwise promote to (38,11) and
+silently drop the 12th scale digit. Values stay < 1e18 so the re-cast
+is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_ACC_TYPE = "decimal(30,12)"
+
+
+def dot_exact(u: Column, v: Column) -> Column:
+    """Order-independent exact dot product of two float-array columns."""
+    return F.aggregate(
+        F.zip_with(
+            u,
+            v,
+            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(28,12)"),
+        ),
+        F.lit(0).cast(_ACC_TYPE),
+        lambda acc, z: (acc + z).cast(_ACC_TYPE),
+    ).cast("double")
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine similarity (for precomputed-norm paths build it from
+    dot_exact directly)."""
+    return dot_exact(a, b) / (
+        F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b))
+    )
+
+
+# DuckDB-side equivalents (list_sum over decimal is exact).
+def sql_dot(u: str, v: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({u}, {v}), "
+        "x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)"
+    )
+
+
+def sql_cosine(u: str, v: str) -> str:
+    return (
+        f"({sql_dot(u, v)} / (SQRT({sql_dot(u, u)}) * SQRT({sql_dot(v, v)})))"
+    )

@@ -1,1 +1,127 @@
-"""(filled in incrementally)"""
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(SURVEY.md §2-B joins row: "as-of via window trick").
+
+Implemented as the union+window technique: interleave left and right
+rows on the time axis, then `last_value(payload) IGNORE NULLS` over an
+unbounded-preceding window per key carries the most recent right-side
+row forward to each left row. This scales as ONE shuffle on
+(key, time) — no per-row range probe, no cartesian expansion — and is
+exactly how you'd do it on a 1000-executor cluster (compare
+`pd.merge_asof`, which the per-group applyInPandas fallback would use).
+
+The DuckDB oracle uses the same ANSI window construction, so the exact
+semantics (ties: right rows at ts == left ts match; among equal-ts right
+rows the highest event_id wins) are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import t
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Generic as-of join: for each left row, attach the latest right row
+    with right_time <= left_time for the same `on` key.
+
+    Both inputs are unioned into one stream; right rows sort before left
+    rows at equal timestamps (side=0 < side=1) so `<=` semantics hold.
+    """
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload_struct.alias("__payload"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    unioned = r.select(
+        "__key", "__t", "__side", "__payload", F.lit(None).cast(l.schema["__left"].dataType).alias("__left")
+    ).unionByName(l)
+    w = (
+        W.partitionBy("__key")
+        .orderBy("__t", "__side", F.col("__payload").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__asof", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__left.*"),
+        *[F.col(f"__asof.{c}").alias(f"{c}{suffix}") for c in right_payload],
+    )
+    return out
+
+
+@register(
+    "asof_join_events",
+    category="asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), unioned AS (
+      SELECT user_id, ts, 0 AS side, event_id AS view_event_id,
+             NULL::BIGINT AS purchase_event_id, NULL::DOUBLE AS purchase_value
+      FROM views
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, NULL, event_id, value FROM purchases
+    ), carried AS (
+      SELECT *,
+             LAST_VALUE(view_event_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, view_event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_view_id
+      FROM unioned
+    )
+    SELECT purchase_event_id AS event_id, user_id, ts,
+           purchase_value AS value, last_view_id
+    FROM carried WHERE side = 1
+    ORDER BY event_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'purchase' event: the most recent preceding (or
+    simultaneous) 'view' event by the same user."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id"],
+        suffix="_view",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("event_id_view").alias("last_view_id"),
+    ).orderBy("event_id")

@@ -1,1 +1,151 @@
-"""(filled in incrementally)"""
+"""Time-window aggregation over the ``events`` table: tumbling, sliding,
+and session windows (SURVEY.md §2-B "Incremental / streaming" row).
+
+These are the batch forms; the Structured Streaming forms (readStream +
+withWatermark over the same window specs) live in
+``pgwarehouse_spark.streaming`` and are tested by driving a memory-sink
+stream to completion. Batch and stream share the window semantics, so
+the DuckDB oracles here pin the streaming results too.
+
+Scale notes: tumbling/sliding windows are pure groupBy on a derived key
+(one shuffle, partial aggregation map-side). Session windows use the
+lag+cumsum gap technique — one shuffle on user_id, no state explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import sql_dsum, dsum, t
+
+TUMBLE_MINUTES = 60
+SLIDE_WIDTH_MIN = 120
+SLIDE_STEP_MIN = 60
+SESSION_GAP_MINUTES = 30
+
+
+@register(
+    "events_tumbling_window",
+    category="eventwindow",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL {TUMBLE_MINUTES} MINUTES, ts) AS wstart,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY wstart, event_type
+    ORDER BY wstart, event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type. Uses F.window (the same
+    construct Structured Streaming uses), projecting window.start."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", f"{TUMBLE_MINUTES} minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
+@register(
+    "events_sliding_window",
+    category="eventwindow",
+    oracle=f"""
+    WITH offsets AS (SELECT UNNEST([0, 1]) AS k),
+    assigned AS (
+      SELECT time_bucket(INTERVAL {SLIDE_STEP_MIN} MINUTES, e.ts)
+               - k * (INTERVAL {SLIDE_STEP_MIN} MINUTES) AS wstart,
+             e.value
+      FROM events e, offsets
+    )
+    SELECT wstart, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM assigned
+    GROUP BY wstart ORDER BY wstart
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows stepping hourly: each event lands in 2
+    windows (F.window with slideDuration). The oracle replays the same
+    assignment with an explicit offset cross join."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIDTH_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"
+            ).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "n_events", "sum_value")
+        .orderBy("wstart")
+    )
+
+
+@register(
+    "events_sessionize",
+    category="eventwindow",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MINUTES} MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ), sessions AS (
+      SELECT *,
+             SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30min starts a new session; cumulative sum
+    of boundaries numbers the sessions (ANSI-portable; the streaming form
+    uses session_window in streaming/events.py)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap (cast-to-long would truncate to seconds and
+    # disagree with the oracle's µs-precise interval comparison).
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ordered = e.withColumn(
+        "is_new_session",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sessions = ordered.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -1,1 +1,278 @@
-"""(filled in incrementally)"""
+"""Similarity search over the ``embeddings`` table (array<float> column):
+brute-force cosine top-k (exact baseline), random-hyperplane LSH and IVF
+(the 100 TB scale paths).
+
+Everything is built-in DataFrame ops — dot products are `zip_with` +
+`aggregate` folds (JVM codegen), never per-row Python. The exact top-k
+has a DuckDB oracle (identical decimal-exact arithmetic); the ANN
+variants are approximate by construction, so they register rows-only and
+their recall vs the exact baseline is asserted in tests/test_similarity.py.
+
+Scale design:
+- brute force: broadcast the (small) query set against the full table —
+  one scan, no shuffle of the big side; per-partition top-k via the
+  window group-limit pushdown.
+- LSH: bucket vectors by sign-bit signatures (4 tables × 8 hyperplanes);
+  the candidate join is an equi-join on bucket keys — O(tables·N) rows.
+- IVF: assign vectors to fixed seed centroids (one broadcast join),
+  queries probe the nearest `NPROBE` cells — the classic
+  inverted-file layout; at 100 TB the cell assignment becomes the
+  partitioning key so probes touch only matching partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot_exact as _dot
+from ..functions.vector import sql_cosine
+from ..registry import register
+from ._helpers import t
+
+TOPK = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 6
+LSH_MULTIPROBE = True  # probe hamming-1 neighbor buckets on the query side
+IVF_CENTROID_STRIDE = 50  # vec_id % stride == 0 → seed centroid
+IVF_NPROBE = 3
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col(vec), F.col(vec))))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, rank per query.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_norm(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    category="similarity",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_cosine('q.embedding', 'c.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(queries, e).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
+    """sign(v · h) for the pseudo-random ±1 hyperplane h derived from
+    xxhash64 — deterministic, seedless, no stored plane matrix."""
+    dim_sign = lambda d: F.when(  # noqa: E731
+        F.xxhash64(F.lit(f"plane:{table}:{plane}:"), d).bitwiseAND(F.lit(1)) == 1, 1.0
+    ).otherwise(-1.0)
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, d: x.cast("double") * dim_sign(d),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return (proj > 0).cast("int")
+
+
+def lsh_buckets(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """(vec_id, table_id, bucket) — one row per hash table; bucket is the
+    packed sign-bit signature of the table's hyperplanes."""
+    tables = []
+    for ti in range(LSH_TABLES):
+        bucket = F.lit(0)
+        for pi in range(LSH_PLANES_PER_TABLE):
+            bucket = bucket + F.shiftleft(
+                _hyperplane_sign(F.col(vec), ti, pi), pi
+            )
+        tables.append(
+            F.struct(F.lit(ti).alias("table_id"), bucket.alias("bucket"))
+        )
+    return df.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+
+
+@register(
+    "sim_topk_lsh",
+    category="similarity",
+    oracle=None,  # approximate by construction (bucket collisions)
+    doc="ANN top-k via random-hyperplane LSH: 8 tables × 6 sign bits with "
+    "hamming-1 multi-probe on the query side; candidates share a bucket "
+    "in ≥1 table; exact cosine re-rank on candidates. Rows-only driver "
+    "check; recall vs brute force asserted in tests/test_similarity.py. "
+    "NOTE: this testdata's embeddings are near-uniform (max pair cosine "
+    "≈0.48), the adversarial case for LSH — multi-probe is what keeps "
+    "recall usable; on clustered real embeddings fewer probes suffice.",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(e)
+    q_exact = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    if LSH_MULTIPROBE:
+        # Expand each query bucket to itself + all hamming-1 variants.
+        probe_set = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(LSH_PLANES_PER_TABLE)
+            ],
+        )
+        q_buckets = q_exact.select(
+            "query_id", "table_id", F.explode(probe_set).alias("bucket")
+        )
+    else:
+        q_buckets = q_exact
+    candidates = (
+        F.broadcast(q_buckets)
+        .join(
+            buckets.select(
+                F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+            ),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e_named = with_norm(e)
+    q = e_named.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = e_named.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_ivf",
+    category="similarity",
+    oracle=None,  # approximate: probes only NPROBE cells
+    doc="ANN top-k via IVF: fixed seed centroids (vec_id % stride == 0), "
+    "one broadcast-join assignment pass, queries probe the 3 nearest "
+    "cells. Rows-only driver check; recall asserted in tests.",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    # Assignment: nearest centroid per vector (broadcast centroids — the
+    # only pass over the full table; at scale this keys the layout).
+    sim_to_cent = _dot(F.col("embedding"), F.col("cent_emb"))
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        e.join(F.broadcast(centroids))
+        .select("vec_id", "embedding", "centroid_id", sim_to_cent.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    # Queries probe their NPROBE nearest cells.
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            _dot(F.col("embedding"), F.col("cent_emb")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    qn = with_norm(q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(assigned).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "centroid_id",
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(probes)
+        .join(cn, "centroid_id")
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,240 @@
-"""(filled in incrementally)"""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, document fingerprinting).
+
+No anchor in the reference (it syncs text columns verbatim); these are
+the first-class large-scale pipeline operators layered on top. Every
+expression is built-in Spark SQL (JVM codegen, no Python UDFs) and each
+has a DuckDB oracle using the identical arithmetic, so results are
+bit-deterministic cross-engine:
+
+- counts via the replace-trick or regexp splits (integer-exact);
+- ratios as double divisions of identical integers (bit-identical);
+- fingerprints via md5 of whitespace-normalized text.
+
+At 100 TB all of these are embarrassingly parallel single-pass column
+expressions — no shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import t
+
+# Stopword marker sets per language for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "a", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "y", "los", "es"],
+}
+
+
+def _count_token(col: Column, word: str) -> Column:
+    """Occurrences of a whole word via the replace trick (portable to any
+    SQL engine, integer-exact): pad the text with spaces, remove every
+    ' word ' occurrence, divide the length delta."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    removed = F.replace(padded, F.lit(f" {word} "), F.lit(" "))
+    return (F.length(padded) - F.length(removed)) / (len(word) + 1)
+
+
+def _sql_count_token(expr: str, word: str) -> str:
+    return (
+        f"(LENGTH(' ' || {expr} || ' ') - "
+        f"LENGTH(REPLACE(' ' || {expr} || ' ', ' {word} ', ' '))) / {len(word) + 1}"
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (engine function, reused by quality score)."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+@register(
+    "text_token_count",
+    category="text",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars_measured,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_nonspace_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization (the BPE-ish regex variant is
+    in text_quality_score's word-length stats)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.length("text").alias("n_chars_measured"),
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+                "n_nonspace_chars"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS INT) AS n_chars,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+             CAST({the_count} AS INT) AS n_the,
+             CAST({a_count} AS INT) AS n_a
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_the + n_a AS DOUBLE) / n_tokens AS stopword_ratio,
+           CASE WHEN n_tokens BETWEEN 20 AND 1000
+                 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+                 AND CAST(n_the + n_a AS DOUBLE) / n_tokens > 0.01
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM base ORDER BY doc_id
+""".format(
+    the_count=_sql_count_token("text", "the"),
+    a_count=_sql_count_token("text", "a"),
+)
+
+
+@register("text_quality_score", category="text", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, average token length, stopword ratio, and a
+    boolean gate — the standard pretraining-data heuristics (C4-style),
+    as pure column expressions."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    base = d.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        token_count(text).alias("n_tokens"),
+        _count_token(text, "the").cast("int").alias("n_the"),
+        _count_token(text, "a").cast("int").alias("n_a"),
+    )
+    avg_tok = F.col("n_chars").cast("double") / F.col("n_tokens")
+    stop_ratio = (F.col("n_the") + F.col("n_a")).cast("double") / F.col("n_tokens")
+    return (
+        base.select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            avg_tok.alias("avg_token_len"),
+            stop_ratio.alias("stopword_ratio"),
+            F.when(
+                F.col("n_tokens").between(20, 1000)
+                & avg_tok.between(3.0, 12.0)
+                & (stop_ratio > 0.01),
+                1,
+            )
+            .otherwise(0)
+            .alias("quality_pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANGID_SCORES_SQL = ",\n".join(
+    "CAST({} AS INT) AS score_{}".format(
+        " + ".join(_sql_count_token("text", w) for w in words), lang
+    )
+    for lang, words in _LANG_MARKERS.items()
+)
+
+_LANGID_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_actual, {_LANGID_SCORES_SQL}
+      FROM documents
+    )
+    SELECT doc_id, lang_actual,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
+                  AND score_en > 0 THEN 'en'
+             WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+             WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+             WHEN score_es > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS lang_predicted,
+           score_en, score_de, score_fr, score_es
+    FROM scored ORDER BY doc_id
+"""
+
+
+@register("text_langid", category="text", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker scoring (n-gram heuristic family).
+    Deterministic argmax with a fixed precedence order (en>de>fr>es) so
+    ties resolve identically everywhere."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = {
+        lang: sum(
+            (_count_token(text, w) for w in words), F.lit(0)
+        ).cast("int")
+        for lang, words in _LANG_MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+    )
+    en, de, fr, es = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang_actual",
+            pred.alias("lang_predicted"),
+            "score_en",
+            "score_de",
+            "score_fr",
+            "score_es",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """Normalized md5 fingerprint: lowercase, collapse whitespace, trim."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")).cast("binary")
+    )
+
+
+@register(
+    "text_fingerprint",
+    category="text",
+    oracle=r"""
+    SELECT doc_id,
+           md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fp,
+           SUBSTRING(md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))), 1, 8) AS fp_short
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized text — the
+    exact-dedup key. (The rolling/shingle variant lives in the MinHash
+    pipeline, operators/dedup.py.)"""
+    d = t(spark, sf_dir, "documents")
+    fp = fingerprint_expr(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            fp.alias("fp"),
+            F.substring(fp, 1, 8).alias("fp_short"),
+        )
+        .orderBy("doc_id")
+    )

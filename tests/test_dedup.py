@@ -1,0 +1,43 @@
+"""Recall/quality checks for the approximate dedup operators against the
+exact n-gram Jaccard baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    from pgwarehouse_spark.operators.dedup import dedup_ngram_jaccard
+
+    return {
+        (r.id1, r.id2) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+
+
+def test_minhash_lsh_matches_exact(spark, sf_dir, exact_pairs):
+    from pgwarehouse_spark.operators.dedup import dedup_minhash_lsh
+
+    lsh_pairs = {(r.id1, r.id2) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    # Verified candidates can never include a false positive; at the
+    # observed dup similarity (~0.99) P(miss) < 1e-12, so equality holds.
+    assert lsh_pairs == exact_pairs
+
+
+def test_simhash_finds_near_dups(spark, sf_dir, exact_pairs):
+    from pgwarehouse_spark.operators.dedup import dedup_simhash
+
+    sim_pairs = {(r.id1, r.id2) for r in dedup_simhash(spark, sf_dir).collect()}
+    assert exact_pairs, "fixture should contain injected near-dups"
+    recall = len(sim_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"simhash recall {recall:.2f} over {len(exact_pairs)} pairs"
+
+
+def test_exact_dedup_consistent_with_fingerprint(spark, sf_dir):
+    from pgwarehouse_spark.operators.dedup import dedup_exact
+    from pgwarehouse_spark.operators.textstats import text_fingerprint
+
+    groups = dedup_exact(spark, sf_dir).collect()
+    n_docs = text_fingerprint(spark, sf_dir).count()
+    assert sum(r.n_copies for r in groups) == n_docs
+    assert all(r.n_copies >= 1 for r in groups)

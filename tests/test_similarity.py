@@ -1,0 +1,52 @@
+"""ANN recall vs the exact brute-force top-k baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, sf_dir):
+    from pgwarehouse_spark.operators.similarity import sim_topk_bruteforce
+
+    return {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+
+
+def test_lsh_recall(spark, sf_dir, exact_topk):
+    from pgwarehouse_spark.operators.similarity import sim_topk_lsh
+
+    ann = {(r.query_id, r.neighbor_id) for r in sim_topk_lsh(spark, sf_dir).collect()}
+    recall = len(ann & exact_topk) / len(exact_topk)
+    # Random-hyperplane LSH with 4×8 bits on near-uniform vectors is a
+    # coarse filter; just require meaningfully-better-than-random recall
+    # and exact ranking on whatever candidates it returns.
+    assert recall >= 0.2, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_recall(spark, sf_dir, exact_topk):
+    from pgwarehouse_spark.operators.similarity import sim_topk_ivf
+
+    ann = {(r.query_id, r.neighbor_id) for r in sim_topk_ivf(spark, sf_dir).collect()}
+    recall = len(ann & exact_topk) / len(exact_topk)
+    assert recall >= 0.2, f"IVF recall {recall:.2f}"
+
+
+def test_bruteforce_is_exact_k(spark, sf_dir):
+    from pgwarehouse_spark.operators.similarity import (
+        TOPK,
+        N_QUERIES,
+        sim_topk_bruteforce,
+    )
+
+    rows = sim_topk_bruteforce(spark, sf_dir).collect()
+    per_query: dict[int, list] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == N_QUERIES
+    for q, rs in per_query.items():
+        assert len(rs) == TOPK
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
