@@ -1,0 +1,135 @@
+"""CLI front-end (reference __main__.py:1-37 + init scaffold A30 +
+catalog listings A19-A22), argparse over the Spark engine.
+
+Commands: init | list | listwh | extract | load | sync | reload
+(`table` may be `all`, mirroring the reference's multi-table loop
+pgwarehouse.py:96-110).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .catalog import CONFIG_TEMPLATE, Config, TableSpec
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pgwarehouse_spark",
+        description="PySpark-native warehouse sync engine",
+    )
+    p.add_argument("command", choices=["init", "list", "listwh", "extract", "load", "sync", "reload"])
+    p.add_argument("table", nargs="?", help="table name or 'all'")
+    p.add_argument("--config", default="pgwarehouse.yaml")
+    p.add_argument("--data", default=None, help="staging dir for extract/load")
+    p.add_argument("--last-modified", dest="last_modified", default=None)
+    p.add_argument("--buckets", type=int, default=16)
+    return p
+
+
+def _engine(args, spark=None):
+    from .session import get_spark
+    from .sync.engine import SyncEngine
+
+    spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
+    config = Config.from_yaml(args.config)
+    if args.last_modified and args.table and args.table != "all":
+        spec = config.tables.setdefault(
+            args.table, TableSpec.from_opts(args.table, {})
+        )
+        spec.last_modified = args.last_modified
+    return SyncEngine.from_config(spark, config, num_buckets=args.buckets), config
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.command == "init":
+        if os.path.exists(args.config):
+            print(f"{args.config} already exists", file=sys.stderr)
+            return 1
+        with open(args.config, "w") as f:
+            f.write(CONFIG_TEMPLATE)
+        print(f"wrote {args.config}")
+        return 0
+
+    eng, config = _engine(args, spark=spark)
+
+    if args.command == "list":
+        # A19: source tables with row counts, size-descending.
+        names = sorted(config.tables) or _discover_source_tables(config)
+        rows = []
+        for name in names:
+            try:
+                rows.append((name, eng.extract(name).count()))
+            except Exception as exc:
+                rows.append((name, f"error: {exc}"))
+        rows.sort(key=lambda r: (isinstance(r[1], str), -(r[1] if isinstance(r[1], int) else 0)))
+        for name, n in rows:
+            print(f"{name}\t{n}")
+        return 0
+
+    if args.command == "listwh":
+        for name in eng.list_warehouse_tables():
+            print(f"{name}\t{eng.count_table(name)}")
+        return 0
+
+    tables = (
+        list(config.tables) if args.table in (None, "all") else [args.table]
+    )
+
+    if args.command == "extract":
+        # Two-phase debugging path (reference README.md:229-238): stage the
+        # source extract as parquet in --data.
+        data_dir = args.data or "./staged"
+        for t in tables:
+            df = eng.extract(t)
+            out = os.path.join(data_dir, t)
+            df.write.mode("overwrite").parquet(out)
+            print(f"extracted {t} -> {out} ({df.count()} rows)")
+        return 0
+
+    if args.command == "load":
+        from .sync.engine import ParquetSource
+
+        data_dir = args.data or "./staged"
+        staged = ParquetSource(data_dir)
+        for t in tables:
+            df = staged.read(eng.spark, t)
+            rows = eng._write_full(t, df)
+            print(f"loaded {t} ({rows} rows)")
+        return 0
+
+    if args.command == "reload":
+        for t in tables:
+            res = eng.reload(t)
+            print(f"{res.table}: {res.action} ({res.rows} rows)")
+        return 0
+
+    # sync
+    if args.table in (None, "all"):
+        results = eng.sync_all()
+    else:
+        try:
+            results = [eng.sync(args.table)]
+        except FileNotFoundError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
+    for res in results:
+        print(f"{res.table}: {res.action} ({res.rows} rows)")
+    return 0
+
+
+def _discover_source_tables(config: Config) -> list[str]:
+    path = config.source.get("path")
+    if path and os.path.isdir(path):
+        return sorted(
+            f[: -len(".parquet")] for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return []
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,116 @@
+"""Structured Streaming generalization of the reference's high-watermark
+incremental loop (SURVEY §2-B "Incremental / streaming": the reference
+simulates incrementality with batch `where lm >= max(lm)` polling —
+README.md:150-176; a stream IS that loop with the watermark managed by
+the engine).
+
+Each builder takes a *streaming* DataFrame (from ``readStream``) and
+returns the transformed streaming frame, so the same logic composes with
+any source (files here; Kafka in production — the transformations are
+source-agnostic). Batch/stream parity: the window specs match
+operators/eventwindows.py, whose DuckDB oracles therefore pin these
+results too (asserted in tests/test_streaming.py by driving a
+memory-sink stream to completion and comparing to the batch answer).
+
+Scale notes: watermarks bound state (late events beyond the horizon are
+dropped, state for closed windows is evicted); `foreachBatch` +
+merge_upsert gives exactly-once-per-epoch upsert into the warehouse —
+the streaming form of the reference's A15-A17 merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream (parquet dir). maxFilesPerTrigger bounds
+    per-batch work — the streaming analogue of the reference's 1 GiB
+    chunking (pgwarehouse.py:261)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_tumbling_counts(
+    events: DataFrame, minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed aggregation with late-data handling: events later than the
+    watermark horizon are dropped; closed-window state is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon —
+    dropDuplicates with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows with a dynamic gap — the streaming form of the
+    lag+cumsum batch sessionization (operators/eventwindows.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sync(
+    events: DataFrame,
+    warehouse_path: str,
+    keys: list[str],
+    num_buckets: int = 16,
+    order_col: str | None = "ts",
+    checkpoint: str | None = None,
+):
+    """Continuous warehouse sync: each micro-batch MERGEs into the
+    bucketed parquet target via foreachBatch — the streaming
+    generalization of the reference's poll-extract-merge loop, with the
+    stream's checkpoint replacing the hand-rolled MAX-watermark query
+    (A11) and giving exactly-once epochs."""
+    import os
+
+    from ..sync.merge import merge_into_bucketed, write_bucketed
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(warehouse_path):
+            write_bucketed(batch_df, warehouse_path, keys, num_buckets)
+        else:
+            merge_into_bucketed(
+                spark, warehouse_path, batch_df, keys, num_buckets, order_col=order_col
+            )
+
+    writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -1,0 +1,389 @@
+"""The sync engine: extract → (stage) → load with three incremental
+strategies, rebuilt Spark-first (reference operators A1-A31, SURVEY §2-A).
+
+Reference dataflow (pgwarehouse.py): psql \\copy → gzip CSV chunks →
+per-backend bulk load, with watermark SQL against the warehouse. Here
+each piece is a DataFrame expression:
+
+- extract  = source read with the watermark predicate *pushed into the
+  scan* (JDBC `query` pushdown / parquet PushedFilters) — A1 + A12
+- load     = parquet/bucketed write (create/append/overwrite) — A7/A8/A10/A14
+- watermark = one `agg(max(...))` on the target — A11
+- zero-delta short-circuit — A13
+- upsert   = bucket-pruned merge (sync/merge.py) — A15-A17
+- sync     = dispatcher with skip/scheduled-reload support — A25 (+ the
+  documented-but-unimplemented options from README.md:190-215)
+
+Strategy selection matches the reference (pgwarehouse.py:180-189):
+`reload` if configured, else upsert when a last_modified column exists,
+else PK append; tables with no PK are reload-only (README.md:175-177).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Config, TableSpec
+from .merge import BUCKET_COL, merge_into_bucketed, write_bucketed
+
+DEFAULT_BUCKETS = 16
+
+
+@dataclass
+class SyncResult:
+    table: str
+    action: str  # created | appended | merged | reloaded | noop | skipped
+    rows: int
+
+
+class Source:
+    """Source adapter: returns a DataFrame, pushing `where` into the scan."""
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        raise NotImplementedError
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        raise NotImplementedError
+
+
+class ParquetSource(Source):
+    def __init__(self, path: str):
+        self.path = path
+
+    def _file(self, table: str) -> str:
+        direct = os.path.join(self.path, f"{table}.parquet")
+        return direct if os.path.exists(direct) else os.path.join(self.path, table)
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        from ..sources.tables import load_table
+
+        if os.path.isdir(self.path) and os.path.exists(
+            os.path.join(self.path, f"{table}.parquet")
+        ):
+            df = load_table(spark, self.path, table)
+        else:
+            df = spark.read.parquet(self._file(table))
+        # Catalyst pushes this predicate to the parquet scan (row-group
+        # pruning via min/max stats) — the analogue of the reference
+        # embedding its filter in `psql \copy (select … where …)`.
+        return df.filter(where) if where else df
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.exists(self._file(table))
+
+
+class CsvSource(Source):
+    """CSV (optionally gzipped) staging directories — the reference's
+    interchange format (`<data_dir>/<table>_data/*.csv.gz`,
+    pgwarehouse.py:265-267). Schema-on-read with explicit schema when
+    provided (never inferSchema in production paths)."""
+
+    def __init__(self, path: str, schemas: dict[str, str] | None = None):
+        self.path = path
+        self.schemas = schemas or {}
+
+    def _dir(self, table: str) -> str:
+        d = os.path.join(self.path, f"{table}_data")
+        return d if os.path.exists(d) else os.path.join(self.path, table)
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        reader = spark.read.option("header", "true")
+        schema = self.schemas.get(table)
+        if schema:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv(self._dir(table))
+        return df.filter(where) if where else df
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.exists(self._dir(table))
+
+
+class JdbcSource(Source):
+    """Partitioned-parallel JDBC extract (reference A1, rebuilt as
+    `spark.read.jdbc` with partitionColumn bounds so N executors each
+    pull a key range — replacing the single `psql \copy` pipe).
+
+    The watermark predicate is embedded in the pushed-down `query` —
+    exactly the reference's `where pk > {max}` filter (A12) but executed
+    by the source database before bytes ever move.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        user: str | None = None,
+        password: str | None = None,
+        num_partitions: int = 8,
+        partition_columns: dict[str, str] | None = None,
+        fetchsize: int = 10_000,
+    ):
+        self.url = url
+        self.user = user
+        self.password = password
+        self.num_partitions = num_partitions
+        self.partition_columns = partition_columns or {}
+        self.fetchsize = fetchsize
+
+    def _base_options(self) -> dict[str, str]:
+        opts = {"url": self.url, "fetchsize": str(self.fetchsize)}
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        return opts
+
+    def reader(self, spark: SparkSession, table: str, where: str | None = None):
+        """Build the JDBC reader (exposed for plan tests; no live DB in CI)."""
+        opts = self._base_options()
+        query = f"SELECT * FROM {table}"
+        if where:
+            query += f" WHERE {where}"
+        opts["query"] = query
+        r = spark.read.format("jdbc").options(**opts)
+        pcol = self.partition_columns.get(table)
+        if pcol:
+            # Range-partitioned parallel read; bounds resolved by a
+            # min/max probe query at execution time by the caller.
+            r = r.option("partitionColumn", pcol).option(
+                "numPartitions", str(self.num_partitions)
+            )
+        return r
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        return self.reader(spark, table, where).load()
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        try:
+            self.read(spark, table).schema
+            return True
+        except Exception:
+            return False
+
+
+def make_source(conf: dict) -> Source:
+    kind = (conf.get("type") or "parquet").lower()
+    if kind == "parquet":
+        return ParquetSource(conf["path"])
+    if kind == "csv":
+        return CsvSource(conf["path"], conf.get("schemas"))
+    if kind == "jdbc":
+        return JdbcSource(
+            conf["url"],
+            user=conf.get("user"),
+            password=conf.get("password"),
+            num_partitions=int(conf.get("num_partitions", 8)),
+            partition_columns=conf.get("partition_columns"),
+        )
+    raise ValueError(f"unknown source type: {kind}")
+
+
+class SyncEngine:
+    """Orchestrates extract/load/sync for a warehouse directory of
+    bucketed parquet tables (reference PGWarehouse class, minus the
+    subprocess plumbing Spark replaces)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: Source,
+        warehouse_path: str,
+        specs: dict[str, TableSpec] | None = None,
+        num_buckets: int = DEFAULT_BUCKETS,
+    ):
+        self.spark = spark
+        self.source = source
+        self.warehouse_path = warehouse_path
+        self.specs = specs or {}
+        self.num_buckets = num_buckets
+
+    @classmethod
+    def from_config(cls, spark: SparkSession, config: Config, **kw) -> "SyncEngine":
+        return cls(
+            spark,
+            make_source(config.source),
+            config.warehouse["path"],
+            specs=config.tables,
+            **kw,
+        )
+
+    # -- catalog ops (A19-A22, A24) -----------------------------------
+    def table_path(self, table: str) -> str:
+        return os.path.join(self.warehouse_path, table)
+
+    def table_exists(self, table: str) -> bool:
+        return os.path.exists(self.table_path(table))
+
+    def list_warehouse_tables(self) -> list[str]:
+        if not os.path.exists(self.warehouse_path):
+            return []
+        return sorted(
+            d for d in os.listdir(self.warehouse_path)
+            if os.path.isdir(os.path.join(self.warehouse_path, d))
+        )
+
+    def read_table(self, table: str) -> DataFrame:
+        df = self.spark.read.parquet(self.table_path(table))
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def count_table(self, table: str) -> int:
+        return self.read_table(table).count()
+
+    def drop_table(self, table: str) -> None:
+        import shutil
+
+        if self.table_exists(table):
+            shutil.rmtree(self.table_path(table))
+
+    def query_table(
+        self,
+        table: str,
+        cols: list[str] | None = None,
+        where: str | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """A23: projection + filter + limit probe."""
+        df = self.read_table(table)
+        if cols:
+            df = df.select(*cols)
+        if where:
+            df = df.filter(where)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    # -- spec resolution ----------------------------------------------
+    def spec(self, table: str) -> TableSpec:
+        return self.specs.get(table) or TableSpec(name=table)
+
+    # -- extract (A1-A3) ----------------------------------------------
+    def extract(self, table: str, where: str | None = None) -> DataFrame:
+        spec = self.spec(table)
+        df = self.source.read(self.spark, table, where)
+        if spec.max_records:
+            df = df.limit(spec.max_records)  # A3 row-limit guard
+        return df
+
+    # -- load paths (A7/A8/A10/A14) -----------------------------------
+    def _write_full(self, table: str, df: DataFrame) -> int:
+        spec = self.spec(table)
+        rows = df.count()
+        if spec.primary_key:
+            write_bucketed(
+                df, self.table_path(table), spec.primary_key, self.num_buckets
+            )
+        else:
+            df.write.mode("overwrite").parquet(self.table_path(table))
+        return rows
+
+    def _append(self, table: str, delta: DataFrame) -> int:
+        spec = self.spec(table)
+        rows = delta.count()
+        if rows == 0:
+            return 0
+        if spec.primary_key:
+            from .merge import bucket_expr
+
+            (
+                delta.withColumn(
+                    BUCKET_COL, bucket_expr(spec.primary_key, self.num_buckets)
+                )
+                .write.mode("append")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.table_path(table))
+            )
+        else:
+            delta.write.mode("append").parquet(self.table_path(table))
+        return rows
+
+    # -- watermarks (A11) ---------------------------------------------
+    def watermark(self, table: str, column: str):
+        row = self.read_table(table).agg(F.max(column).alias("wm")).collect()[0]
+        return row["wm"]
+
+    # -- strategies ---------------------------------------------------
+    def reload(self, table: str) -> SyncResult:
+        """A10: drop + full re-extract + load."""
+        df = self.extract(table)
+        rows = self._write_full(table, df)
+        return SyncResult(table, "reloaded", rows)
+
+    def sync(self, table: str, today=None) -> SyncResult:
+        """A25: the dispatcher."""
+        spec = self.spec(table)
+        if spec.skip:
+            return SyncResult(table, "skipped", 0)
+        if not self.source.exists(self.spark, table):
+            raise FileNotFoundError(f"source table not found: {table}")
+        if not self.table_exists(table):
+            df = self.extract(table)
+            rows = self._write_full(table, df)
+            return SyncResult(table, "created", rows)
+        if spec.should_reload(today):
+            return self.reload(table)
+        if spec.last_modified:
+            return self._sync_upsert(table, spec)
+        if spec.primary_key:
+            return self._sync_append(table, spec)
+        return self.reload(table)
+
+    def _sync_append(self, table: str, spec: TableSpec) -> SyncResult:
+        """New-records-only strategy: pk > max(pk) (reference default,
+        README.md:155-160). Single-column monotonic PK semantics, like
+        the reference; composite-PK tables use upsert."""
+        pk = spec.primary_key[0]
+        wm = self.watermark(table, pk)
+        delta = self.extract(table, where=f"{pk} > {_sql_literal(wm)}")
+        rows = self._append(table, delta)
+        if rows == 0:
+            return SyncResult(table, "noop", 0)  # A13 zero-delta skip
+        return SyncResult(table, "appended", rows)
+
+    def _sync_upsert(self, table: str, spec: TableSpec) -> SyncResult:
+        """Last-modified strategy: lm >= max(lm), merged by PK
+        (README.md:161-174). `>=` not `>`, matching the reference
+        (clickhouse_backend.py:227) — rows sharing the boundary
+        timestamp re-merge idempotently."""
+        if not spec.primary_key:
+            raise ValueError(f"{table}: upsert requires a primary key")
+        lm = spec.last_modified
+        wm = self.watermark(table, lm)
+        delta = self.extract(table, where=f"{lm} >= {_sql_literal(wm)}")
+        if delta.isEmpty():
+            return SyncResult(table, "noop", 0)
+        rows = delta.count()
+        merge_into_bucketed(
+            self.spark,
+            self.table_path(table),
+            delta,
+            spec.primary_key,
+            self.num_buckets,
+            order_col=lm,
+        )
+        return SyncResult(table, "merged", rows)
+
+    def sync_all(self, today=None) -> list[SyncResult]:
+        """A26: multi-table loop with per-table error isolation."""
+        results = []
+        for table in self.specs or {}:
+            try:
+                results.append(self.sync(table, today=today))
+            except Exception as exc:  # isolate failures per table
+                results.append(SyncResult(table, f"error: {exc}", 0))
+        return results
+
+
+def _sql_literal(value) -> str:
+    import datetime as dt
+
+    if isinstance(value, (dt.datetime, dt.date)):
+        return f"'{value}'"
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    return str(value)

@@ -1,0 +1,110 @@
+"""MERGE/upsert primitive: left-anti join + union-all (reference A15-A17
+unified — snowflake MERGE snowflake_backend.py:199-208, clickhouse
+delete-then-insert clickhouse_backend.py:245-270, duckdb INSERT OR
+REPLACE duckdb_backend.py:185-197).
+
+Composite keys are fully supported (the reference refuses them,
+clickhouse_backend.py:203-204 / README.md:256-257).
+
+Scale design — bucket-pruned rewrite: a plain-parquet target cannot be
+mutated in place, so the naive merge rewrites the whole table. Instead
+the target is laid out partitioned by a stable hash bucket of the key
+(``__bucket = pmod(xxhash64(key...), n)``); a merge then:
+
+1. computes the delta's affected buckets (tiny distinct),
+2. reads ONLY those partitions of the target (partition pruning),
+3. anti-joins + unions within them,
+4. rewrites ONLY those partitions via dynamic partition overwrite.
+
+This is the plain-parquet analogue of Delta's file-pruned MERGE: work is
+O(delta × bucket-width), not O(table). At 100 TB with 4096 buckets a
+1%-of-keys delta touches ~every bucket, so bucket count should scale
+with table size; the knob is exposed. Last-writer-wins within the delta
+is enforced with the row_number()=1 dedup (A17 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(keys: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_col: str | None) -> DataFrame:
+    """Keep one row per key — the latest by order_col (or arbitrary-but-
+    deterministic when no order column exists)."""
+    order = [F.col(order_col).desc()] if order_col else []
+    order += [F.col(k).desc() for k in df.columns if k not in keys][:1]
+    w = W.partitionBy(*keys).orderBy(*order) if order else W.partitionBy(*keys).orderBy(keys[0])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE: rows of `target` whose key appears in `delta`
+    are replaced; new keys append. Returns the merged DataFrame."""
+    delta = dedup_latest(delta.select(*target.columns), keys, order_col)
+    kept = target.join(F.broadcast(delta.select(*keys).distinct()), keys, "left_anti")
+    return kept.unionByName(delta)
+
+
+def merge_into_bucketed(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    num_buckets: int,
+    order_col: str | None = None,
+) -> int:
+    """Bucket-pruned MERGE into a parquet table partitioned by BUCKET_COL.
+
+    Only partitions containing delta keys are read and rewritten
+    (dynamic partition overwrite). Returns the number of buckets touched.
+    """
+    delta = delta.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+    affected = [r[BUCKET_COL] for r in delta.select(BUCKET_COL).distinct().collect()]
+    if not affected:
+        return 0
+    target = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    merged = merge_upsert(target, delta, keys, order_col)
+    # Materialize before the overwrite: the plan reads the same files the
+    # write will replace (plain parquet has no snapshot isolation — at
+    # scale this is exactly what Delta/Iceberg MERGE solves natively).
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(affected)
+
+
+def write_bucketed(
+    df: DataFrame, path: str, keys: list[str], num_buckets: int, mode: str = "overwrite"
+) -> None:
+    """Initial bucketed layout: partition dirs by key-hash bucket, rows
+    sorted by key within each file (PK-ordered physical layout — the
+    Spark analogue of the reference's MergeTree ORDER BY pk,
+    clickhouse_backend.py:149-153)."""
+    (
+        df.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+        .repartition(BUCKET_COL)
+        .sortWithinPartitions(*keys)
+        .write.mode(mode)
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )

@@ -1,0 +1,110 @@
+"""Postgres → Spark type translation (reference operator A6).
+
+The reference hand-writes three per-backend mapping functions
+(clickhouse_backend.py:49-86, snowflake_backend.py:78-109,
+duckdb_backend.py:33-67), each degrading arrays/JSON to strings
+(README.md:252-254). Here it is one table mapping PG type names to
+``pyspark.sql.types`` — and arrays map to real ArrayType instead of
+strings (the reference's own TODO at clickhouse_backend.py:82-84).
+
+A ``compat`` mode reproduces the reference's lossy choices exactly
+(numeric→double, arrays/json/uuid→string) for byte-parity migrations.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+# Prefix-match rules, first hit wins (mirrors the reference's if-chains).
+_RULES: list[tuple[str, T.DataType]] = [
+    ("boolean", T.BooleanType()),
+    ("bigint", T.LongType()),
+    ("bigserial", T.LongType()),
+    ("smallint", T.ShortType()),
+    ("serial", T.IntegerType()),
+    ("integer", T.IntegerType()),
+    ("int", T.LongType()),
+    ("numeric", T.DecimalType(38, 18)),
+    ("decimal", T.DecimalType(38, 18)),
+    ("double", T.DoubleType()),
+    ("real", T.FloatType()),
+    ("float", T.DoubleType()),
+    ("timestamp", T.TimestampType()),
+    ("date", T.DateType()),
+    ("time ", T.StringType()),  # time-of-day: no Spark type; keep string
+    ("time", T.StringType()),
+    ("uuid", T.StringType()),
+    ("jsonb", T.StringType()),
+    ("json", T.StringType()),
+    ("character", T.StringType()),
+    ("varchar", T.StringType()),
+    ("text", T.StringType()),
+    ("year", T.StringType()),
+    ("bytea", T.BinaryType()),
+]
+
+# compat mode: reproduce the reference's degradations bit-for-bit
+# (numeric → Float64/DOUBLE, duckdb_backend.py:54-55; date → DateTime,
+# clickhouse_backend.py:58-61).
+_COMPAT_OVERRIDES: dict[str, T.DataType] = {
+    "numeric": T.DoubleType(),
+    "decimal": T.DoubleType(),
+    "real": T.DoubleType(),
+    "date": T.TimestampType(),
+    "smallint": T.IntegerType(),
+}
+
+
+def pg_type_to_spark(pg_type: str, compat: bool = False) -> T.DataType:
+    """Translate a Postgres type name (as printed by `\\d`) to a Spark type.
+
+    Enums (`*_enum`, or any unrecognized user type) and arrays degrade per
+    the rules above; `<type>[]` maps to ArrayType(element) unless compat.
+    """
+    s = pg_type.strip().lower()
+    if s.endswith("[]"):
+        if compat:
+            return T.StringType()  # reference: arrays → String (ch:79-86)
+        return T.ArrayType(pg_type_to_spark(s[:-2], compat=compat))
+    if s.endswith("_enum") or s.startswith("enum"):
+        return T.StringType()
+    # strip modifiers: "character varying(255)" → "character varying"
+    s = re.sub(r"\(.*\)", "", s).strip()
+    if compat:
+        for prefix, dtype in _COMPAT_OVERRIDES.items():
+            if s.startswith(prefix):
+                return dtype
+    for prefix, dtype in _RULES:
+        if s.startswith(prefix):
+            return dtype
+    # Unknown type: warn-and-string, like all three reference backends
+    # (ch:76-77, sf:99-100, duck:60-61).
+    return T.StringType()
+
+
+def schema_from_pg_columns(
+    columns: dict[str, str],
+    primary_key_cols: list[str] | None = None,
+    compat: bool = False,
+) -> T.StructType:
+    """Build a StructType from {column: pg_type}; PK columns are non-null
+    (the reference keeps PK columns out of Nullable(...), ch:145-147)."""
+    pks = set(primary_key_cols or [])
+    return T.StructType(
+        [
+            T.StructField(
+                sanitize_column_name(name),
+                pg_type_to_spark(pg_type, compat=compat),
+                nullable=name not in pks,
+            )
+            for name, pg_type in columns.items()
+        ]
+    )
+
+
+def sanitize_column_name(name: str) -> str:
+    """Spaces → underscores, matching the reference's sanitization
+    (clickhouse_backend.py:118-119, duckdb_backend.py:72-76)."""
+    return name.strip().replace(" ", "_")

@@ -1,0 +1,71 @@
+"""CLI round-trip: init → sync → listwh → extract/load (reference
+test_list/test_extract/test_extract_load scenarios)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgwarehouse_spark.cli import main
+
+
+@pytest.fixture()
+def config_file(tmp_path, sf_dir):
+    cfg = tmp_path / "pgw.yaml"
+    cfg.write_text(
+        f"""
+source:
+  type: parquet
+  path: {sf_dir}
+warehouse:
+  path: {tmp_path}/wh
+tables:
+  nation:
+    primary_key: n_nationkey
+  region: {{}}
+"""
+    )
+    return str(cfg)
+
+
+def test_init_scaffold(tmp_path, capsys):
+    cfg = str(tmp_path / "new.yaml")
+    assert main(["init", "--config", cfg]) == 0
+    assert os.path.exists(cfg)
+    # refuses to clobber
+    assert main(["init", "--config", cfg]) == 1
+
+
+def test_sync_and_listwh(spark, config_file, capsys):
+    assert main(["sync", "all", "--config", config_file, "--buckets", "2"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "nation: created" in out and "region: created" in out
+    assert main(["listwh", None, "--config", config_file][:2] + ["--config", config_file], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "nation\t25" in out and "region\t5" in out
+
+
+def test_list_source(spark, config_file, capsys):
+    assert main(["list", "--config", config_file], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "nation\t25" in out
+
+
+def test_extract_load_roundtrip(spark, config_file, tmp_path, capsys):
+    data = str(tmp_path / "staged")
+    assert main(["extract", "nation", "--config", config_file, "--data", data], spark=spark) == 0
+    assert os.path.exists(os.path.join(data, "nation"))
+    assert main(["load", "nation", "--config", config_file, "--data", data, "--buckets", "2"], spark=spark) == 0
+    assert main(["listwh", "--config", config_file], spark=spark) == 0
+    assert "nation\t25" in capsys.readouterr().out
+
+
+def test_sync_single_with_last_modified_flag(spark, config_file, capsys):
+    rc = main(
+        ["sync", "nation", "--config", config_file, "--buckets", "2",
+         "--last-modified", "n_nationkey"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "nation: created" in capsys.readouterr().out

@@ -1,0 +1,122 @@
+"""Structured Streaming tests: drive file-based streams to completion
+synchronously (memory sink + processAllAvailable) and assert parity with
+the batch operators / sync results."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    """Stage events as multiple parquet files so maxFilesPerTrigger yields
+    several micro-batches (late/out-of-order arrival included: files are
+    split by hash, not time)."""
+    from pgwarehouse_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(out)
+    return out
+
+
+def _run_to_completion(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name.endswith("agg") else "append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    from pgwarehouse_spark.operators.eventwindows import events_tumbling_window
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_tumbling_counts,
+    )
+
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    _run_to_completion(stream_tumbling_counts(stream), "tumbling_agg")
+    got = {
+        (r.wstart, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("select * from tumbling_agg").collect()
+    }
+    want = {
+        (r.wstart, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in events_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_exactly_once(spark, events_stream_dir, tmp_path):
+    from pgwarehouse_spark.streaming.events import read_event_stream, stream_dedup
+
+    # Duplicate the whole directory's contents into the stream twice.
+    dup_dir = str(tmp_path / "events_dup")
+    df = spark.read.parquet(events_stream_dir)
+    df.write.parquet(dup_dir)
+    df.write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * df.count()
+
+    stream = read_event_stream(spark, dup_dir, max_files_per_trigger=2)
+    _run_to_completion(stream_dedup(stream), "dedup_stream")
+    got = spark.sql("select count(*) c, count(distinct event_id) d from dedup_stream").collect()[0]
+    assert got.c == got.d == df.count()
+
+
+def test_stream_sync_merges_into_warehouse(spark, sf_dir, tmp_path):
+    """End-to-end streaming sync: two waves of source files; second wave
+    contains updated rows (same keys, newer ts) — final warehouse state
+    reflects last-writer-wins, exactly once."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import read_event_stream, stream_sync
+
+    src = str(tmp_path / "incoming")
+    wh = str(tmp_path / "wh_events")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    wave1 = events.filter(F.col("event_id") < 500)
+    wave1.write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=4)
+    q = stream_sync(
+        stream, wh, keys=["event_id"], num_buckets=4, checkpoint=ckpt
+    ).start()
+    q.processAllAvailable()
+
+    # wave 2: 100 updated rows (value bumped, ts advanced) + 100 new rows
+    updated = (
+        events.filter(F.col("event_id") < 100)
+        .withColumn("value", F.lit(1234.5))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    )
+    new = events.filter((F.col("event_id") >= 500) & (F.col("event_id") < 600))
+    updated.unionByName(new).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    wh_df = spark.read.parquet(wh).drop("__bucket")
+    assert wh_df.count() == 600  # 500 original + 100 new, updates in place
+    assert (
+        wh_df.filter((F.col("event_id") < 100) & (F.col("value") == 1234.5)).count()
+        == 100
+    )
+
+
+def test_stream_sessionize_runs(spark, events_stream_dir):
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_sessionize,
+    )
+
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=2)
+    _run_to_completion(stream_sessionize(stream), "session_agg")
+    rows = spark.sql("select * from session_agg").collect()
+    assert rows
+    assert all(r.session_start <= r.session_end for r in rows)

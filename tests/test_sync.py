@@ -1,0 +1,235 @@
+"""Round-trip sync-engine tests, mirroring the reference's test strategy
+(SURVEY §5: boot source, sync, assert count equality source↔warehouse,
+then incremental-append and last-modified-upsert scenarios with value
+spot-checks — reference tests/test_postgres.py:101-187)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pgwarehouse_spark.catalog import TableSpec
+from pgwarehouse_spark.sync.engine import ParquetSource, SyncEngine
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    src = tmp_path / "source"
+    wh = tmp_path / "warehouse"
+    src.mkdir()
+    return str(src), str(wh)
+
+
+def _write_source(spark, src_dir, name, df):
+    df.write.mode("overwrite").parquet(os.path.join(src_dir, f"{name}.parquet"))
+
+
+def _orders(spark, sf_dir, limit=None):
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return df.limit(limit) if limit else df
+
+
+def make_engine(spark, src, wh, specs):
+    return SyncEngine(spark, ParquetSource(src), wh, specs=specs, num_buckets=4)
+
+
+def test_initial_sync_counts_match(spark, sf_dir, workspace):
+    src, wh = workspace
+    orders = _orders(spark, sf_dir)
+    _write_source(spark, src, "orders", orders)
+    eng = make_engine(
+        spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])}
+    )
+    res = eng.sync("orders")
+    assert res.action == "created"
+    assert eng.count_table("orders") == orders.count()
+
+
+def test_incremental_append(spark, sf_dir, workspace):
+    """Insert rows in the source, re-sync, count goes up by exactly that
+    many (reference test_incremental_sync:132-153)."""
+    src, wh = workspace
+    orders = _orders(spark, sf_dir)
+    base = orders.filter(F.col("o_orderkey") <= 1000)
+    _write_source(spark, src, "orders", base)
+    eng = make_engine(spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])})
+    eng.sync("orders")
+    n0 = eng.count_table("orders")
+
+    newrows = orders.filter(
+        (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1010)
+    )
+    n_new = newrows.count()
+    assert n_new > 0
+    _write_source(spark, src, "orders", base.unionByName(newrows))
+    res = eng.sync("orders")
+    assert res.action == "appended"
+    assert res.rows == n_new
+    assert eng.count_table("orders") == n0 + n_new
+
+    # idempotent: nothing new → zero-delta short-circuit (A13)
+    assert eng.sync("orders").action == "noop"
+
+
+def test_last_modified_upsert(spark, sf_dir, workspace):
+    """Update two rows + insert one, re-sync with last_modified; updated
+    values land, count +1 (reference test_last_modified_sync:156-187)."""
+    src, wh = workspace
+    orders = _orders(spark, sf_dir).filter(F.col("o_orderkey") <= 2000)
+    _write_source(spark, src, "orders", orders)
+    spec = TableSpec("orders", ["o_orderkey"], last_modified="o_orderdate")
+    eng = make_engine(spark, src, wh, {"orders": spec})
+    eng.sync("orders")
+    n0 = eng.count_table("orders")
+
+    future = dt.datetime(2005, 1, 1)
+    updated = (
+        orders.filter(F.col("o_orderkey").isin(18, 19))
+        .withColumn("o_totalprice", F.col("o_orderkey").cast("double"))
+        .withColumn("o_orderdate", F.lit(future))
+    )
+    inserted = (
+        orders.filter(F.col("o_orderkey") == 20)
+        .withColumn("o_orderkey", F.lit(99_999_999).cast("bigint"))
+        .withColumn("o_totalprice", F.lit(9999.9))
+        .withColumn("o_orderdate", F.lit(future))
+    )
+    new_source = (
+        orders.filter(~F.col("o_orderkey").isin(18, 19))
+        .unionByName(updated)
+        .unionByName(inserted)
+    )
+    _write_source(spark, src, "orders", new_source)
+    res = eng.sync("orders")
+    assert res.action == "merged"
+    assert eng.count_table("orders") == n0 + 1
+
+    vals = {
+        r.o_orderkey: r.o_totalprice
+        for r in eng.query_table(
+            "orders", ["o_orderkey", "o_totalprice"], "o_orderkey in (18, 19, 99999999)"
+        ).collect()
+    }
+    assert vals[18] == 18.0 and vals[19] == 19.0
+    assert vals[99999999] == 9999.9
+
+
+def test_upsert_composite_key(spark, sf_dir, workspace):
+    """Composite-PK merge — the case the reference refuses
+    (clickhouse_backend.py:203-204)."""
+    src, wh = workspace
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).filter(
+        F.col("l_orderkey") <= 500
+    )
+    _write_source(spark, src, "lineitem", li)
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    spec = TableSpec("lineitem", keys, last_modified="l_shipdate")
+    eng = make_engine(spark, src, wh, {"lineitem": spec})
+    eng.sync("lineitem")
+    n0 = eng.count_table("lineitem")
+
+    future = dt.datetime(2005, 6, 1)
+    bumped = (
+        li.orderBy(*keys).limit(3)
+        .withColumn("l_quantity", F.lit(777.0))
+        .withColumn("l_shipdate", F.lit(future))
+    )
+    key_rows = [tuple(r[k] for k in keys) for r in bumped.collect()]
+    rest = li.join(bumped.select(*keys), keys, "left_anti")
+    _write_source(spark, src, "lineitem", rest.unionByName(bumped))
+    res = eng.sync("lineitem")
+    assert res.action == "merged"
+    assert eng.count_table("lineitem") == n0
+
+    got = eng.query_table("lineitem", where="l_quantity = 777.0").collect()
+    assert {tuple(r[k] for k in keys) for r in got} == set(key_rows)
+
+
+def test_reload_and_scheduled_reload(spark, sf_dir, workspace):
+    src, wh = workspace
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    _write_source(spark, src, "customer", cust)
+    spec = TableSpec("customer", ["c_custkey"], reload="sun")
+    eng = make_engine(spark, src, wh, {"customer": spec})
+    assert eng.sync("customer").action == "created"
+    sunday = dt.date(2026, 8, 16)
+    monday = dt.date(2026, 8, 17)
+    assert eng.sync("customer", today=monday).action == "noop"
+    assert eng.sync("customer", today=sunday).action == "reloaded"
+    # day-of-month schedule
+    spec31 = TableSpec("customer", ["c_custkey"], reload=17)
+    eng.specs["customer"] = spec31
+    assert eng.sync("customer", today=monday).action == "reloaded"
+
+
+def test_skip_and_no_pk_reload_fallback(spark, sf_dir, workspace):
+    src, wh = workspace
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    _write_source(spark, src, "region", region)
+    eng = make_engine(
+        spark,
+        src,
+        wh,
+        {
+            "region": TableSpec("region"),  # no PK → reload-only strategy
+            "ghost": TableSpec("ghost", skip=True),
+        },
+    )
+    assert eng.sync("ghost").action == "skipped"
+    assert eng.sync("region").action == "created"
+    assert eng.sync("region").action == "reloaded"  # no PK: always reload
+    assert eng.count_table("region") == region.count()
+
+
+def test_sync_all_error_isolation(spark, sf_dir, workspace):
+    src, wh = workspace
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    _write_source(spark, src, "nation", nation)
+    eng = make_engine(
+        spark,
+        src,
+        wh,
+        {
+            "nation": TableSpec("nation", ["n_nationkey"]),
+            "missing_table": TableSpec("missing_table", ["x"]),
+        },
+    )
+    results = {r.table: r for r in eng.sync_all()}
+    assert results["nation"].action == "created"
+    assert results["missing_table"].action.startswith("error:")
+
+
+def test_max_records_guard(spark, sf_dir, workspace):
+    src, wh = workspace
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    _write_source(spark, src, "part", part)
+    eng = make_engine(
+        spark, src, wh, {"part": TableSpec("part", ["p_partkey"], max_records=50)}
+    )
+    eng.sync("part")
+    assert eng.count_table("part") == 50
+
+
+def test_csv_source_roundtrip(spark, sf_dir, workspace, tmp_path):
+    """CSV staging interchange (the reference's extract format, A2/A8):
+    gzip chunked CSV in, parquet warehouse out."""
+    from pgwarehouse_spark.sync.engine import CsvSource
+
+    src, wh = workspace
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    csv_dir = os.path.join(src, "nation_data")
+    nation.write.option("header", "true").option("compression", "gzip").csv(csv_dir)
+    eng = SyncEngine(
+        spark,
+        CsvSource(src, schemas={"nation": "n_nationkey int, n_name string, n_regionkey int"}),
+        wh,
+        specs={"nation": TableSpec("nation", ["n_nationkey"])},
+        num_buckets=2,
+    )
+    assert eng.sync("nation").action == "created"
+    assert eng.count_table("nation") == nation.count()
