@@ -31,6 +31,12 @@ HEADLINE = [
     "sync_upsert_dedup_latest",
     "agg_count_distinct",
     "window_running_frame",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "events_sessionize",
+    "asof_join_events",
 ]
 
 

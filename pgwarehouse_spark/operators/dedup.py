@@ -69,17 +69,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Built as a zip of shifted slices, NOT an index lambda with
+    element_at(words, i+k): expressions referenced inside a higher-order
+    lambda are re-evaluated per element (no CSE across the lambda
+    boundary), so the index form re-runs split() ~3n times per row —
+    measured 10× slower. The zip form evaluates split O(width) times.
+    """
     words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
+    shifted = [F.slice(words, 1 + off, n) for off in range(width)]
+    zipped = F.arrays_zip(*shifted)
     grams = F.transform(
-        F.sequence(F.lit(1), n - (width - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + off) for off in range(width)]
-        ),
+        zipped, lambda x: F.concat_ws(" ", *[x[str(k)] for k in range(width)])
     )
-    return F.when(n >= width, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    # Trailing zip entries are partial grams (null-padded) — cut them off.
+    return F.array_distinct(
+        F.slice(grams, 1, F.greatest(n - (width - 1), F.lit(0)))
     )
 
 
@@ -158,16 +165,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature as an array<long>: component j is
-    min over shingles of xxhash64(shingle || '|j'). Pure codegen —
-    seed-variation via suffix keeps everything in one built-in hash fn."""
+    """MinHash signature as an array<long>: hash each shingle string to a
+    long ONCE, then component j = min over shingles of xxhash64(h, j).
+    Re-hashing longs instead of re-concatenating strings per seed cuts
+    the signature cost ~10× (one string pass + num_hashes long passes)."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s, j=j: F.xxhash64(F.concat(s, F.lit(f"|{j}"))))
+                F.transform(base, lambda h, j=j: F.xxhash64(h, F.lit(j)))
             )
             for j in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures_df(
+    shingled: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, sig array<long>) via explode + one groupBy with
+    `num_hashes` min-aggregates. One pass over the shingle strings (each
+    hashed to a long once), then long-only re-hashing per seed inside a
+    vectorized hash aggregate — unlike the array-expression form, no
+    subexpression is evaluated twice. One shuffle on doc_id."""
+    hashed = shingled.select(
+        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h")
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(j))).alias(f"m{j}") for j in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig")
     )
 
 
@@ -183,21 +211,24 @@ def lsh_candidate_pairs(
             F.struct(
                 F.lit(bi).alias("band_id"),
                 F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", bi * rows + ri + 1).cast("string")
-                            for ri in range(rows)
-                        ],
-                    )
+                    *[
+                        F.element_at("sig", bi * rows + ri + 1)
+                        for ri in range(rows)
+                    ]
                 ).alias("band_hash"),
             )
             for bi in range(bands)
         ]
     )
-    banded = sig_df.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", "b.band_id", "b.band_hash")
+    # Materialize before the self-join: without this, both join sides
+    # recompute the entire shingle→signature lineage (2× the pipeline
+    # cost). Tiny frame: bands × N rows of (long, int, long). At cluster
+    # scale this would be a checkpoint/staging write instead of cache.
+    banded = (
+        sig_df.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_hash")
+        .cache()
+    )
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -226,8 +257,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: shingle → MinHash(48) → 12×4 banded LSH →
     candidate pairs → exact Jaccard verification via array_intersect on
     candidates only."""
-    sh = _shingled(spark, sf_dir)
-    sigs = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+    sh = _shingled(spark, sf_dir).cache()
+    sigs = minhash_signatures_df(sh)
     candidates = lsh_candidate_pairs(sigs)
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")

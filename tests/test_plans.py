@@ -1,0 +1,108 @@
+"""Plan-property regression tests: the scale guarantees (pushdown,
+pruning, broadcast, top-N short-circuit) asserted on the physical plans."""
+
+from __future__ import annotations
+
+from pgwarehouse_spark.plans.explain import (
+    broadcast_join_count,
+    has_operator,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from pgwarehouse_spark.operators.relational import scan_project_filter
+
+    df = scan_project_filter(spark, sf_dir)
+    fs = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in fs and "o_totalprice" in fs
+
+
+def test_column_pruning(spark, sf_dir):
+    from pgwarehouse_spark.operators.relational import scan_project_filter
+
+    df = scan_project_filter(spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    # 4 referenced columns only — never the full 6-column orders schema
+    assert set(cols) == {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"}
+
+
+def test_watermark_delta_pushdown(spark, sf_dir):
+    from pgwarehouse_spark.operators.syncshapes import sync_incremental_delta
+
+    df = sync_incremental_delta(spark, sf_dir)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    from pgwarehouse_spark.operators.relational import join_star_broadcast
+
+    df = join_star_broadcast(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3  # supplier, nation, region
+    # The fact table must not be shuffled for any join: the only hash
+    # exchange in the plan is the final groupBy.
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_avoids_global_sort(spark, sf_dir):
+    from pgwarehouse_spark.operators.relational import sort_limit_topn
+
+    df = sort_limit_topn(spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_topk_per_group_pushes_group_limit(spark, sf_dir):
+    from pgwarehouse_spark.operators.windows import topk_per_group
+
+    df = topk_per_group(spark, sf_dir)
+    # Spark 3.5+/4.x inserts WindowGroupLimit below the shuffle so each
+    # mapper keeps ≤ K rows per group.
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_flagship_uses_partial_aggregation(spark, sf_dir):
+    """Map-side combine: the groupBy must plan partial_* aggregate
+    functions before the exchange — at 100 TB this is the difference
+    between shuffling 6 rows per partition and shuffling the table."""
+    from pgwarehouse_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_flagship_runs_whole_stage_codegen(spark, sf_dir):
+    """After execution, the final AQE plan must show codegen stages (the
+    expressions stay JVM-side — no Python in the hot path)."""
+    from pgwarehouse_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final  # WholeStageCodegen stage markers
+
+
+def test_sync_append_filter_pushdown(spark, sf_dir, tmp_path):
+    """The engine's incremental extract pushes the watermark predicate
+    into the source parquet scan."""
+    import os
+
+    from pgwarehouse_spark.catalog import TableSpec
+    from pgwarehouse_spark.sync.engine import ParquetSource, SyncEngine
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).write.parquet(
+        os.path.join(src, "orders.parquet")
+    )
+    eng = SyncEngine(
+        spark,
+        ParquetSource(src),
+        str(tmp_path / "wh"),
+        specs={"orders": TableSpec("orders", ["o_orderkey"])},
+    )
+    delta = eng.extract("orders", where="o_orderkey > 1000")
+    assert any("o_orderkey" in f and "GreaterThan" in f for f in pushed_filters(delta))
