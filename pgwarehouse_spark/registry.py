@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         windows,
         setops,
         scalars,
+        subqueries,
         syncshapes,
         dedup,
         similarity,
