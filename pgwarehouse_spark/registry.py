@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        analytics,
         relational,
         windows,
         setops,

@@ -121,6 +121,7 @@ class JdbcSource(Source):
         password: str | None = None,
         num_partitions: int = 8,
         partition_columns: dict[str, str] | None = None,
+        partition_bounds: dict[str, tuple] | None = None,
         fetchsize: int = 10_000,
     ):
         self.url = url
@@ -128,35 +129,69 @@ class JdbcSource(Source):
         self.password = password
         self.num_partitions = num_partitions
         self.partition_columns = partition_columns or {}
+        self.partition_bounds = dict(partition_bounds or {})
         self.fetchsize = fetchsize
 
-    def _base_options(self) -> dict[str, str]:
+    def jdbc_options(self, table: str, where: str | None = None) -> dict[str, str]:
+        """Assemble the JDBC reader options (pure; unit-testable without a
+        live database).
+
+        Partitioned parallel extract requires (column, lower, upper)
+        bounds; Spark splits [lower, upper] into numPartitions range
+        predicates, one executor-side cursor each. Bounds come from
+        config or from `resolve_bounds` (a min/max probe — the same
+        watermark-style query the reference issues, A11)."""
         opts = {"url": self.url, "fetchsize": str(self.fetchsize)}
         if self.user:
             opts["user"] = self.user
         if self.password:
             opts["password"] = self.password
-        return opts
-
-    def reader(self, spark: SparkSession, table: str, where: str | None = None):
-        """Build the JDBC reader (exposed for plan tests; no live DB in CI)."""
-        opts = self._base_options()
+        pcol = self.partition_columns.get(table)
+        bounds = self.partition_bounds.get(table)
         query = f"SELECT * FROM {table}"
         if where:
             query += f" WHERE {where}"
-        opts["query"] = query
-        r = spark.read.format("jdbc").options(**opts)
+        if pcol and bounds:
+            # partitionColumn requires dbtable (not query) in Spark's
+            # JDBC source; wrap the pushed-down query as a derived table.
+            opts["dbtable"] = f"({query}) AS src"
+            opts["partitionColumn"] = pcol
+            opts["lowerBound"] = str(bounds[0])
+            opts["upperBound"] = str(bounds[1])
+            opts["numPartitions"] = str(self.num_partitions)
+        else:
+            opts["query"] = query
+        return opts
+
+    def resolve_bounds(self, spark: SparkSession, table: str) -> tuple | None:
+        """Probe min/max of the partition column (one tiny aggregate on
+        the source DB) and cache it for subsequent partitioned reads."""
         pcol = self.partition_columns.get(table)
-        if pcol:
-            # Range-partitioned parallel read; bounds resolved by a
-            # min/max probe query at execution time by the caller.
-            r = r.option("partitionColumn", pcol).option(
-                "numPartitions", str(self.num_partitions)
-            )
-        return r
+        if not pcol:
+            return None
+        probe = {
+            "url": self.url,
+            "query": f"SELECT MIN({pcol}) AS lo, MAX({pcol}) AS hi FROM {table}",
+        }
+        if self.user:
+            probe["user"] = self.user
+        if self.password:
+            probe["password"] = self.password
+        row = spark.read.format("jdbc").options(**probe).load().collect()[0]
+        if row.lo is None:
+            return None
+        self.partition_bounds[table] = (row.lo, row.hi)
+        return self.partition_bounds[table]
 
     def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
-        return self.reader(spark, table, where).load()
+        pcol = self.partition_columns.get(table)
+        if pcol and table not in self.partition_bounds:
+            self.resolve_bounds(spark, table)
+        return (
+            spark.read.format("jdbc")
+            .options(**self.jdbc_options(table, where))
+            .load()
+        )
 
     def exists(self, spark: SparkSession, table: str) -> bool:
         try:
