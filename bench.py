@@ -37,6 +37,9 @@ HEADLINE = [
     "text_quality_score",
     "events_sessionize",
     "asof_join_events",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_tfidf_top_terms",
 ]
 
 

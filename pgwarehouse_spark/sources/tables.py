@@ -33,10 +33,38 @@ TABLES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+# Files whose single parquet row group exceeds this many rows get an
+# explicit repartition after the scan — a one-row-group file is an
+# indivisible split, so without it the scan AND everything codegen-fused
+# above it (filter, partial aggregation) run in ONE task regardless of
+# cluster size. Real lakes avoid this via compaction into many
+# files/row-groups; this recovers parallelism for pathological inputs.
+_SPLIT_MIN_ROWS = 100_000
+_layout_cache: dict[str, bool] = {}
+
+
+def _single_large_row_group(path: str) -> bool:
+    if path not in _layout_cache:
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            _layout_cache[path] = (
+                meta.num_row_groups == 1 and meta.num_rows >= _SPLIT_MIN_ROWS
+            )
+        except Exception:
+            _layout_cache[path] = False
+    return _layout_cache[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if _single_large_row_group(path):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

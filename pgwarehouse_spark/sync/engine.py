@@ -105,7 +105,7 @@ class CsvSource(Source):
 
 
 class JdbcSource(Source):
-    """Partitioned-parallel JDBC extract (reference A1, rebuilt as
+    r"""Partitioned-parallel JDBC extract (reference A1, rebuilt as
     `spark.read.jdbc` with partitionColumn bounds so N executors each
     pull a key range — replacing the single `psql \copy` pipe).
 
