@@ -36,10 +36,13 @@ ALWAYS_BROADCAST = {"region", "nation"}
 # Files whose single parquet row group exceeds this many rows get an
 # explicit repartition after the scan — a one-row-group file is an
 # indivisible split, so without it the scan AND everything codegen-fused
-# above it (filter, partial aggregation) run in ONE task regardless of
-# cluster size. Real lakes avoid this via compaction into many
-# files/row-groups; this recovers parallelism for pathological inputs.
-_SPLIT_MIN_ROWS = 100_000
+# above it (filter, partial aggregation, shingling/hashing) run in ONE
+# task regardless of cluster size. Real lakes avoid this via compaction
+# into many files/row-groups; this recovers parallelism for pathological
+# inputs. The threshold is low (1k rows) because per-row cost can be
+# large (documents carry full text; embeddings carry float arrays) —
+# only dimension-sized tables are exempt.
+_SPLIT_MIN_ROWS = 1_000
 _layout_cache: dict[str, bool] = {}
 
 
