@@ -585,3 +585,36 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@register(
+    "agg_skew_salted_distinct",
+    category="aggregation",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant exact distinct count via salting. A plain
+    groupBy(event_type) has final-stage parallelism = #distinct types (a
+    handful), so one hot type serializes on one reducer at 100 TB. Salt
+    = pmod(xxhash64(user_id), 32) routes each user to exactly ONE salt
+    bucket, so per-bucket COUNT(DISTINCT) values are disjoint and their
+    SUM is the exact answer — the hot key's distinct-state is spread
+    across 32 reducers, then reduced by a trivially small second agg.
+    Same technique pre-spreads a skewed shuffle-join key (replicate the
+    small side per salt); for joins AQE skew-split handles it at runtime,
+    but salting is the only lever for aggregation state."""
+    n_salt = 32
+    e = t(spark, sf_dir, "events")
+    per_bucket = (
+        e.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(n_salt)))
+        .groupBy("event_type", "salt")
+        .agg(F.count_distinct("user_id").alias("d"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("d").alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -82,6 +82,46 @@ def stream_sessionize(
     )
 
 
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+_STATE_SCHEMA = "n bigint, s double"
+
+
+def stream_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained across micro-batches — unbounded
+    running totals are exactly what built-in windowed aggregation cannot
+    express (every window op needs a bounded window + watermark eviction).
+
+    State is one (long, double) pair per user_id — O(distinct keys), not
+    O(events); each micro-batch touches only the keys present in that
+    batch (Arrow-batched, one pandas frame per key-group per batch). At
+    100 TB/day this is the shape of a streaming feature store: state
+    scales with entities, input scales with traffic.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+
+    def _update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def stream_sync(
     events: DataFrame,
     warehouse_path: str,

@@ -104,6 +104,55 @@ class CsvSource(Source):
         return os.path.exists(self._dir(table))
 
 
+class JsonSource(Source):
+    """Line-delimited JSON directories/files (``<path>/<table>.json[l]`` or
+    ``<path>/<table>/``). Schema-on-read with an explicit schema when
+    provided — inference requires an extra full pass over the data, which
+    at lake scale doubles the scan cost, so production configs should
+    always pin schemas."""
+
+    def __init__(self, path: str, schemas: dict[str, str] | None = None):
+        self.path = path
+        self.schemas = schemas or {}
+
+    def _loc(self, table: str) -> str:
+        for suffix in (f"{table}.jsonl", f"{table}.json", table):
+            cand = os.path.join(self.path, suffix)
+            if os.path.exists(cand):
+                return cand
+        return os.path.join(self.path, table)
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        reader = spark.read
+        schema = self.schemas.get(table)
+        if schema:
+            reader = reader.schema(schema)
+        df = reader.json(self._loc(table))
+        return df.filter(where) if where else df
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.exists(self._loc(table))
+
+
+class OrcSource(Source):
+    """ORC files/directories — same columnar pushdown story as parquet
+    (predicate pushdown + column pruning reach the ORC reader)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _loc(self, table: str) -> str:
+        direct = os.path.join(self.path, f"{table}.orc")
+        return direct if os.path.exists(direct) else os.path.join(self.path, table)
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        df = spark.read.orc(self._loc(table))
+        return df.filter(where) if where else df
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.exists(self._loc(table))
+
+
 class JdbcSource(Source):
     r"""Partitioned-parallel JDBC extract (reference A1, rebuilt as
     `spark.read.jdbc` with partitionColumn bounds so N executors each
@@ -207,6 +256,10 @@ def make_source(conf: dict) -> Source:
         return ParquetSource(conf["path"])
     if kind == "csv":
         return CsvSource(conf["path"], conf.get("schemas"))
+    if kind == "json":
+        return JsonSource(conf["path"], conf.get("schemas"))
+    if kind == "orc":
+        return OrcSource(conf["path"])
     if kind == "jdbc":
         return JdbcSource(
             conf["url"],

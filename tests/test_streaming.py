@@ -109,6 +109,54 @@ def test_stream_sync_merges_into_warehouse(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_running_totals_stateful(spark, sf_dir, events_stream_dir):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    after draining the stream, the latest emitted running totals equal
+    the batch groupBy answer."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_running_totals,
+    )
+
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    q = (
+        stream_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # update-mode memory sink appends one row per touched key per batch;
+    # the row with the max n_events per user is the final state.
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql(
+            """
+            select user_id, n_events, sum_value from (
+              select *, row_number() over (
+                partition by user_id order by n_events desc
+              ) rn from running_totals
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k][0] == want[k][0] for k in want)
+    # sums accumulate in arrival order — compare with fp tolerance
+    assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
+
+
 def test_stream_sessionize_runs(spark, events_stream_dir):
     from pgwarehouse_spark.streaming.events import (
         read_event_stream,

@@ -215,6 +215,56 @@ def test_max_records_guard(spark, sf_dir, workspace):
     assert eng.count_table("part") == 50
 
 
+def test_json_source_roundtrip(spark, sf_dir, workspace):
+    """JSONL staging in, parquet warehouse out — schema pinned, no
+    inference pass."""
+    from pgwarehouse_spark.sync.engine import JsonSource
+
+    src, wh = workspace
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.write.json(os.path.join(src, "nation.jsonl"))
+    eng = SyncEngine(
+        spark,
+        JsonSource(src, schemas={"nation": "n_nationkey int, n_name string, n_regionkey int"}),
+        wh,
+        specs={"nation": TableSpec("nation", ["n_nationkey"])},
+        num_buckets=2,
+    )
+    assert eng.sync("nation").action == "created"
+    assert eng.count_table("nation") == nation.count()
+
+
+def test_orc_source_roundtrip(spark, sf_dir, workspace):
+    """ORC staging in, parquet warehouse out — columnar pushdown source."""
+    from pgwarehouse_spark.sync.engine import OrcSource
+
+    src, wh = workspace
+    supplier = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    supplier.write.orc(os.path.join(src, "supplier.orc"))
+    eng = SyncEngine(
+        spark,
+        OrcSource(src),
+        wh,
+        specs={"supplier": TableSpec("supplier", ["s_suppkey"])},
+        num_buckets=2,
+    )
+    assert eng.sync("supplier").action == "created"
+    assert eng.count_table("supplier") == supplier.count()
+
+
+def test_make_source_dispatch():
+    from pgwarehouse_spark.sync.engine import (
+        CsvSource, JsonSource, OrcSource, ParquetSource, make_source,
+    )
+
+    assert isinstance(make_source({"type": "parquet", "path": "/x"}), ParquetSource)
+    assert isinstance(make_source({"type": "csv", "path": "/x"}), CsvSource)
+    assert isinstance(make_source({"type": "json", "path": "/x"}), JsonSource)
+    assert isinstance(make_source({"type": "orc", "path": "/x"}), OrcSource)
+    with pytest.raises(ValueError):
+        make_source({"type": "avro", "path": "/x"})
+
+
 def test_csv_source_roundtrip(spark, sf_dir, workspace, tmp_path):
     """CSV staging interchange (the reference's extract format, A2/A8):
     gzip chunked CSV in, parquet warehouse out."""
