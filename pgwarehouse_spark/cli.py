@@ -20,12 +20,19 @@ def _build_parser() -> argparse.ArgumentParser:
         prog="pgwarehouse_spark",
         description="PySpark-native warehouse sync engine",
     )
-    p.add_argument("command", choices=["init", "list", "listwh", "extract", "load", "sync", "reload"])
-    p.add_argument("table", nargs="?", help="table name or 'all'")
+    p.add_argument(
+        "command",
+        choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
+                 "query", "queries"],
+    )
+    p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
     p.add_argument("--config", default="pgwarehouse.yaml")
     p.add_argument("--data", default=None, help="staging dir for extract/load")
     p.add_argument("--last-modified", dest="last_modified", default=None)
     p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--sf-dir", dest="sf_dir", default=None,
+                   help="table directory for query/queries (parquet per table)")
+    p.add_argument("--limit", type=int, default=20, help="max rows to print for query")
     return p
 
 
@@ -53,6 +60,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         with open(args.config, "w") as f:
             f.write(CONFIG_TEMPLATE)
         print(f"wrote {args.config}")
+        return 0
+
+    if args.command == "queries":
+        # Inventory of the registered analytic surface (name + category).
+        from .registry import all_queries
+
+        for name, spec in sorted(all_queries().items()):
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{spec.category}\t{oracle}")
+        return 0
+
+    if args.command == "query":
+        # Run one registered query against a table directory — the
+        # warehouse-side analytic surface the reference provisions
+        # (SURVEY §2-B), served directly by this engine.
+        from .registry import all_queries
+        from .session import get_spark
+
+        specs = all_queries()
+        if not args.table or args.table not in specs:
+            print(
+                f"unknown query {args.table!r}; run `queries` to list",
+                file=sys.stderr,
+            )
+            return 1
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
+        df = specs[args.table].fn(spark, sf_dir)
+        df.show(args.limit, truncate=False)
         return 0
 
     eng, config = _engine(args, spark=spark)

@@ -243,20 +243,10 @@ def lsh_candidate_pairs(
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    category="dedup",
-    oracle=_SQL_EXACT_JACCARD,
-    doc="MinHash+LSH near-dup with exact verification. The oracle is the "
-    "exact-Jaccard SQL: with 12 bands × 4 rows, P(missing a pair at "
-    "jaccard 0.8) ≈ (1-0.8^4)^12 < 1.3e-4, and observed near-dups sit at "
-    "~0.99 where P(miss) < 1e-12 — the verified candidate set equals the "
-    "exact answer.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path: shingle → MinHash(48) → 12×4 banded LSH →
-    candidate pairs → exact Jaccard verification via array_intersect on
-    candidates only."""
+def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle → MinHash(48) → 12×4 banded LSH → candidate pairs → exact
+    Jaccard verification via array_intersect on candidates only. Returns
+    (id1, id2, n_shared, jaccard) with id1 < id2, jaccard ≥ threshold."""
     sh = _shingled(spark, sf_dir).cache()
     sigs = minhash_signatures_df(sh)
     candidates = lsh_candidate_pairs(sigs)
@@ -276,8 +266,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("id1", "id2")
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    oracle=_SQL_EXACT_JACCARD,
+    doc="MinHash+LSH near-dup with exact verification. The oracle is the "
+    "exact-Jaccard SQL: with 12 bands × 4 rows, P(missing a pair at "
+    "jaccard 0.8) ≈ (1-0.8^4)^12 < 1.3e-4, and observed near-dups sit at "
+    "~0.99 where P(miss) < 1e-12 — the verified candidate set equals the "
+    "exact answer.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: shingle → MinHash(48) → 12×4 banded LSH →
+    candidate pairs → exact Jaccard verification via array_intersect on
+    candidates only."""
+    return verified_near_dup_pairs(spark, sf_dir).orderBy("id1", "id2")
+
+
+@register(
+    "dedup_clusters",
+    category="dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    p0 AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM p0
+      JOIN sizes s1 ON p0.id1 = s1.doc_id
+      JOIN sizes s2 ON p0.id2 = s2.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    closure(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT c.a, e.v FROM closure c JOIN edges e ON c.b = e.u
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id
+    FROM closure GROUP BY a ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    near-dup pairs via iterative min-label propagation — every document
+    gets the min doc_id of its component (singletons keep their own id).
+    Each iteration is one join + one groupBy (label frames are (long,
+    long) pairs — tiny relative to the corpus); convergence needs
+    O(log(max cluster diameter)) iterations because min-labels hop
+    doubling distances. The driver-side loop checks a single scalar
+    aggregate per iteration (sum of labels, strictly decreasing until
+    fixpoint) — the iterative pattern Spark SQL alone can't express
+    (DuckDB needs WITH RECURSIVE; the oracle uses exactly that).
+
+    At 100 TB: labels/edges are per-doc/per-pair longs, caches are cut
+    with localCheckpoint-style staging per iteration, and the loop count
+    stays ≤ ~6 for any real dup-cluster diameter."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = verified_near_dup_pairs(spark, sf_dir).select("id1", "id2")
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .unionAll(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(20):  # safety cap ≫ log2(any real cluster diameter)
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("u"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -69,3 +69,25 @@ def test_sync_single_with_last_modified_flag(spark, config_file, capsys):
     )
     assert rc == 0
     assert "nation: created" in capsys.readouterr().out
+
+
+def test_queries_inventory(spark, capsys):
+    assert main(["queries"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\taggregate\toracle" in out
+    assert "q3_shipping_priority\tanalytics\toracle" in out
+    assert "dedup_minhash_lsh" in out
+
+
+def test_query_command_runs(spark, sf_dir, capsys):
+    rc = main(
+        ["query", "scan_project_filter", "--sf-dir", sf_dir, "--limit", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_query_command_unknown(spark, capsys):
+    assert main(["query", "nope"], spark=spark) == 1
+    assert "unknown query" in capsys.readouterr().err
