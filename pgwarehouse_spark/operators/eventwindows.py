@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._helpers import sql_dsum, dsum, t
+from ._helpers import sql_dsum, dsum, t, views
 
 TUMBLE_MINUTES = 60
 SLIDE_WIDTH_MIN = 120
@@ -148,4 +148,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
         .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "events_rollup_multi_granularity",
+    category="timeseries",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           date_trunc('hour', ts) AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), event_type),
+      (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+    )
+    ORDER BY day, hour, event_type
+    """,
+)
+def events_rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass produces
+    hourly AND daily rollups via GROUPING SETS (hour rows carry the day,
+    day rows have hour NULL). Spark expands the sets in a single Expand +
+    one shuffle — at 100 TB this halves the scan cost versus running the
+    two rollups separately, which is exactly why time-series stores
+    maintain multi-granularity aggregates this way."""
+    views(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts), event_type),
+          (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+        )
+        ORDER BY day, hour, event_type
+        """
     )

@@ -276,3 +276,80 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embedding_norm_stats",
+    category="vector",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           SQRT(CAST(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     AS DECIMAL(28,12)))) AS DOUBLE)) AS l2_norm,
+           list_max(list_transform(embedding,
+                x -> ABS(CAST(x AS DOUBLE)))) AS max_abs
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm statistics — the validation pass every embedding
+    pipeline runs before indexing (catch zero/NaN/denormal vectors).
+    Single scan, all JVM-side array folds, no shuffle (ORDER BY is the
+    presentation sort only; at scale you'd drop it or write partitioned)."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.size(emb).alias("dim"),
+            F.sqrt(_dot(emb, emb)).alias("l2_norm"),
+            F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))).alias(
+                "max_abs"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "embedding_avg_pool",
+    category="vector",
+    oracle="""
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_val
+    FROM (
+      SELECT label,
+             unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embedding_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average pooling per label — the class-centroid / group-embedding
+    primitive (mean vector per group). posexplode → groupBy(label, pos)
+    with order-independent decimal-quantized sums (scale 6: the
+    double->decimal boundary-crossing hazard of the inexact v*10^s
+    multiply is ~1e-12 per value there, vs ~1e-6 at scale 12); one
+    shuffle of (label, pos, partial) rows.
+    At 100 TB the shuffle carries labels × dim partials per map task
+    (partial aggregation), independent of row count — centroids of a
+    billion vectors cost the same shuffle as a million."""
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_val")
+        )
+        .orderBy("label", "pos")
+    )
