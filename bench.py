@@ -40,6 +40,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "text_tfidf_top_terms",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "agg_skew_salted_distinct",
+    "dedup_clusters",
+    "embedding_avg_pool",
+    "events_rollup_multi_granularity",
 ]
 
 

@@ -106,3 +106,56 @@ def test_sync_append_filter_pushdown(spark, sf_dir, tmp_path):
     )
     delta = eng.extract("orders", where="o_orderkey > 1000")
     assert any("o_orderkey" in f and "GreaterThan" in f for f in pushed_filters(delta))
+
+
+def test_tpch_shapes_never_shuffle_the_fact_for_joins(spark, sf_dir):
+    """Every TPC-H-shaped analytics query must plan all its joins as
+    broadcast — lineitem flows scan→join chain→one aggregation exchange.
+    A SortMergeJoin appearing here means a dimension stopped
+    broadcasting, which at 100 TB turns a map-side pipeline into a full
+    fact-table shuffle."""
+    from pgwarehouse_spark.operators import analytics
+
+    for fn in (
+        analytics.q3_shipping_priority,
+        analytics.q5_local_supplier_volume,
+        analytics.q7_volume_shipping,
+        analytics.q10_returned_items,
+        analytics.q14_promo_revenue,
+        analytics.q18_large_volume_customer,
+        analytics.q19_discounted_revenue,
+    ):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from pgwarehouse_spark.operators.analytics import q6_forecast_revenue
+
+    fs = " ".join(pushed_filters(q6_forecast_revenue(spark, sf_dir)))
+    assert "l_shipdate" in fs and "l_discount" in fs and "l_quantity" in fs
+
+
+def test_q4_semi_join_never_duplicates(spark, sf_dir):
+    from pgwarehouse_spark.operators.analytics import q4_order_priority
+
+    plan = physical_plan(q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_multimodal_payload_pruned_when_untouched(spark, sf_dir):
+    """Queries not touching the binary payload must never read it: the
+    parquet ReadSchema must exclude the payload column (column pruning
+    is what makes a 100 TB multimodal lake queryable for metadata)."""
+    from pgwarehouse_spark.operators.multimodal import multimodal_payload_stats
+
+    df = multimodal_payload_stats(spark, sf_dir)
+    # payload_stats aggregates metadata + payload length; check instead
+    # on a pure-metadata projection through the same loader:
+    from pgwarehouse_spark.operators.multimodal import media_table
+
+    meta_only = media_table(spark, sf_dir).select("doc_id")
+    cols = read_schema_columns(meta_only)
+    flat = [c for group in cols for c in group]
+    assert all("payload" not in c for c in flat)
