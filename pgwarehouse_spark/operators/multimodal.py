@@ -151,3 +151,169 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality_id")
     )
+
+
+RESIZED_SCHEMA = "doc_id bigint, modality string, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """mapInPandas resize: image rows are re-encoded to the target
+    dimensions; non-image rows pass through untouched. The STUB
+    'resize' deterministically re-samples the payload bytes to a size
+    proportional to the target area — a real deployment swaps the body
+    for PIL `Image.resize` + re-encode; schema and batching stay.
+
+    Scale: payload bytes stream through Arrow batches; output partitioning
+    follows input (no shuffle), so a full-lake resize is a map-only job."""
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality == "image":
+                    n_out = max(1, (target_w * target_h) // 1024)
+                    resized = (bytes(payload) * (n_out // max(1, len(payload)) + 1))[:n_out]
+                    rows.append((doc_id, modality, target_w, target_h, resized))
+                else:
+                    rows.append((doc_id, modality, 0, 0, bytes(payload)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "modality", "width", "height", "payload"]
+            )
+
+    return df.mapInPandas(_resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, ts_ms int, frame_bytes binary"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """mapInPandas frame sampling: each video row fans out to one row per
+    sampled frame (1→N inside the Arrow batch — the shape a real
+    ffmpeg/pyav keyframe sampler produces). Non-video rows emit nothing.
+    Frame count derives from the stub-decoded duration; frame bytes are a
+    deterministic slice stub standing in for the decoded frame."""
+
+    def _sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "video":
+                    continue
+                meta = _decode_stub(bytes(payload), modality)
+                n_frames = min(max_frames, max(1, meta["duration_ms"] // every_ms))
+                for i in range(int(n_frames)):
+                    ts = i * every_ms
+                    start = (i * 16) % max(1, len(payload))
+                    rows.append((doc_id, i, ts, bytes(payload)[start : start + 16]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_ms", "frame_bytes"]
+            )
+
+    return df.mapInPandas(_sample_batches, schema=FRAMES_SCHEMA)
+
+
+FEATURES_DIM = 16
+FEATURES_SCHEMA = f"doc_id bigint, modality string, embedding array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
+    """mapInPandas feature extraction: payload bytes → unit-norm
+    embedding (deterministic hash-seeded STUB standing in for a CLIP/
+    wav2vec forward pass). Output feeds the similarity/dedup operators —
+    the binary-column → vector-column bridge of a multimodal pipeline."""
+    import math
+
+    def _feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                acc, vals = 2166136261, []
+                for i in range(dim):
+                    chunk = b[i::dim][:8] or b"\x00"
+                    for byte in chunk:
+                        acc = ((acc ^ byte) * 16777619) % (1 << 32)
+                    vals.append((acc % 2001 - 1000) / 1000.0)
+                norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+                embs.append([float(v / norm) for v in vals])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "modality": pdf["modality"].values,
+                    "embedding": embs,
+                }
+            )
+
+    return df.mapInPandas(_feat_batches, schema=FEATURES_SCHEMA)
+
+
+@register(
+    "multimodal_resize_stats",
+    category="multimodal",
+    oracle=None,  # resize is a stub; plumbing checked rows-only + in tests
+    doc="Resize pipeline: image rows re-dimensioned to 224x224 via "
+    "mapInPandas (stub compute, real schema/batch plumbing), pass-through "
+    "for other modalities; aggregates payload sizes per modality.",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = resize_images(media_table(spark, sf_dir))
+    return (
+        resized.groupBy("modality", "width", "height")
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum(F.length("payload")).alias("total_bytes"))
+        .orderBy("modality", "width")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    category="multimodal",
+    oracle=None,  # frame sampler is a stub; 1->N fan-out checked in tests
+    doc="Frame sampling: video rows fan out to <=8 frames at 1s spacing "
+    "(mapInPandas 1->N), then per-video frame counts.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(media_table(spark, sf_dir))
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("ts_ms").alias("last_ts_ms"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_feature_similarity",
+    category="multimodal",
+    oracle=None,  # hash-seeded stub features; pipeline checked in tests
+    doc="Binary->vector bridge: extract_features embeddings -> exact "
+    "cosine top-1 neighbor per image doc (brute force over the stub "
+    "features, same plan shape as operators/similarity.py).",
+)
+def multimodal_feature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import dot_exact
+
+    feats = extract_features(media_table(spark, sf_dir)).filter(
+        (F.col("modality") == "image") & (F.col("doc_id") < 200)
+    )
+    a, b = feats.alias("a"), feats.alias("b")
+    cos = dot_exact(F.col("a.embedding"), F.col("b.embedding"))  # unit-norm → dot = cosine
+    pairs = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )

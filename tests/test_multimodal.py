@@ -55,3 +55,61 @@ def test_decode_stub_rejects_unknown_modality():
 
     with pytest.raises(NotImplementedError):
         _decode_stub(b"bytes", "hologram")
+
+
+def test_resize_images_dims_and_passthrough(spark, sf_dir):
+    from pgwarehouse_spark.operators.multimodal import media_table, resize_images
+
+    media = media_table(spark, sf_dir)
+    resized = resize_images(media, target_w=224, target_h=224)
+    assert dict(resized.dtypes)["payload"] == "binary"
+    rows = resized.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        if r.modality == "image":
+            assert (r.width, r.height) == (224, 224)
+            assert len(r.payload) == (224 * 224) // 1024
+        else:
+            assert (r.width, r.height) == (0, 0)
+
+
+def test_sample_frames_fanout_video_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.multimodal import media_table, sample_frames
+
+    media = media_table(spark, sf_dir)
+    frames = sample_frames(media, every_ms=1000, max_frames=8)
+    rows = frames.collect()
+    video_ids = {r.doc_id for r in media.filter(F.col("modality") == "video").collect()}
+    assert {r.doc_id for r in rows} <= video_ids
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fs in by_doc.items():
+        assert 1 <= len(fs) <= 8
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == list(range(len(fs)))  # dense frame indices
+        assert all(f.ts_ms == f.frame_idx * 1000 for f in fs)
+
+
+def test_extract_features_unit_norm_and_deterministic(spark, sf_dir):
+    import math
+
+    from pgwarehouse_spark.operators.multimodal import (
+        FEATURES_DIM,
+        extract_features,
+        media_table,
+    )
+
+    feats = extract_features(media_table(spark, sf_dir))
+    assert dict(feats.dtypes)["embedding"] == "array<float>"
+    rows = feats.limit(50).collect()
+    for r in rows:
+        assert len(r.embedding) == FEATURES_DIM
+        norm = math.sqrt(sum(v * v for v in r.embedding))
+        assert abs(norm - 1.0) < 1e-3 or norm == 0.0
+    again = {r.doc_id: tuple(r.embedding) for r in extract_features(media_table(spark, sf_dir)).limit(50).collect()}
+    first = {r.doc_id: tuple(r.embedding) for r in rows}
+    for k in first:
+        assert first[k] == again.get(k)
