@@ -331,6 +331,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: labels/edges are per-doc/per-pair longs, caches are cut
     with localCheckpoint-style staging per iteration, and the loop count
     stays ≤ ~6 for any real dup-cluster diameter."""
+    return cluster_labels(spark, sf_dir).orderBy("doc_id")
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) via min-label propagation — see dedup_clusters."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     pairs = verified_near_dup_pairs(spark, sf_dir).select("id1", "id2")
     edges = (
@@ -363,7 +368,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.orderBy("doc_id")
+    return labels
+
+
+@register(
+    "dedup_survivors",
+    category="dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    p0 AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM p0
+      JOIN sizes s1 ON p0.id1 = s1.doc_id
+      JOIN sizes s2 ON p0.id2 = s2.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    closure(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT c.a, e.v FROM closure c JOIN edges e ON c.b = e.u
+    ),
+    labels AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a
+    )
+    SELECT cluster_id AS keep_doc_id, COUNT(*) AS n_members
+    FROM labels GROUP BY cluster_id ORDER BY keep_doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after near-dup removal: one representative (min doc_id)
+    per cluster with its member count — the `keep_doc_id` set IS the
+    deduplicated training corpus; joining it back to documents is a
+    broadcast semi join. Reuses the label-propagation labels; the final
+    aggregation shuffles one (long, long) row per document."""
+    labels = cluster_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("cluster_id").alias("keep_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("keep_doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "split_train_test",
+    category="pipeline",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test assignment by hashing the key, not
+    by RNG: md5 hex prefix < 'cd' (205/256 = 80.08%). Unlike
+    df.randomSplit, the assignment is a pure function of doc_id —
+    reproducible across engines, runs, partitionings, and cluster sizes,
+    and stable under incremental appends (new docs don't reshuffle old
+    assignments — the property a training pipeline actually needs)."""
+    d = t(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return (
+        d.select(
+            "doc_id",
+            F.when(prefix < "cd", "train").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )

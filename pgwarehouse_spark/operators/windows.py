@@ -219,3 +219,41 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "window_range_frame",
+    category="window",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_sum
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing one-hour sum of
+    event values per user — peers at the same timestamp are always all
+    included, so the result is deterministic even with ts ties (a ROWS
+    frame would be order-dependent there). Frame bounds are epoch-second
+    offsets; one shuffle on user_id."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_1h_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
