@@ -618,3 +618,48 @@ def agg_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_cross",
+    category="join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation
+    FROM region r CROSS JOIN nation n
+    ORDER BY region, nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (crossJoin) — only ever sane between
+    bounded dimension tables; Spark plans it as BroadcastNestedLoopJoin
+    when one side broadcasts. Fact-side cross joins are a scale bug, not
+    an operator: anything unbounded must carry an equi/range condition."""
+    r = t(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    n = t(spark, sf_dir, "nation").select(F.col("n_name").alias("nation"))
+    return r.crossJoin(n).orderBy("region", "nation")
+
+
+@register(
+    "filter_ilike_probe",
+    category="filter",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_name ILIKE '%customer#00000012%' AND c_mktsegment <> ''
+    ORDER BY c_custkey
+    """,
+)
+def filter_ilike_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive LIKE — the reference's existence probe idiom
+    (`information_schema ... ilike`, snowflake_backend.py:62) as a query
+    over data. The equality conjunct still reaches the scan as a pushed
+    filter; the ILIKE evaluates JVM-side post-scan."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_name").ilike("%Customer#00000012%")
+            & (F.col("c_mktsegment") != "")
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )

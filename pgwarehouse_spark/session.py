@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom filters: when a selective build side can't
+        # broadcast, inject a bloom filter into the probe-side scan —
+        # at 100 TB this prunes fact-table row groups for fact-fact
+        # joins that fall back to shuffle.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # MIN/MAX/COUNT over parquet answered from footer statistics —
+        # makes the sync engine's watermark probe (agg(max(pk))) a
+        # metadata read instead of a scan.
+        .config("spark.sql.parquet.aggregatePushDown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
