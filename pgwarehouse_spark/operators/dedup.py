@@ -344,7 +344,7 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    prev_sum = None  # first iteration always runs; saves one collect job
     for _ in range(20):  # safety cap ≫ log2(any real cluster diameter)
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)

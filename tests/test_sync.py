@@ -283,3 +283,58 @@ def test_csv_source_roundtrip(spark, sf_dir, workspace, tmp_path):
     )
     assert eng.sync("nation").action == "created"
     assert eng.count_table("nation") == nation.count()
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Additive rollup maintenance: two delta waves merged incrementally
+    must equal the one-shot aggregation over all data; only buckets
+    containing touched groups are rewritten."""
+    from pgwarehouse_spark.operators._helpers import dsum
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.sync.rollup import read_rollup, update_rollup
+
+    path = str(tmp_path / "rollup")
+    events = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    def measures():
+        return [
+            ("n_events", F.count(F.lit(1))),
+            ("sum_value", dsum(F.coalesce("value", F.lit(0.0)))),
+        ]
+
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+    update_rollup(spark, path, wave1, keys, measures(), num_buckets=4)
+    touched = update_rollup(spark, path, wave2, keys, measures(), num_buckets=4)
+    assert touched >= 1
+
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in read_rollup(spark, path).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.coalesce("value", F.lit(0.0))).alias("sum_value"))
+        .collect()
+    }
+    assert got == want  # decimal partials: bit-exact additivity
+
+
+def test_incremental_rollup_prunes_buckets(spark, sf_dir, tmp_path):
+    """A delta touching one group must rewrite only that group's bucket."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.sync.rollup import update_rollup
+
+    path = str(tmp_path / "rollup")
+    events = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    measures = [("n_events", F.count(F.lit(1)))]
+    update_rollup(spark, path, events, keys, measures, num_buckets=8)
+    one_type = events.limit(1).collect()[0].event_type
+    touched = update_rollup(
+        spark, path, events.filter(F.col("event_type") == one_type),
+        keys, measures, num_buckets=8,
+    )
+    assert touched == 1
