@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_clusters",
     "embedding_avg_pool",
     "events_rollup_multi_granularity",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
 ]
 
 

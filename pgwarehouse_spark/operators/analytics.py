@@ -711,3 +711,387 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    category="analytics",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, e.l_suppkey AS s_suppkey, e.supplycost
+    FROM part p
+    JOIN eur e ON p.p_partkey = e.l_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND e.supplycost = (
+        SELECT MIN(e2.supplycost) FROM eur e2
+        WHERE e2.l_partkey = p.p_partkey
+      )
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp derived from lineitem: supply cost =
+    min unit price ever charged per (part, supplier)): for filtered
+    parts, the EUROPE supplier(s) achieving the per-part minimum cost —
+    a correlated MIN subquery decorrelated into a same-key window.
+
+    Scale plan: the derived partsupp is one fact shuffle on
+    (partkey, suppkey); the correlated min reuses that clustering via a
+    window partitioned by partkey (no second shuffle of the pairs
+    relation — partkey is a prefix of the groupBy key). Dims broadcast.
+    (partkey, suppkey) is unique, so the top-100 tiebreak is total.
+    Ref semantics anchor: /root/reference/README.md:13-15 (warehouse
+    query surface); min-unit-price per pair stands in for ps_supplycost.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eur_dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eur = ps.join(F.broadcast(eur_dims), ps.l_suppkey == F.col("s_suppkey"))
+    w = W.partitionBy("l_partkey")
+    return (
+        eur.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "supplycost"
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    category="analytics",
+    oracle=f"""
+    SELECT nation, l_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity * 0.1 AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, l_year
+    ORDER BY nation, l_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost proxied as 10% of retail price —
+    no partsupp table): profit by supplier nation and ship year for
+    parts whose name matches a pattern. The LIKE filter prunes part
+    before the broadcast, so the fact scan joins against a reduced
+    build side and never shuffles; the only exchange is the final
+    (nation, year) aggregation — 25×7 groups, trivially small."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("l_year").desc())
+    )
+
+
+@register(
+    "q11_important_part_value",
+    category="analytics",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey,
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value
+    FROM val
+    WHERE value > (SELECT SUM(value) * 0.001 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value from one nation's
+    suppliers, keeping only parts above a fraction of the grand total
+    (uncorrelated scalar aggregate over the same CTE). The per-part
+    aggregate is computed once, cached, and probed by its own
+    broadcast sum — the same reuse pattern as q15. The exact decimal
+    sums make value identical cross-engine; the 0.001 multiply happens
+    in double on the already-exact total."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        .cache()
+    )
+    threshold = val.agg((F.sum(F.col("value").cast("decimal(28,6)")).cast("double") * 0.001).alias("thr"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    category="analytics",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (return flag stands in for the absent
+    l_shipmode): count lines from high- vs low-priority orders per
+    flag, one ship-year window. Conditional SUM(CASE) pairs compute
+    both counts in a single pass. Orders participates only through
+    (o_orderkey, o_orderpriority) — projected before the join, so the
+    shuffle (or broadcast, when it fits) carries two columns, not the
+    whole orders row."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    category="analytics",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 28, 33)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    a part subset, excluding a blacklist (negative-balance suppliers ≈
+    complaint suppliers) via NOT IN → left-anti join. The distinct
+    (part, supplier) projection happens FIRST on the fact — one shuffle
+    that also serves the count-distinct — and the blacklist is tiny, so
+    the anti join broadcasts."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 33)
+    )
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    category="analytics",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh
+        JOIN part_total pt ON sh.l_partkey = pt.l_partkey
+        JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND sh.qty > 0.3 * pt.total_qty
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty threshold recast as shipped-share:
+    suppliers providing >30% of a matching part's total shipped
+    quantity): nested IN subqueries become a semi-join chain. The
+    per-pair and per-part aggregates share one (partkey, suppkey)
+    shuffle — the per-part total is a same-key window over the pair
+    aggregate, not a second scan. Quantities are integral doubles, so
+    the sums and the 0.3 multiply are exact cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(W.partitionBy("l_partkey"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    category="analytics",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >90 days after order date —
+    the data has no commit/receipt dates): suppliers who were the SOLE
+    late supplier on a finished multi-supplier order. The correlated
+    EXISTS / NOT EXISTS pair collapses into per-order supplier-set
+    sizes via window collect_set over the order key — one shuffle of
+    the fact, no self-joins (the classic Q21 plan needs two). Orders
+    are ~7 lines, so the per-order sets are tiny and bounded."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    w = W.partitionBy("l_orderkey")
+    lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("is_late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+    )
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        lines.filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("is_late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
