@@ -343,7 +343,16 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
         .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    # Only nodes incident to an edge can ever change label — iterate over
+    # that (pair-sized, ≪ corpus-sized) set and union the untouched
+    # singletons back in afterwards. At 100 TB the loop then scales with
+    # the near-dup rate (typically a few % of docs), not the corpus.
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .cache()
+    )
     prev_sum = None  # first iteration always runs; saves one collect job
     for _ in range(20):  # safety cap ≫ log2(any real cluster diameter)
         neighbor_min = (
@@ -368,7 +377,13 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 @register(
