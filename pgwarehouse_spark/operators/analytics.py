@@ -750,10 +750,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts, the EUROPE supplier(s) achieving the per-part minimum cost —
     a correlated MIN subquery decorrelated into a same-key window.
 
-    Scale plan: the derived partsupp is one fact shuffle on
-    (partkey, suppkey); the correlated min reuses that clustering via a
-    window partitioned by partkey (no second shuffle of the pairs
-    relation — partkey is a prefix of the groupBy key). Dims broadcast.
+    Scale plan: the derived partsupp costs one fact shuffle on
+    (partkey, suppkey) — with map-side partial aggregation, so the wire
+    carries ~1 row per pair, not per lineitem. The correlated min's
+    window then re-shuffles only the pair-sized aggregate by partkey
+    (hash clustering on (pk, sk) does not satisfy a pk-only window, but
+    that second exchange moves the reduced relation). Dims broadcast.
     (partkey, suppkey) is unique, so the top-100 tiebreak is total.
     Ref semantics anchor: /root/reference/README.md:13-15 (warehouse
     query surface); min-unit-price per pair stands in for ps_supplycost.
@@ -999,11 +1001,12 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (availqty threshold recast as shipped-share:
     suppliers providing >30% of a matching part's total shipped
-    quantity): nested IN subqueries become a semi-join chain. The
-    per-pair and per-part aggregates share one (partkey, suppkey)
-    shuffle — the per-part total is a same-key window over the pair
-    aggregate, not a second scan. Quantities are integral doubles, so
-    the sums and the 0.3 multiply are exact cross-engine."""
+    quantity): nested IN subqueries become a semi-join chain. The fact
+    shuffles once, partially aggregated to (partkey, suppkey); the
+    per-part total is a window over that pair aggregate — a second
+    exchange, but of the ~11×-reduced pair relation, never a second
+    fact scan. Quantities are integral doubles, so the sums and the
+    0.3 multiply are exact cross-engine."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")

@@ -49,6 +49,18 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (excludes broadcast exchanges)."""
+    """Shuffle exchanges in the plan (excludes broadcast exchanges).
+
+    Handles both explain styles: simple mode inlines the partitioning
+    (``Exchange hashpartitioning(...)``); formatted mode emits a bare
+    ``(n) Exchange`` operator line with the partitioning on a separate
+    ``Arguments:`` line — so count operator headers, not argument text.
+    """
     plan = physical_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    inline = len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+    formatted = len(re.findall(r"^\s*\(\d+\) Exchange\s*$", plan, re.MULTILINE))
+    return max(inline, formatted)

@@ -159,3 +159,74 @@ def test_multimodal_payload_pruned_when_untouched(spark, sf_dir):
     cols = read_schema_columns(meta_only)
     flat = [c for group in cols for c in group]
     assert all("payload" not in c for c in flat)
+
+
+def test_new_tpch_shapes_never_shuffle_the_fact_for_joins(spark, sf_dir):
+    """The round-2 additions keep the same invariant: every join in the
+    plan is broadcast (fact-derived aggregates shuffle for groupBy/window,
+    never for a join)."""
+    from pgwarehouse_spark.operators import analytics
+
+    for fn in (
+        analytics.q2_min_cost_supplier,
+        analytics.q8_market_share,
+        analytics.q9_product_type_profit,
+        analytics.q15_top_supplier,
+        analytics.q16_supplier_part_count,
+        analytics.q17_small_quantity_revenue,
+        analytics.q20_dominant_suppliers,
+    ):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_q12_projects_orders_before_join(spark, sf_dir):
+    """Orders must reach the join as (o_orderkey, o_orderpriority) only —
+    the shuffle/broadcast payload is two columns, not the whole row."""
+    from pgwarehouse_spark.operators.analytics import q12_priority_shipping
+
+    df = q12_priority_shipping(spark, sf_dir)
+    scans = read_schema_columns(df)
+    orders_scans = [c for c in scans if any(x.startswith("o_") for x in c)]
+    assert orders_scans and all(
+        set(c) == {"o_orderkey", "o_orderpriority"} for c in orders_scans
+    )
+    fs = " ".join(pushed_filters(df))
+    assert "l_shipdate" in fs
+
+
+def test_q13_aggregates_orders_before_the_join(spark, sf_dir):
+    """The per-customer order count must be computed BEFORE the
+    customer join, so the shuffle carries one row per active customer
+    instead of one per order — two HashAggregates feed the join."""
+    from pgwarehouse_spark.plans.explain import exchange_count
+    from pgwarehouse_spark.operators.analytics import q13_customer_distribution
+
+    df = q13_customer_distribution(spark, sf_dir)
+    plan = physical_plan(df)
+    agg_pos = plan.lower().find("hashaggregate")
+    join_pos = plan.lower().find("join")
+    assert agg_pos != -1 and join_pos != -1
+    # ≤4 shuffles: orders agg, customer join key, histogram agg, sort
+    assert exchange_count(df) <= 4
+
+
+def test_q21_windows_share_one_fact_shuffle(spark, sf_dir):
+    """Both per-order supplier-set windows must run on the same
+    order-key clustering: exactly one hashpartitioning(l_orderkey)
+    exchange in the plan, and no self-join of lineitem (the classic
+    Q21 plan has two)."""
+    import re
+
+    from pgwarehouse_spark.operators.analytics import q21_waiting_suppliers
+
+    df = q21_waiting_suppliers(spark, sf_dir)
+    plan = physical_plan(df)
+    orderkey_exchanges = len(
+        re.findall(r"Arguments: hashpartitioning\(l_orderkey", plan)
+    )
+    assert orderkey_exchanges <= 1
+    # formatted explain lists each scan once in the details section:
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert 0 < n_scans <= 4  # lineitem once, dims once each
