@@ -49,6 +49,8 @@ HEADLINE = [
     "events_rollup_multi_granularity",
     "q9_product_type_profit",
     "q21_waiting_suppliers",
+    "pack_sequences",
+    "vocab_top_terms",
 ]
 
 

@@ -91,6 +91,7 @@ def _ensure_loaded() -> None:
         multimodal,
         asof,
         eventwindows,
+        pipeline,
     )
 
     _LOADED = True
