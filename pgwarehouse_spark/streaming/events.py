@@ -154,3 +154,23 @@ def stream_sync(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each micro-batch of the event stream
+    joins against a static dimension (here: the customer table keyed by
+    user_id). The static side is broadcast, so enrichment is map-side
+    per batch — no stream-side shuffle, no state. Spark re-plans the
+    static side per micro-batch, so a dimension refreshed in place is
+    picked up on the next trigger (slowly-changing-dimension refresh
+    without restarting the query)."""
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    return events.join(d, "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "segment", "nationkey"
+    )

@@ -168,3 +168,32 @@ def test_stream_sessionize_runs(spark, events_stream_dir):
     rows = spark.sql("select * from session_agg").collect()
     assert rows
     assert all(r.session_start <= r.session_end for r in rows)
+
+
+def test_stream_enrich_matches_batch_join(spark, sf_dir, events_stream_dir):
+    """Stream-static broadcast enrichment must equal the equivalent batch
+    left join, row for row."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import read_event_stream, stream_enrich
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=2)
+    q = (
+        stream_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.segment, r.nationkey)
+        for r in spark.sql("select * from enriched").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_id, r.segment, r.nationkey)
+        for r in stream_enrich(events, dim).collect()
+    }
+    assert got == want and len(got) == events.count()
