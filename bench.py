@@ -65,8 +65,19 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in specs]
 
-    # JVM/codegen warm-up on a trivial job so q1 doesn't pay startup cost.
+    # JVM warm-up so the first measured query doesn't absorb one-time
+    # startup cost: codegen compilation, the vectorized parquet reader,
+    # and the broadcast machinery each initialize on first use.
+    from pgwarehouse_spark.sources.tables import load_table
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import functions as F
+
+    nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).groupBy(
+        "r_name"
+    ).count().collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -87,3 +87,51 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi, recent = _hi_lo(spark, sf_dir)
     return hi.subtract(recent).orderBy("o_custkey")
+
+
+_UNPIVOT_SUMS = """CAST(SUM(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST((l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST((l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+             CAST(SUM(CAST((l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_tax"""
+
+
+@register(
+    "reshape_unpivot",
+    category="setop",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {_UNPIVOT_SUMS}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax', sum_tax FROM agg
+    ORDER BY l_returnflag, metric
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long), the inverse of agg_pivot: aggregate
+    first, then melt the tiny wide result — the 100 TB-sane order (the
+    melt multiplies rows ×4, so it must run on the aggregate, never on
+    the fact). Spark's native df.unpivot is one ProjectExec+Expand, no
+    shuffle; the oracle spells it as UNION ALL, the portable form."""
+    from ._helpers import dsum
+
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+        dsum("l_tax").alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
