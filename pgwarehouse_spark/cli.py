@@ -23,7 +23,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "query", "queries"],
+                 "query", "queries", "audit"],
     )
     p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
     p.add_argument("--config", default="pgwarehouse.yaml")
@@ -69,6 +69,52 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for name, spec in sorted(all_queries().items()):
             oracle = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t{spec.category}\t{oracle}")
+        return 0
+
+    if args.command == "audit":
+        # Physical-plan audit of every registered query: the scale
+        # properties (shuffle count, broadcast joins, pushdown, codegen)
+        # as a markdown table — `.explain("formatted")` for the whole
+        # surface at once. Plans only; nothing executes.
+        from .plans.explain import (
+            broadcast_join_count,
+            exchange_count,
+            physical_plan,
+            pushed_filters,
+        )
+        from .registry import all_queries
+        from .session import get_spark
+
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = spark or get_spark(app_name="pgwarehouse_spark_audit")
+        # AQE wraps plans in AdaptiveSparkPlan and defers codegen to
+        # runtime; audit the static plan so codegen stages are visible.
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print("| query | category | shuffles | bcast joins | SMJ | pushed filters | codegen |")
+        print("|---|---|---|---|---|---|---|")
+        for name, spec in sorted(all_queries().items()):
+            try:
+                df = spec.fn(spark, sf_dir)
+                plan = physical_plan(df)
+                import re as _re
+
+                n_scan_push = len(pushed_filters(df))
+                row = (
+                    name,
+                    spec.category,
+                    exchange_count(df),
+                    broadcast_join_count(df),
+                    "yes" if "SortMergeJoin" in plan else "no",
+                    n_scan_push,
+                    "yes" if "codegen id" in plan else "no",
+                )
+            except Exception as exc:  # pragma: no cover - diagnostic path
+                row = (name, spec.category, "-", "-", "-", "-", f"error: {exc}")
+            print("| " + " | ".join(str(x) for x in row) + " |")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         return 0
 
     if args.command == "query":
