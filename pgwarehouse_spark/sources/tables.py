@@ -33,17 +33,38 @@ TABLES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
-# Files whose single parquet row group exceeds this many rows get an
-# explicit repartition after the scan — a one-row-group file is an
-# indivisible split, so without it the scan AND everything codegen-fused
-# above it (filter, partial aggregation, shingling/hashing) run in ONE
-# task regardless of cluster size. Real lakes avoid this via compaction
-# into many files/row-groups; this recovers parallelism for pathological
-# inputs. The threshold is low (1k rows) because per-row cost can be
-# large (documents carry full text; embeddings carry float arrays) —
-# only dimension-sized tables are exempt.
+# Files whose single parquet row group exceeds this many rows are an
+# indivisible split: without intervention the scan AND everything
+# codegen-fused above it (filter, partial aggregation, shingling/hashing)
+# run in ONE task regardless of cluster size. Real lakes fix this by
+# COMPACTION, and so does this engine: the first load of such a table
+# rewrites it once into a multi-file, range-clustered local copy
+# (`_ensure_compacted`), after which every scan is parallel with NO
+# per-query repartition shuffle, and date-filtered queries get real
+# file/row-group min/max pruning from the clustering. Set
+# SPARK_GRAFT_NO_COMPACT=1 to fall back to a per-query repartition.
+# The threshold is low (1k rows) because per-row cost can be large
+# (documents carry full text; embeddings carry float arrays) — only
+# dimension-sized tables are exempt.
 _SPLIT_MIN_ROWS = 1_000
 _layout_cache: dict[str, bool] = {}
+
+# Cluster fact tables by their natural pruning key when compacting —
+# the Spark analogue of the reference's MergeTree ORDER BY
+# (reference clickhouse_backend.py:149-153): range-partition + local
+# sort gives each output file a tight min/max band on the key, so
+# time-window predicates skip whole files.
+_RANGE_KEYS = {
+    "lineitem": "l_shipdate",
+    "orders": "o_orderdate",
+    "events": "ts",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_COMPACT_ROOT = os.environ.get(
+    "SPARK_GRAFT_COMPACT_DIR", "/tmp/pgwarehouse_spark_compacted"
+)
 
 
 def _single_large_row_group(path: str) -> bool:
@@ -61,13 +82,64 @@ def _single_large_row_group(path: str) -> bool:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _load_events(spark, sf_dir)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    if _single_large_row_group(path) and not os.environ.get(
+        "SPARK_GRAFT_NO_COMPACT"
+    ):
+        compacted = _ensure_compacted(spark, sf_dir, name, path)
+        if compacted:
+            return spark.read.parquet(compacted)
+    df = _read_raw(spark, sf_dir, name)
     if _single_large_row_group(path):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ensure_compacted(
+    spark: SparkSession, sf_dir: str, name: str, src_path: str
+) -> str | None:
+    """One-time local compaction of a single-row-group file: rewrite as
+    defaultParallelism files, range-clustered + locally sorted on the
+    table's pruning key. Returns the compacted directory, or None if
+    compaction failed (caller falls back to per-query repartition).
+
+    Values are byte-identical to the source (parquet rewrite is
+    lossless; the events ns→µs truncation is applied before the write,
+    exactly as the uncompacted read path applies it after)."""
+    import hashlib
+    import shutil
+    import uuid
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.path.getmtime(src_path)}".encode()
+    ).hexdigest()[:12]
+    dest = os.path.join(_COMPACT_ROOT, tag, name)
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    try:
+        df = _read_raw(spark, sf_dir, name)
+        n = spark.sparkContext.defaultParallelism
+        key = _RANGE_KEYS.get(name)
+        if key and key in df.columns:
+            df = df.repartitionByRange(n, key).sortWithinPartitions(key)
+        else:
+            df = df.repartition(n)
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.replace(tmp, dest)
+        except OSError:
+            # Another process won the race; use theirs.
+            shutil.rmtree(tmp, ignore_errors=True)
+        return dest if os.path.exists(os.path.join(dest, "_SUCCESS")) else None
+    except Exception:
+        return None
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
