@@ -316,8 +316,31 @@ class SyncEngine:
         )
 
     def read_table(self, table: str) -> DataFrame:
-        df = self.spark.read.parquet(self.table_path(table))
+        # mergeSchema: after schema evolution (source grew a column
+        # mid-history) files carry different schemas; the union schema is
+        # the table's schema, with nulls where old files lack the column.
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self.table_path(table)
+        )
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def _reconcile_schema(self, table: str, delta: DataFrame) -> DataFrame:
+        """Schema evolution policy (the reference has none — a drifted
+        source breaks its CSV load): existing columns keep the target's
+        type (delta cast to it), columns the delta dropped become typed
+        nulls, NEW source columns are appended and flow through (old
+        rows read as null via mergeSchema)."""
+        target = self.read_table(table).schema
+        known = {f.name for f in target.fields}
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType) if f.name in delta.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in target.fields
+        ]
+        cols += [F.col(c) for c in delta.columns if c not in known]
+        return delta.select(*cols)
 
     def count_table(self, table: str) -> int:
         return self.read_table(table).count()
@@ -374,6 +397,7 @@ class SyncEngine:
         rows = delta.count()
         if rows == 0:
             return 0
+        delta = self._reconcile_schema(table, delta)
         if spec.primary_key:
             from .merge import bucket_expr
 
@@ -445,6 +469,7 @@ class SyncEngine:
         if delta.isEmpty():
             return SyncResult(table, "noop", 0)
         rows = delta.count()
+        delta = self._reconcile_schema(table, delta)
         merge_into_bucketed(
             self.spark,
             self.table_path(table),

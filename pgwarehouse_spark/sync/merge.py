@@ -48,6 +48,16 @@ def dedup_latest(df: DataFrame, keys: list[str], order_col: str | None) -> DataF
     )
 
 
+def _widen(df: DataFrame, other: DataFrame) -> DataFrame:
+    """Schema evolution: add (as typed nulls) any column the other side
+    has that this side lacks, so both sides share the union schema."""
+    have = set(df.columns)
+    for f in other.schema.fields:
+        if f.name not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def merge_upsert(
     target: DataFrame,
     delta: DataFrame,
@@ -55,8 +65,11 @@ def merge_upsert(
     order_col: str | None = None,
 ) -> DataFrame:
     """Pure-DataFrame MERGE: rows of `target` whose key appears in `delta`
-    are replaced; new keys append. Returns the merged DataFrame."""
-    delta = dedup_latest(delta.select(*target.columns), keys, order_col)
+    are replaced; new keys append. Columns only one side has survive as
+    nulls on the other (schema evolution). Returns the merged DataFrame."""
+    target = _widen(target, delta)
+    delta = _widen(delta, target).select(*target.columns)
+    delta = dedup_latest(delta, keys, order_col)
     kept = target.join(F.broadcast(delta.select(*keys).distinct()), keys, "left_anti")
     return kept.unionByName(delta)
 
@@ -78,7 +91,11 @@ def merge_into_bucketed(
     affected = [r[BUCKET_COL] for r in delta.select(BUCKET_COL).distinct().collect()]
     if not affected:
         return 0
-    target = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    target = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .filter(F.col(BUCKET_COL).isin(affected))
+    )
     merged = merge_upsert(target, delta, keys, order_col)
     # Materialize before the overwrite: the plan reads the same files the
     # write will replace (plain parquet has no snapshot isolation — at

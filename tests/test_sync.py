@@ -338,3 +338,62 @@ def test_incremental_rollup_prunes_buckets(spark, sf_dir, tmp_path):
         keys, measures, num_buckets=8,
     )
     assert touched == 1
+
+
+def test_schema_evolution_append_new_column(spark, sf_dir, workspace):
+    """Source grows a column between syncs: new rows carry it, old rows
+    read back as NULL — the sync must not break (the reference's CSV
+    load would)."""
+    src, wh = workspace
+    orders = _orders(spark, sf_dir, limit=200)
+    _write_source(spark, src, "orders", orders)
+    eng = make_engine(spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])})
+    eng.sync("orders")
+
+    evolved = _orders(spark, sf_dir).limit(260).withColumn(
+        "o_channel", F.lit("web")
+    )
+    _write_source(spark, src, "orders", evolved)
+    res = eng.sync("orders")
+    assert res.action == "appended"
+    out = eng.read_table("orders")
+    assert "o_channel" in out.columns
+    assert out.count() == 260
+    assert out.filter(F.col("o_channel").isNull()).count() == 200
+    assert out.filter(F.col("o_channel") == "web").count() == 60
+
+
+def test_schema_evolution_upsert_and_dropped_column(spark, sf_dir, workspace):
+    """Upsert with a delta that (a) adds a new column and (b) lost one the
+    target has: updated rows get the new column, the lost column becomes
+    NULL for them, untouched rows keep every value."""
+    src, wh = workspace
+    orders = _orders(spark, sf_dir, limit=100)
+    _write_source(spark, src, "orders", orders)
+    spec = TableSpec("orders", ["o_orderkey"], last_modified="o_orderdate")
+    eng = make_engine(spark, src, wh, {"orders": spec})
+    eng.sync("orders")
+
+    wm = eng.watermark("orders", "o_orderdate")
+    touched = (
+        eng.read_table("orders")
+        .filter(F.col("o_orderdate") == wm)
+        .drop("o_orderpriority")
+        .withColumn("o_flag", F.lit(1))
+    )
+    n_touched = touched.count()
+    assert n_touched > 0
+    _write_source(spark, src, "orders", touched)
+    res = eng.sync("orders")
+    assert res.action == "merged"
+    out = eng.read_table("orders")
+    assert out.count() == 100
+    assert out.filter(F.col("o_flag") == 1).count() == n_touched
+    # untouched rows keep o_orderpriority; touched rows lost it
+    assert out.filter(
+        F.col("o_orderpriority").isNull() & (F.col("o_flag") == 1)
+    ).count() == n_touched
+    assert (
+        out.filter(F.col("o_orderpriority").isNotNull()).count()
+        == 100 - n_touched
+    )
