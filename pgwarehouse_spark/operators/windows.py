@@ -227,8 +227,8 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS trailing_1h_sum
     FROM events
     ORDER BY user_id, event_id
@@ -238,13 +238,17 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, not row-based): trailing one-hour sum of
     event values per user — peers at the same timestamp are always all
     included, so the result is deterministic even with ts ties (a ROWS
-    frame would be order-dependent there). Frame bounds are epoch-second
-    offsets; one shuffle on user_id."""
+    frame would be order-dependent there). Frame bounds are exact epoch-
+    MICROsecond offsets: second-granularity keys would truncate (Spark)
+    vs round (DuckDB `CAST(epoch(ts) AS BIGINT)`) sub-second timestamps
+    differently, shifting boundary rows in or out of the hour — caught
+    at sf0.1 where timestamps are dense enough to land on boundaries.
+    One shuffle on user_id."""
     e = t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         e.select(
