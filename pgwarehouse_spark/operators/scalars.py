@@ -274,3 +274,57 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "scalar_higher_order",
+    category="scalar",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INT) AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(18,6))))
+                AS DOUBLE) AS sum_sq,
+           LEN(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS has_big,
+           LEN(list_filter(embedding,
+                x -> NOT (CAST(x AS DOUBLE) BETWEEN -1.5 AND 1.5))) = 0 AS all_bounded,
+           list_slice(list_reverse_sort(list_transform(embedding,
+                x -> CAST(x AS DOUBLE))), 1, 3) AS top3
+    FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id
+    """,
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / zip_with / exists / forall
+    / sort+slice as JVM lambda expressions (SURVEY §2-B array surface,
+    which the reference degrades to strings at duckdb_backend.py:64-67).
+    All run inside whole-stage codegen per row: zero shuffles, zero
+    Python. The self-dot-product (zip_with → decimal fold) is the exact
+    kernel the vector/similarity operators build on."""
+    e = t(spark, sf_dir, "embeddings")
+    as_d = lambda x: x.cast("double")  # noqa: E731
+    return (
+        e.filter(F.col("vec_id") <= 100)
+        .select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: as_d(x) > 0.0)).alias("n_pos"),
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "embedding",
+                    lambda a, b: (as_d(a) * as_d(b)).cast("decimal(18,6)"),
+                ),
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, x: acc + x,
+            )
+            .cast("double")
+            .alias("sum_sq"),
+            F.exists("embedding", lambda x: as_d(x) > 0.2).alias("has_big"),
+            F.forall(
+                "embedding", lambda x: as_d(x).between(-1.5, 1.5)
+            ).alias("all_bounded"),
+            F.slice(
+                F.reverse(F.array_sort(F.transform("embedding", as_d))), 1, 3
+            ).alias("top3"),
+        )
+        .orderBy("vec_id")
+    )
