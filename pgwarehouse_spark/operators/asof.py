@@ -125,3 +125,94 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("event_id_view").alias("last_view_id"),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_forward_tolerance",
+    category="asof",
+    oracle="""
+    WITH views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), unioned AS (
+      SELECT user_id, ts, 0 AS side, event_id AS view_event_id,
+             NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value, NULL::TIMESTAMP AS p_ts
+      FROM views
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id, value, ts FROM purchases
+    ), carried AS (
+      SELECT *,
+        FIRST_VALUE(p_id IGNORE NULLS) OVER w AS next_p_id,
+        FIRST_VALUE(p_value IGNORE NULLS) OVER w AS next_p_value,
+        FIRST_VALUE(p_ts IGNORE NULLS) OVER w AS next_p_ts
+      FROM unioned
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, p_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT view_event_id AS event_id, user_id, ts,
+           CASE WHEN next_p_ts <= ts + INTERVAL 1 HOUR THEN next_p_id END
+             AS next_purchase_id,
+           CASE WHEN next_p_ts <= ts + INTERVAL 1 HOUR THEN next_p_value END
+             AS next_purchase_value
+    FROM carried WHERE side = 0
+    ORDER BY event_id
+    """,
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance window (conversion
+    attribution): for each 'view', the NEXT 'purchase' by the same user
+    within one hour — null if none. Same union+window plan as the
+    backward as-of (one shuffle on (user, time), no range probe): the
+    carry direction flips to first_value over CURRENT ROW → UNBOUNDED
+    FOLLOWING, and the tolerance is a post-hoc null-out, so it costs
+    nothing extra. Purchases tie-break by event_id ascending."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    unioned = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("view_event_id"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("bigint").alias("view_event_id"),
+            F.col("event_id").alias("p_id"),
+            F.col("value").alias("p_value"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "p_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.first("p_id", ignorenulls=True).over(w).alias("next_p_id"),
+        F.first("p_value", ignorenulls=True).over(w).alias("next_p_value"),
+        F.first("p_ts", ignorenulls=True).over(w).alias("next_p_ts"),
+    )
+    in_window = F.col("next_p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return (
+        carried.filter(F.col("side") == 0)
+        .select(
+            F.col("view_event_id").alias("event_id"),
+            "user_id",
+            "ts",
+            F.when(in_window, F.col("next_p_id")).alias("next_purchase_id"),
+            F.when(in_window, F.col("next_p_value")).alias("next_purchase_value"),
+        )
+        .orderBy("event_id")
+    )
