@@ -1098,3 +1098,63 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    category="analytics",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders WHERE o_custkey % 1000 = 0
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue,
+           LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+             ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_locf
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: a generated calendar (sequence + explode)
+    left-joined with sparse daily aggregates; missing days appear with
+    zero counts and last-observation-carried-forward revenue — the
+    standard warehouse treatment for irregular time series.
+
+    Scale: the spine is day-grained (bounded by the calendar, not the
+    fact), the daily aggregate is partial-aggregated before its one
+    shuffle, and the LOCF window runs over spine-sized input. The
+    global (un-partitioned) window is safe ONLY because of that bound;
+    per-entity gap fill would partition the window by the entity key."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 1000 == 0)
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    spine = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.last(F.col("revenue"), ignorenulls=True).over(w).alias("revenue_locf"),
+        )
+        .orderBy("day")
+    )

@@ -191,3 +191,41 @@ def events_rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY day, hour, event_type
         """
     )
+
+
+@register(
+    "events_cohort_retention",
+    category="events",
+    oracle="""
+    WITH f AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM f GROUP BY user_id)
+    SELECT c.cohort_day,
+           CAST(f.day - c.cohort_day AS INTEGER) AS days_since,
+           COUNT(*) AS n_users
+    FROM f JOIN c ON f.user_id = c.user_id
+    GROUP BY c.cohort_day, days_since
+    ORDER BY c.cohort_day, days_since
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active day,
+    counted on each subsequent active day. The classic product-analytics
+    triangle. Plan: one distinct over (user, day) — the fact collapses
+    to user-day grain immediately — then the cohort MIN reuses the same
+    user clustering; the join input is user-day-sized, never
+    event-sized. At 100 TB of events the user-day distinct is the only
+    big shuffle, and it's also the partial-aggregatable one."""
+    e = t(spark, sf_dir, "events")
+    f = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    c = f.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        f.join(c, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("days_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "days_since")
+    )

@@ -135,3 +135,38 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("l_returnflag", "metric")
+
+
+@register(
+    "set_intersect_all",
+    category="setop",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ORDER BY o_custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersect: duplicates survive up to the minimum
+    multiplicity on either side (Spark plans this as a count-tracking
+    aggregate, not a distinct)."""
+    hi, recent = _hi_lo(spark, sf_dir)
+    return hi.intersectAll(recent).orderBy("o_custkey")
+
+
+@register(
+    "set_except_all",
+    category="setop",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ORDER BY o_custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics except: each right-side occurrence cancels ONE
+    left-side occurrence (multiplicity subtraction)."""
+    hi, recent = _hi_lo(spark, sf_dir)
+    return hi.exceptAll(recent).orderBy("o_custkey")
