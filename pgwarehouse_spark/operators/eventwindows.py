@@ -229,3 +229,52 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "days_since")
     )
+
+
+@register(
+    "events_funnel",
+    category="events",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS step1_signup,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step2_viewed_after,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                     AND t_purchase > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchased_after
+    FROM steps
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first view after signup → first purchase
+    after that view): per-user first-occurrence timestamps via
+    conditional MIN — ONE shuffle at user grain, no self-joins, no
+    sequence explosion (the naive funnel is an N-way self-join; this is
+    the aggregation rewrite that scales). NULL comparisons drop
+    un-reached steps automatically."""
+    e = t(spark, sf_dir, "events")
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_view"))
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(s1, 1).otherwise(0)).alias("step1_signup"),
+        F.sum(F.when(s2, 1).otherwise(0)).alias("step2_viewed_after"),
+        F.sum(F.when(s3, 1).otherwise(0)).alias("step3_purchased_after"),
+    )

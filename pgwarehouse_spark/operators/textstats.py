@@ -267,3 +267,40 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_redact",
+    category="text",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[0-9]+(\.[0-9]+)?', '<NUM>', 'g'),
+             '\b[a-z]+@[a-z]+\.[a-z]{2,}\b', '<EMAIL>', 'g'
+           ) AS redacted,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS INT)
+             AS n_digit_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction transform: numbers and email-shaped tokens
+    replaced with placeholder tags, plus a digit-density count (a common
+    quality/PII risk signal). Pure regexp_replace — single-pass JVM
+    expressions, embarrassingly parallel; the pattern set is where a
+    production pipeline would plug its PII rule pack."""
+    d = t(spark, sf_dir, "documents")
+    step1 = F.regexp_replace(F.col("text"), r"[0-9]+(\.[0-9]+)?", "<NUM>")
+    redacted = F.regexp_replace(step1, r"\b[a-z]+@[a-z]+\.[a-z]{2,}\b", "<EMAIL>")
+    return (
+        d.select(
+            "doc_id",
+            redacted.alias("redacted"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+            ).alias("n_digit_chars"),
+        )
+        .orderBy("doc_id")
+    )

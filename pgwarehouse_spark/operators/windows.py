@@ -261,3 +261,39 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "window_percent_nth",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pr,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + nth_value — the remaining ranking/value window
+    functions. The order key (o_orderkey) is unique within each
+    customer partition, so both are deterministic; nth_value uses the
+    full-partition frame (its default differs between engines, so the
+    frame is explicit)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
