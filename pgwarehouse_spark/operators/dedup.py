@@ -353,23 +353,26 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .cache()
     )
-    prev_sum = None  # first iteration always runs; saves one collect job
-    for _ in range(20):  # safety cap ≫ log2(any real cluster diameter)
+    def propagate(lab):
         neighbor_min = (
-            edges.join(labels, edges.v == labels.doc_id)
+            edges.join(lab, edges.v == lab.doc_id)
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == F.col("u"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .cache()
+        return lab.join(neighbor_min, lab.doc_id == F.col("u"), "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+
+    prev_sum = None  # first iteration always runs; saves one collect job
+    for _ in range(20):  # safety cap ≫ log2(any real cluster diameter)
+        # One hop per materialization: the label frame is referenced
+        # twice inside a hop (neighbor lookup + merge), so it must be
+        # cached between hops — chaining uncached hops re-executes the
+        # previous hop once per reference (exponential blowup).
+        new_labels = propagate(labels).cache()
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
