@@ -663,3 +663,58 @@ def filter_ilike_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "join_skew_salted",
+    category="join",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant shuffle join via salting, the manual form of AQE's
+    skew-split (which only triggers on observed partition-size skew):
+    the fact side appends salt = pmod(xxhash64(monotonic row id), S) to
+    its join key; the build side is replicated S× with every salt value
+    (explode of a literal range — S× the SMALL side, never the fact).
+    Each hot key's rows then spread across S reducers instead of one.
+    Result is verified equal to the plain join. The salt here derives
+    from a per-row id, NOT rand(): deterministic under retries — a
+    failed-task re-run salts identically, which rand() would not (a
+    correctness hazard in any retried shuffle)."""
+    n_salt = 8
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    salted_fact = e.select(
+        "user_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).alias("salt"),
+    )
+    replicated_dim = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salt)])).alias("salt"),
+    )
+    return (
+        salted_fact.join(
+            # shuffle_hash hint: at test SF the replicated dim is tiny
+            # and would auto-broadcast, which never skews — force the
+            # shuffle plan the technique exists for.
+            replicated_dim.hint("shuffle_hash"),
+            (salted_fact.user_id == replicated_dim.c_custkey)
+            & (salted_fact.salt == replicated_dim.salt),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .orderBy("event_type")
+    )
