@@ -172,10 +172,12 @@ class JdbcSource(Source):
         partition_columns: dict[str, str] | None = None,
         partition_bounds: dict[str, tuple] | None = None,
         fetchsize: int = 10_000,
+        driver: str | None = None,
     ):
         self.url = url
         self.user = user
         self.password = password
+        self.driver = driver
         self.num_partitions = num_partitions
         self.partition_columns = partition_columns or {}
         self.partition_bounds = dict(partition_bounds or {})
@@ -191,6 +193,8 @@ class JdbcSource(Source):
         config or from `resolve_bounds` (a min/max probe — the same
         watermark-style query the reference issues, A11)."""
         opts = {"url": self.url, "fetchsize": str(self.fetchsize)}
+        if self.driver:
+            opts["driver"] = self.driver
         if self.user:
             opts["user"] = self.user
         if self.password:
@@ -222,14 +226,18 @@ class JdbcSource(Source):
             "url": self.url,
             "query": f"SELECT MIN({pcol}) AS lo, MAX({pcol}) AS hi FROM {table}",
         }
+        if self.driver:
+            probe["driver"] = self.driver
         if self.user:
             probe["user"] = self.user
         if self.password:
             probe["password"] = self.password
+        # positional access: JDBC backends fold unquoted aliases to their
+        # own case (Derby/Oracle uppercase LO/HI), so row.lo would miss
         row = spark.read.format("jdbc").options(**probe).load().collect()[0]
-        if row.lo is None:
+        if row[0] is None:
             return None
-        self.partition_bounds[table] = (row.lo, row.hi)
+        self.partition_bounds[table] = (row[0], row[1])
         return self.partition_bounds[table]
 
     def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
