@@ -278,3 +278,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(s2, 1).otherwise(0)).alias("step2_viewed_after"),
         F.sum(F.when(s3, 1).otherwise(0)).alias("step3_purchased_after"),
     )
+
+
+@register(
+    "events_zscore_anomaly",
+    category="events",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             {sql_dsum('value')} AS s1,
+             {sql_dsum('value * value', 4)} AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(ROUND((e.value - s1 / n)
+                 / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS DOUBLE) AS zscore,
+           CASE WHEN ABS(ROUND((e.value - s1 / n)
+                 / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6)) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM events e JOIN stats USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flag per event_type. Group moments are
+    computed once with order-independent decimal sums (see _helpers) so
+    mean/stddev are bit-identical at any partition count, then broadcast
+    back onto the fact rows — the event_type dimension is tiny, so the
+    enrich join never shuffles the fact side. The variance uses the
+    sum-of-squares identity (one pass, no second scan)."""
+    e = t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value"), 4).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = F.round((F.col("value") - mean) / sd, 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )

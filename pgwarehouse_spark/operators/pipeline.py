@@ -204,3 +204,39 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "word")
         .limit(50)
     )
+
+
+@register(
+    "sample_topk_per_stratum",
+    category="pipeline",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, source, rk, doc_id
+    FROM ranked WHERE rk <= 3
+    ORDER BY lang, source, rk
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each
+    (lang, source) stratum by the md5 of their key and keep the first 3 —
+    an RNG-free uniform draw that is reproducible across engines, runs,
+    and partitionings (companion to sample_stratified's rate-based
+    draw; this one guarantees exactly-k representatives per stratum).
+    Catalyst turns the rank-then-filter into WindowGroupLimit, so each
+    partition keeps only k candidates per stratum before the shuffle."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("lang", "source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "source", "rk", "doc_id")
+        .orderBy("lang", "source", "rk")
+    )

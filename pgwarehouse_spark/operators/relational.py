@@ -542,6 +542,76 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_ordered",
+    category="aggregate",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg family): the
+    collect_set is order-nondeterministic under parallelism, so the sort
+    happens *after* collection (array_sort) — the only way a distributed
+    listagg can be deterministic. The set of distinct sources per group is
+    tiny, so the array never strains the row size."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+                "sources_csv"
+            ),
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "agg_histogram_equi_width",
+    category="aggregate",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)), 9) AS INT)
+             AS bucket,
+           COUNT(*) AS n
+    FROM orders CROSS JOIN b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with data-driven bounds: one global min/max
+    aggregate (a single tiny row, broadcast to every task), then a pure
+    per-row bucket expression and a 10-group aggregate. Two passes over
+    the data but no wide shuffle — the groupBy has 10 keys, so the
+    map-side partial aggregation reduces each partition to ≤10 rows.
+    Bucketing arithmetic is identical double ops in both engines, so the
+    boundaries are bit-exact."""
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 10.0)
+        ),
+        F.lit(9),
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "agg_pivot",
     category="aggregate",
     oracle=f"""

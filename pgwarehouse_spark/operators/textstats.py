@@ -240,6 +240,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(LEN(l) AS INT) AS n_tokens,
+             CAST(LEN(list_distinct(l)) AS INT) AS n_distinct_tokens,
+             CAST(list_max(list_transform(list_distinct(l),
+                  x -> LEN(list_filter(l, y -> y = x)))) AS INT) AS top_token_count,
+             CAST(LEN(l) - 1 AS INT) AS n_bigrams,
+             CAST(LEN(list_distinct(list_transform(generate_series(1, LEN(l) - 1),
+                  i -> l[i] || ' ' || l[i+1]))) AS INT) AS n_distinct_bigrams
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens, top_token_count,
+           n_bigrams, n_distinct_bigrams,
+           CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_frac,
+           CASE WHEN n_bigrams > 0
+                THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+           END AS dup_bigram_frac,
+           CASE WHEN CAST(top_token_count AS DOUBLE) / n_tokens > 0.2
+                  OR (n_bigrams > 0
+                      AND 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.3)
+                THEN 1 ELSE 0 END AS repetitive
+    FROM stats ORDER BY doc_id
+"""
+
+
+@register("text_repetition_stats", category="text", oracle=_REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-common-token fraction and
+    duplicate-bigram fraction per document, plus the boolean gate a
+    pretraining pipeline applies (top-token > 20% or dup-bigrams > 30%).
+
+    Everything is array higher-order functions over the tokenized row —
+    single-pass, zero shuffle, JVM-side lambdas (no Python). The per-row
+    cost of the top-token scan is O(distinct x tokens), bounded by
+    document length — at 100 TB this stays embarrassingly parallel and
+    the integer ratios keep the oracle hash exact."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
+    )
+    stats = toks.select(
+        "doc_id",
+        F.size("l").alias("n_tokens"),
+        F.size(F.array_distinct("l")).alias("n_distinct_tokens"),
+        F.expr(
+            "array_max(transform(array_distinct(l),"
+            " x -> size(filter(l, y -> y = x))))"
+        ).alias("top_token_count"),
+        (F.size("l") - 1).alias("n_bigrams"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            )
+        ).alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("top_token_count").cast("double") / F.col("n_tokens")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col(
+        "n_bigrams"
+    )
+    return (
+        stats.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_token_count",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            top_frac.alias("top_token_frac"),
+            F.when(F.col("n_bigrams") > 0, dup_frac).alias("dup_bigram_frac"),
+            F.when(
+                (top_frac > 0.2)
+                | ((F.col("n_bigrams") > 0) & (dup_frac > 0.3)),
+                1,
+            )
+            .otherwise(0)
+            .alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "split_train_test",
     category="pipeline",
