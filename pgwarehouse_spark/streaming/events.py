@@ -174,3 +174,47 @@ def stream_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(d, "user_id", "left").select(
         "event_id", "ts", "user_id", "event_type", "value", "segment", "nationkey"
     )
+
+
+def stream_stream_attribution(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every view
+    by the same user in the preceding hour. Both sides carry watermarks
+    and the join condition bounds purchase_ts to [view_ts, view_ts + 1h],
+    so Spark can evict view-side state once the purchase watermark passes
+    view_ts + 1h and purchase-side state immediately — state stays
+    O(events in the horizon), the requirement for an unbounded run.
+
+    ``withWatermark`` is a no-op on batch frames, so the same builder
+    runs in batch for the parity test (the batch plan is a plain
+    non-equi self-join)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            "v_user = user_id AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
+    )

@@ -197,3 +197,36 @@ def test_stream_enrich_matches_batch_join(spark, sf_dir, events_stream_dir):
         for r in stream_enrich(events, dim).collect()
     }
     assert got == want and len(got) == events.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join (purchase attributed to same-user views
+    in the preceding hour) must produce exactly the batch self-join rows
+    once both streams drain."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_attribution,
+    )
+
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=2)
+    q = (
+        stream_stream_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.sql("select * from attributed").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in stream_stream_attribution(events).collect()
+    }
+    assert got == want
+    assert got  # the interval join is non-degenerate at sf0.01
