@@ -180,3 +180,131 @@ def sync_catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy(F.col("n_rows").desc(), "table_name")
+
+
+@register(
+    "sync_snapshot_cdc",
+    category="sync",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice - 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'I'
+                WHEN new.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice <> new.o_totalprice
+    ORDER BY o_orderkey
+    """,
+)
+def sync_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: classify every key as
+    insert / update / delete between two table snapshots with one
+    full-outer join — the CDC the reference cannot do (its watermark
+    strategies never detect deletes, README.md:150-176; this is the
+    missing fourth strategy). The two snapshots are derived
+    deterministically from orders (old = keys %7!=0 with a price drift on
+    %5==0; new = keys %11!=0) so the oracle sees identical inputs.
+
+    Scale: the join shuffles both snapshots on the key once; with both
+    sides bucketed by PK (as the sync engine writes them) it is
+    shuffle-free. Unchanged rows — the overwhelming majority — are
+    filtered before any downstream work."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") - 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("old_price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("new_price")
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    return (
+        joined.filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_price").isNull(), "I")
+            .when(F.col("new_price").isNull(), "D")
+            .otherwise("U")
+            .alias("change_type"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "scd2_intervals",
+    category="sync",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    transitions AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           CASE WHEN LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM transitions
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse a change
+    stream into validity intervals — keep rows where the tracked
+    attribute differs from its predecessor, then close each interval with
+    the next transition's timestamp (LEAD), leaving the last open
+    (is_current). Two window passes over the same (user_id, time)
+    partitioning — Catalyst reuses one sort/exchange for both, so the
+    whole history build is a single shuffle at entity grain."""
+    e = t(spark, sf_dir, "events")
+    w_ev = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lag("event_type").over(w_ev).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w_tr = W.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w_tr)
+    return (
+        transitions.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            valid_to.alias("valid_to"),
+            F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
