@@ -51,6 +51,11 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "pack_sequences",
     "vocab_top_terms",
+    "sync_snapshot_cdc",
+    "scd2_intervals",
+    "text_repetition_stats",
+    "events_zscore_anomaly",
+    "sample_topk_per_stratum",
 ]
 
 

@@ -23,7 +23,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "query", "queries", "audit"],
+                 "compact", "query", "queries", "audit"],
     )
     p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
     p.add_argument("--config", default="pgwarehouse.yaml")
@@ -184,6 +184,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df = staged.read(eng.spark, t)
             rows = eng._write_full(t, df)
             print(f"loaded {t} ({rows} rows)")
+        return 0
+
+    if args.command == "compact":
+        # Warehouse maintenance: rewrite into the canonical bucketed,
+        # key-sorted layout (collapses small files from incremental
+        # appends — the OPTIMIZE command of columnar warehouses).
+        targets = (
+            eng.list_warehouse_tables() if args.table in (None, "all") else [args.table]
+        )
+        for t in targets:
+            before, after = eng.compact(t)
+            print(f"compacted {t}: {before} -> {after} files")
         return 0
 
     if args.command == "reload":

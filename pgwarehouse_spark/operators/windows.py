@@ -297,3 +297,52 @@ def window_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "window_ignore_nulls_locf",
+    category="window",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 <> 0 THEN value END AS v
+      FROM events WHERE user_id <= 40
+    )
+    SELECT event_id, user_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           LAG(v, 1 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS v_prev_known
+    FROM sparse ORDER BY user_id, event_id
+    """,
+)
+def window_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: last-observation-carried-forward
+    over a sparse column (every third reading nulled deterministically so
+    both engines see identical gaps) plus the previous known value (lag
+    skipping nulls) — the sensor-reading/feature-store fill pattern. One
+    shuffle at entity grain; the running frame is a single ordered pass."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    sparse = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        sparse.select(
+            "event_id",
+            "user_id",
+            "v",
+            F.last("v", ignorenulls=True)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("v_filled"),
+            F.expr(
+                "lag(v, 1) IGNORE NULLS OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id)"
+            ).alias("v_prev_known"),
+        )
+        .orderBy("user_id", "event_id")
+    )

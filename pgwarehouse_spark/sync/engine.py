@@ -421,6 +421,40 @@ class SyncEngine:
             delta.write.mode("append").parquet(self.table_path(table))
         return rows
 
+    def compact(self, table: str) -> tuple[int, int]:
+        """Warehouse maintenance (the OPTIMIZE every columnar store runs;
+        ClickHouse does it continuously via MergeTree background merges —
+        the layout the reference relies on): rewrite the table into the
+        canonical bucketed, key-sorted layout, collapsing the small files
+        incremental appends leave behind. Returns (files_before,
+        files_after).
+
+        At scale this is the compaction job a table format (Delta/Iceberg)
+        schedules; on plain parquet it is a bucket-partitioned rewrite —
+        one shuffle, sorted within buckets, so post-compaction scans get
+        large row groups and range-clustered keys."""
+        import glob
+
+        path = self.table_path(table)
+
+        def _nfiles() -> int:
+            return len(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+
+        before = _nfiles()
+        spec = self.spec(table)
+        # Materialize off the files being replaced (plain parquet has no
+        # snapshot isolation; see merge_into_bucketed).
+        df = self.read_table(table).localCheckpoint(eager=True)
+        if spec.primary_key:
+            write_bucketed(df, path, spec.primary_key, self.num_buckets)
+        else:
+            df.coalesce(
+                max(1, self.spark.sparkContext.defaultParallelism // 4)
+            ).write.mode("overwrite").parquet(path)
+        return before, _nfiles()
+
     # -- watermarks (A11) ---------------------------------------------
     def watermark(self, table: str, column: str):
         row = self.read_table(table).agg(F.max(column).alias("wm")).collect()[0]

@@ -397,3 +397,31 @@ def test_schema_evolution_upsert_and_dropped_column(spark, sf_dir, workspace):
         out.filter(F.col("o_orderpriority").isNotNull()).count()
         == 100 - n_touched
     )
+
+
+def test_compact_collapses_append_files(spark, sf_dir, workspace):
+    """Repeated incremental appends leave small files in each bucket
+    partition; compact rewrites the canonical layout without changing
+    the table's contents."""
+    src, wh = workspace
+    orders = _orders(spark, sf_dir)
+    base = orders.filter(F.col("o_orderkey") <= 1000)
+    _write_source(spark, src, "orders", base)
+    eng = make_engine(spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])})
+    eng.sync("orders")
+
+    for hi in (1100, 1200, 1300):
+        _write_source(
+            spark, src, "orders", orders.filter(F.col("o_orderkey") <= hi)
+        )
+        assert eng.sync("orders").action == "appended"
+
+    before_rows = sorted(
+        (r.o_orderkey, r.o_totalprice) for r in eng.read_table("orders").collect()
+    )
+    before, after = eng.compact("orders")
+    assert after < before  # small append files collapsed
+    after_rows = sorted(
+        (r.o_orderkey, r.o_totalprice) for r in eng.read_table("orders").collect()
+    )
+    assert after_rows == before_rows
