@@ -353,3 +353,63 @@ def embedding_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    category="vector",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, mn AS offset, (mx - mn) / 255.0 AS scale,
+           CAST(LEN(v) AS INT) AS dim,
+           list_transform(v, x -> CAST(LEAST(FLOOR(
+             (x - mn) / ((mx - mn) / 255.0) + 0.5), 255) AS INT)) AS q,
+           list_max(list_transform(v, x -> ABS(x - (mn +
+             CAST(LEAST(FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5), 255)
+                  AS INT) * ((mx - mn) / 255.0))))) AS max_recon_err
+    FROM b ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the 4x compression every
+    vector store applies before indexing): affine-map each dimension to
+    0..255 against the vector's own min/max, and report the max
+    reconstruction error. All arithmetic is FLOOR(x + 0.5) on doubles —
+    identical binary ops in both engines (ROUND(double) is not
+    cross-engine stable; floor is). Single scan, per-row lambdas, no
+    shuffle — embarrassingly parallel at any scale."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    qexpr = F.expr(
+        "transform(v, x -> CAST(LEAST(FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5),"
+        " 255) AS INT))"
+    )
+    recon = F.expr(
+        "array_max(transform(v, x -> ABS(x - (mn + "
+        "CAST(LEAST(FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5), 255) AS INT)"
+        " * ((mx - mn) / 255.0)))))"
+    )
+    return (
+        base.select(
+            "vec_id",
+            F.col("mn").alias("offset"),
+            scale.alias("scale"),
+            F.size("v").alias("dim"),
+            qexpr.alias("q"),
+            recon.alias("max_recon_err"),
+        )
+        .orderBy("vec_id")
+    )

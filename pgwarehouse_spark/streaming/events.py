@@ -218,3 +218,44 @@ def stream_stream_attribution(
     ).select(
         "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
     )
+
+
+def stream_rollup_maintenance(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint: str | None = None,
+):
+    """Continuous aggregate maintenance: every micro-batch's partials are
+    additively merged into the bucketed rollup table (hourly x event_type
+    counts/sums) via foreachBatch — the streaming materialized view the
+    reference's warehouses recompute per query.
+
+    Exactly-once matters here: additive merges double-count on replay, so
+    the streaming checkpoint (epoch-tracked foreachBatch) is the delivery
+    contract — see sync/rollup.py's docstring. State is zero (the rollup
+    table IS the state); per-batch work is O(groups touched)."""
+    from ..sync.rollup import update_rollup
+
+    def _measures():
+        return [
+            ("n_events", F.count(F.lit(1))),
+            ("sum_value", F.sum(F.coalesce("value", F.lit(0.0)))),
+        ]
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        update_rollup(
+            batch_df.sparkSession,
+            rollup_path,
+            delta,
+            group_keys=["hour", "event_type"],
+            measures=_measures(),
+            num_buckets=8,
+        )
+
+    writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

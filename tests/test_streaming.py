@@ -230,3 +230,40 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
     }
     assert got == want
     assert got  # the interval join is non-degenerate at sf0.01
+
+
+def test_stream_rollup_maintenance_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    """Continuous aggregate: after draining the stream through per-batch
+    additive merges, the rollup table equals the batch groupBy answer."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_rollup_maintenance,
+    )
+    from pgwarehouse_spark.sync.rollup import read_rollup
+
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    q = stream_rollup_maintenance(stream, rollup, checkpoint=ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.hour, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in read_rollup(spark, rollup).collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, round(r.s, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k][0] == want[k][0] for k in want)
+    assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
