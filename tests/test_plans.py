@@ -230,3 +230,53 @@ def test_q21_windows_share_one_fact_shuffle(spark, sf_dir):
     # formatted explain lists each scan once in the details section:
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert 0 < n_scans <= 4  # lineitem once, dims once each
+
+
+def test_bucketed_tables_join_and_agg_without_shuffle(spark, sf_dir):
+    """Storage-bucketed layout (bucketBy + sortBy saveAsTable) joins and
+    aggregates on the bucket key with ZERO shuffle exchanges — the
+    co-located join that makes repeated fact⋈dim-by-key work at 100 TB:
+    pay the shuffle once at write time, never again at read time."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.plans.explain import exchange_count
+    from pgwarehouse_spark.sources.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("b_orders")
+        load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+            "c_custkey"
+        ).mode("overwrite").saveAsTable("b_customer")
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table("b_orders")
+                .join(
+                    spark.table("b_customer"),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # bucket-key join: no exchange before the join; the only
+            # shuffle is the final 5-group aggregate.
+            assert exchange_count(joined) <= 1
+            per_key = (
+                spark.table("b_orders")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            assert exchange_count(per_key) == 0  # agg on bucket key: map-side only
+            assert per_key.count() > 0
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
