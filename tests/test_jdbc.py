@@ -139,3 +139,49 @@ def test_jdbc_live_incremental_sync(spark, derby, tmp_path):
     res = eng.sync("orders")
     assert res.action == "appended" and res.rows == 2
     assert eng.count_table("orders") == n + 2
+
+
+# ---- JDBC warehouse sink: load INTO the database (reference direction) ----
+
+
+def test_jdbc_sink_full_append_merge(spark, sf_dir, tmp_path):
+    """Round-trip the reference's load semantics against a live DBMS:
+    bulk create (A8), incremental append (A14), then upsert (A15-A17:
+    two updates + one insert land, count +1)."""
+    from pgwarehouse_spark.sync.jdbc_sink import JdbcWarehouse
+
+    db = str(tmp_path / "sinkdb")
+    wh = JdbcWarehouse(f"jdbc:derby:{db};create=true", driver=DERBY)
+
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .toDF("O_ORDERKEY", "O_CUSTKEY", "O_TOTALPRICE")
+    )
+    base = orders.filter("O_ORDERKEY <= 300")
+    wh.write_full(base, "orders")
+    assert wh.count(spark, "orders") == base.count()
+
+    extra = orders.filter("O_ORDERKEY > 300 AND O_ORDERKEY <= 320")
+    wh.append(extra, "orders")
+    n_after_append = base.count() + extra.count()
+    assert wh.count(spark, "orders") == n_after_append
+
+    delta = spark.createDataFrame(
+        [(1, 999, 111.5), (2, 999, 222.5), (10_000_001, 7, 333.5)],
+        "O_ORDERKEY long, O_CUSTKEY long, O_TOTALPRICE double",
+    )
+    wh.merge(delta, "orders", keys=["O_ORDERKEY"])
+    assert wh.count(spark, "orders") == n_after_append + 1
+    got = {
+        r.O_ORDERKEY: (r.O_CUSTKEY, r.O_TOTALPRICE)
+        for r in wh.read(spark, "orders")
+        .filter("O_ORDERKEY IN (1, 2, 10000001)")
+        .collect()
+    }
+    assert got[1] == (999, 111.5) and got[2] == (999, 222.5)
+    assert got[10_000_001] == (7, 333.5)
+
+    # idempotent merge: re-applying the same delta changes nothing
+    wh.merge(delta, "orders", keys=["O_ORDERKEY"])
+    assert wh.count(spark, "orders") == n_after_append + 1
