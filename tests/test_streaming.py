@@ -267,3 +267,37 @@ def test_stream_rollup_maintenance_matches_batch(spark, sf_dir, events_stream_di
     assert set(got) == set(want)
     assert all(got[k][0] == want[k][0] for k in want)
     assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
+
+
+def test_stream_sync_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: stop the query after wave 1, start a
+    NEW query instance on the same checkpoint, feed wave 2 — no replays
+    (no double-merge of wave 1), no gaps."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import read_event_stream, stream_sync
+
+    src = str(tmp_path / "incoming")
+    wh = str(tmp_path / "wh_events")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_id") < 400).write.parquet(src)
+
+    q1 = read_event_stream(spark, src, max_files_per_trigger=4)
+    h1 = stream_sync(q1, wh, keys=["event_id"], num_buckets=4, checkpoint=ckpt).start()
+    h1.processAllAvailable()
+    h1.stop()
+    assert spark.read.parquet(wh).count() == 400
+
+    # second wave lands while no query is running
+    events.filter((F.col("event_id") >= 400) & (F.col("event_id") < 450)).write.mode(
+        "append"
+    ).parquet(src)
+
+    q2 = read_event_stream(spark, src, max_files_per_trigger=4)
+    h2 = stream_sync(q2, wh, keys=["event_id"], num_buckets=4, checkpoint=ckpt).start()
+    h2.processAllAvailable()
+    h2.stop()
+
+    wh_df = spark.read.parquet(wh)
+    assert wh_df.count() == 450  # wave 1 not replayed, wave 2 complete
+    assert wh_df.select("event_id").distinct().count() == 450
