@@ -56,6 +56,8 @@ HEADLINE = [
     "text_repetition_stats",
     "events_zscore_anomaly",
     "sample_topk_per_stratum",
+    "text_bm25_rank",
+    "embedding_quantize_int8",
 ]
 
 

@@ -1158,3 +1158,90 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_BM25_TERMS = ("spark", "table", "query")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    from .textstats import _sql_count_token
+
+    tf_cols = ",\n             ".join(
+        f"CAST({_sql_count_token('text', w)} AS INT) AS tf_{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = "\n           + ".join(
+        f"LN(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({_BM25_K1} + 1)) / (tf_{i} + {_BM25_K1}"
+        f" * (1 - {_BM25_B} + {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, dl,
+           CAST(ROUND({score}, 8) AS DOUBLE) AS bm25
+    FROM base CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+    """
+
+
+@register("text_bm25_rank", category="text", oracle=_bm25_oracle())
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring against a fixed query ('spark table query'):
+    term frequencies and document length are per-row integers; the corpus
+    statistics (N, total length, per-term document frequencies) are ONE
+    aggregated row broadcast back onto the scan — no driver-side count,
+    no shuffle of the corpus itself, and the top-50 is
+    TakeOrderedAndProject. Scores are fixed-order double arithmetic over
+    exact integers, rounded to 8 (LN differs by ≤1 ulp across libm
+    implementations), so the ranking is cross-engine stable."""
+    from .textstats import _count_token, token_count
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("dl"),
+        *[
+            _count_token(F.col("text"), w).cast("int").alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        part = idf * (tf * (_BM25_K1 + 1)) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.round(score, 8).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
