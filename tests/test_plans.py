@@ -280,3 +280,30 @@ def test_bucketed_tables_join_and_agg_without_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Time-partitioned warehouse layout: a day-filter query reads only
+    the matching partition directories (partition pruning), the scan
+    shape that keeps per-day queries O(day) instead of O(history)."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_by_day")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    events.write.partitionBy("day").parquet(path)
+    n_days = events.select("day").distinct().count()
+    assert n_days > 1
+
+    one_day = events.select(F.min("day")).collect()[0][0]
+    df = spark.read.parquet(path).filter(F.col("day") == F.lit(one_day))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must be a PARTITION filter on the scan (directory
+    # pruning), not a post-scan data filter
+    assert "PartitionFilters" in plan
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in part_filters
+    assert df.count() == events.filter(F.col("day") == F.lit(one_day)).count()
