@@ -108,3 +108,43 @@ class JdbcWarehouse:
             return True
         except Exception:
             return False
+
+
+def publish_incremental(
+    spark: SparkSession,
+    source_df: DataFrame,
+    wh: JdbcWarehouse,
+    table: str,
+    pk: str,
+) -> int:
+    """The reference's update_table flow pointed at a live DBMS
+    (A11 watermark read `clickhouse_backend.py:210-227` + A12 filtered
+    extract + A13 zero-delta skip + A14 append): read MAX(pk) from the
+    REMOTE table, push rows above it, return how many were appended.
+
+    The watermark aggregate runs on the warehouse side (one tiny JDBC
+    round trip); the delta filter is applied to the Spark-side source
+    before any rows move, so the transfer is O(delta) — at scale the
+    source scan itself prunes on the watermark when the table is sorted
+    or partitioned on the key."""
+    from pyspark.sql import functions as F
+
+    if not wh.exists(spark, table):
+        source_df.persist()
+        try:
+            n = source_df.count()
+            wh.write_full(source_df, table)
+        finally:
+            source_df.unpersist()
+        return n
+    wm = wh.read(spark, table).agg(F.max(pk).alias("wm")).collect()[0]["wm"]
+    delta = source_df.filter(F.col(pk) > F.lit(wm)) if wm is not None else source_df
+    delta.persist()
+    try:
+        n = delta.count()
+        if n == 0:  # A13: zero-delta short-circuit
+            return 0
+        wh.append(delta, table)
+    finally:
+        delta.unpersist()
+    return n

@@ -185,3 +185,26 @@ def test_jdbc_sink_full_append_merge(spark, sf_dir, tmp_path):
     # idempotent merge: re-applying the same delta changes nothing
     wh.merge(delta, "orders", keys=["O_ORDERKEY"])
     assert wh.count(spark, "orders") == n_after_append + 1
+
+
+def test_jdbc_publish_incremental_watermark(spark, sf_dir, tmp_path):
+    """Remote-side watermark publish: first call bulk-loads, second is a
+    zero-delta noop, and after the source grows only the new rows cross
+    the wire."""
+    from pgwarehouse_spark.sync.jdbc_sink import JdbcWarehouse, publish_incremental
+
+    db = str(tmp_path / "pubdb")
+    wh = JdbcWarehouse(f"jdbc:derby:{db};create=true", driver=DERBY)
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice")
+        .toDF("O_ORDERKEY", "O_TOTALPRICE")
+    )
+    base = orders.filter("O_ORDERKEY <= 400")
+    assert publish_incremental(spark, base, wh, "orders", "O_ORDERKEY") == base.count()
+    assert publish_incremental(spark, base, wh, "orders", "O_ORDERKEY") == 0
+
+    grown = orders.filter("O_ORDERKEY <= 430")
+    n_new = grown.count() - base.count()
+    assert publish_incremental(spark, grown, wh, "orders", "O_ORDERKEY") == n_new
+    assert wh.count(spark, "orders") == grown.count()
