@@ -23,7 +23,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "compact", "query", "queries", "audit"],
+                 "compact", "publish", "query", "queries", "audit"],
     )
     p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
     p.add_argument("--config", default="pgwarehouse.yaml")
@@ -33,6 +33,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", dest="sf_dir", default=None,
                    help="table directory for query/queries (parquet per table)")
     p.add_argument("--limit", type=int, default=20, help="max rows to print for query")
+    p.add_argument("--jdbc-url", dest="jdbc_url", default=None,
+                   help="target DBMS url for publish")
+    p.add_argument("--jdbc-driver", dest="jdbc_driver", default=None)
     return p
 
 
@@ -196,6 +199,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for t in targets:
             before, after = eng.compact(t)
             print(f"compacted {t}: {before} -> {after} files")
+        return 0
+
+    if args.command == "publish":
+        # Push warehouse tables into an external DBMS incrementally
+        # (remote-side MAX-watermark; the reference's load direction).
+        from .sync.jdbc_sink import JdbcWarehouse, publish_incremental
+
+        if not args.jdbc_url:
+            print("publish requires --jdbc-url", file=sys.stderr)
+            return 1
+        wh = JdbcWarehouse(args.jdbc_url, driver=args.jdbc_driver)
+        for t in tables:
+            spec = eng.spec(t)
+            if not spec.primary_key:
+                print(f"{t}: skipped (publish needs a primary key)", file=sys.stderr)
+                continue
+            n = publish_incremental(
+                eng.spark, eng.read_table(t), wh, t, spec.primary_key[0]
+            )
+            print(f"published {t}: {n} rows")
         return 0
 
     if args.command == "reload":

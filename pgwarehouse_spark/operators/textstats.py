@@ -392,3 +392,54 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_token_entropy",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, LEN(l) AS n,
+             list_transform(list_distinct(l),
+                            x -> LEN(list_filter(l, y -> y = x))) AS cs
+      FROM toks
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           CAST(ROUND(-list_sum(list_transform(cs,
+                c -> (CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))), 8)
+             AS DOUBLE) AS token_entropy
+    FROM counts ORDER BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per document — the
+    information-density quality signal (low entropy = repetitive /
+    boilerplate, the continuous form of text_repetition_stats' gates).
+    Pure array lambdas, single pass, no shuffle; entropy is a sum over
+    the distinct-token histogram so float accumulation order differences
+    across engines sit ~1e-14, far under the 8-decimal rounding."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("l")
+    ).select(
+        "doc_id",
+        F.size("l").alias("n"),
+        F.expr(
+            "transform(array_distinct(l), x -> size(filter(l, y -> y = x)))"
+        ).alias("cs"),
+    )
+    entropy = F.expr(
+        "aggregate(cs, 0D, (acc, c) ->"
+        " acc - (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))"
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.col("n").cast("int").alias("n_tokens"),
+            F.round(entropy, 8).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )

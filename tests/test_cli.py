@@ -91,3 +91,31 @@ def test_query_command_runs(spark, sf_dir, capsys):
 def test_query_command_unknown(spark, capsys):
     assert main(["query", "nope"], spark=spark) == 1
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_publish_to_jdbc(spark, config_file, tmp_path, capsys):
+    """CLI publish: sync locally, then push into a live embedded-Derby
+    database; re-publishing is a zero-row noop (remote watermark)."""
+    db = str(tmp_path / "clidb")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    assert main(["sync", "nation", "--config", config_file, "--buckets", "2"], spark=spark) == 0
+    capsys.readouterr()
+    assert (
+        main(
+            ["publish", "nation", "--config", config_file,
+             "--jdbc-url", url, "--jdbc-driver", driver],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "published nation: 25 rows" in capsys.readouterr().out
+    assert (
+        main(
+            ["publish", "nation", "--config", config_file,
+             "--jdbc-url", url, "--jdbc-driver", driver],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "published nation: 0 rows" in capsys.readouterr().out
