@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Config, TableSpec
-from .merge import BUCKET_COL, merge_into_bucketed, write_bucketed
+from .merge import BUCKET_COL, bucket_expr, merge_into_bucketed, write_bucketed
 
 DEFAULT_BUCKETS = 16
 
@@ -420,6 +420,44 @@ class SyncEngine:
         else:
             delta.write.mode("append").parquet(self.table_path(table))
         return rows
+
+    def verify(self, table: str) -> dict:
+        """Consistency audit source↔warehouse (the scaled-up form of the
+        reference's post-load count check A18, clickhouse_backend.py:
+        171-173): per-bucket row counts and order-independent content
+        digests (xor of per-row xxhash64 over sorted column names)
+        compared side-by-side. Returns {'ok': bool, 'buckets': [bucket
+        ids that disagree]} — at 100 TB the digest runs as one parallel
+        scan per side, no shuffle wider than num_buckets rows, and a
+        mismatch pinpoints which bucket partitions to re-sync instead of
+        forcing a full reload."""
+        spec = self.spec(table)
+        src = self.extract(table)
+        tgt = self.read_table(table).select(*src.columns)
+
+        def digests(df: DataFrame) -> dict:
+            cols = sorted(df.columns)
+            row_hash = F.xxhash64(
+                *[F.col(c).cast("string") for c in cols]
+            )
+            bucket = (
+                bucket_expr(spec.primary_key, self.num_buckets)
+                if spec.primary_key
+                else F.lit(0)
+            )
+            return {
+                r["b"]: (r["n"], r["d"])
+                for r in df.select(bucket.alias("b"), row_hash.alias("h"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("d"))
+                .collect()
+            }
+
+        a, b = digests(src), digests(tgt)
+        bad = sorted(
+            k for k in set(a) | set(b) if a.get(k) != b.get(k)
+        )
+        return {"ok": not bad, "buckets": bad}
 
     def compact(self, table: str) -> tuple[int, int]:
         """Warehouse maintenance (the OPTIMIZE every columnar store runs;

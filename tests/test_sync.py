@@ -425,3 +425,31 @@ def test_compact_collapses_append_files(spark, sf_dir, workspace):
         (r.o_orderkey, r.o_totalprice) for r in eng.read_table("orders").collect()
     )
     assert after_rows == before_rows
+
+
+def test_verify_detects_bucket_level_divergence(spark, sf_dir, workspace):
+    """Consistency audit: clean sync verifies ok; after corrupting one
+    row in the warehouse, verify pinpoints exactly the bucket holding
+    that key."""
+    from pgwarehouse_spark.sync.merge import BUCKET_COL, bucket_expr
+
+    src, wh = workspace
+    orders = _orders(spark, sf_dir).filter(F.col("o_orderkey") <= 1000)
+    _write_source(spark, src, "orders", orders)
+    eng = make_engine(spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])})
+    eng.sync("orders")
+    assert eng.verify("orders") == {"ok": True, "buckets": []}
+
+    # corrupt: append a rogue duplicate of key 7 with a wrong price
+    rogue = (
+        orders.filter(F.col("o_orderkey") == 7)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn(BUCKET_COL, bucket_expr(["o_orderkey"], 4))
+    )
+    rogue.write.mode("append").partitionBy(BUCKET_COL).parquet(
+        os.path.join(wh, "orders")
+    )
+    expected_bucket = rogue.select(BUCKET_COL).collect()[0][0]
+    report = eng.verify("orders")
+    assert report["ok"] is False
+    assert report["buckets"] == [expected_bucket]
