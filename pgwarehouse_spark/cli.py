@@ -23,7 +23,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "compact", "publish", "query", "queries", "audit"],
+                 "compact", "publish", "verify", "query", "queries", "audit"],
     )
     p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
     p.add_argument("--config", default="pgwarehouse.yaml")
@@ -200,6 +200,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             before, after = eng.compact(t)
             print(f"compacted {t}: {before} -> {after} files")
         return 0
+
+    if args.command == "verify":
+        # Consistency audit: per-bucket count + content-digest compare
+        # between source and warehouse; exit 1 if any table diverges.
+        rc = 0
+        for t in tables:
+            report = eng.verify(t)
+            if report["ok"]:
+                print(f"{t}: ok")
+            else:
+                rc = 1
+                print(f"{t}: DIVERGED buckets {report['buckets']}")
+        return rc
 
     if args.command == "publish":
         # Push warehouse tables into an external DBMS incrementally

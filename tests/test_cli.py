@@ -119,3 +119,10 @@ def test_publish_to_jdbc(spark, config_file, tmp_path, capsys):
         == 0
     )
     assert "published nation: 0 rows" in capsys.readouterr().out
+
+
+def test_verify_command(spark, config_file, capsys):
+    assert main(["sync", "nation", "--config", config_file, "--buckets", "2"], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["verify", "nation", "--config", config_file, "--buckets", "2"], spark=spark) == 0
+    assert "nation: ok" in capsys.readouterr().out
