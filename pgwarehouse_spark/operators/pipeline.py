@@ -240,3 +240,58 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "rk", "doc_id")
         .orderBy("lang", "source", "rk")
     )
+
+
+_DECON_WIDTH = 8
+
+
+def _sql_grams(width: int) -> str:
+    concat = " || ' ' || ".join(f"l[i+{k}]" for k in range(width))
+    return (
+        f"list_distinct(list_transform(generate_series(1, LEN(l) - {width - 1}),"
+        f" i -> {concat.replace('l[i+0]', 'l[i]')}))"
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    category="pipeline",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_sql_grams(_DECON_WIDTH)}) AS g FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+    SELECT grams.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams JOIN bench USING (g)
+    WHERE grams.doc_id % 50 <> 0
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3-style complement to
+    contamination_check's whole-document fingerprints): flag any corpus
+    document sharing an 8-token shingle with the benchmark set (docs
+    %50==0 stand in for the eval suite). The benchmark gram set is
+    vocabulary-sized → broadcast; the corpus side explodes grams and
+    semi-joins map-side, so the corpus is scanned once and never
+    shuffled at doc grain — the only exchange carries (doc, count)
+    pairs for flagged docs, which are rare by construction."""
+    from .dedup import shingles_expr
+
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(shingles_expr(F.col("text"), width=_DECON_WIDTH)).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
