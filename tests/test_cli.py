@@ -126,3 +126,23 @@ def test_verify_command(spark, config_file, capsys):
     capsys.readouterr()
     assert main(["verify", "nation", "--config", config_file, "--buckets", "2"], spark=spark) == 0
     assert "nation: ok" in capsys.readouterr().out
+
+
+def test_compact_command_and_publish_requires_pk(spark, config_file, tmp_path, capsys):
+    assert main(["sync", "all", "--config", config_file, "--buckets", "2"], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["compact", "nation", "--config", config_file, "--buckets", "2"], spark=spark) == 0
+    assert "compacted nation:" in capsys.readouterr().out
+    # region has no primary key in the fixture config → publish skips it
+    db = str(tmp_path / "nopkdb")
+    assert (
+        main(
+            ["publish", "region", "--config", config_file,
+             "--jdbc-url", f"jdbc:derby:{db};create=true",
+             "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver"],
+            spark=spark,
+        )
+        == 0
+    )
+    err = capsys.readouterr().err
+    assert "skipped" in err
