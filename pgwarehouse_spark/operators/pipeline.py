@@ -242,6 +242,224 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"en": 0.40, "zh": 0.20, "de": 0.15, "fr": 0.15}  # else 0.10
+_MIX_CASE_SQL = (
+    "CAST(CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    + " ELSE 0.10 END AS DOUBLE)"
+)
+
+
+@register(
+    "sample_mixture_weighted",
+    category="pipeline",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ),
+    wts AS (SELECT lang, n, {_MIX_CASE_SQL} AS w FROM counts),
+    cap AS (SELECT MIN(n / w) AS cap_min FROM wts),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), (w * cap_min) / n) * 65536)
+                  AS BIGINT) AS thr
+      FROM wts, cap
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                              AS BIGINT) < r.thr
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(r.thr) AS thr
+    FROM documents d JOIN rates r USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: given target language weights
+    (en .40 / zh .20 / de .15 / fr .15 / else .10), compute the largest
+    achievable total T = min(n_lang / w_lang) and keep each language at
+    rate w·T/n via an RNG-free md5 threshold — the data-mixing step that
+    turns an as-crawled distribution into the training mixture.
+
+    Scale: pass 1 is a language-cardinality aggregate (tiny); the rate
+    table broadcasts back onto the single corpus scan, so membership is
+    decided map-side with no corpus shuffle. Hash thresholds make the
+    draw reproducible across engines/partitionings and append-stable
+    modulo the recomputed rates. Double arithmetic ((w·capmin)/n, one
+    FLOOR) is IEEE-identical cross-engine, so thresholds — and therefore
+    membership — are bit-deterministic, not approximately so."""
+    d = t(spark, sf_dir, "documents")
+    w = F.lit(0.10)
+    for k, v in reversed(_MIX_WEIGHTS.items()):
+        w = F.when(F.col("lang") == k, F.lit(v)).otherwise(w)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wts = counts.withColumn("w", w)
+    cap = wts.agg(F.min(F.col("n") / F.col("w")).alias("cap_min"))
+    rates = (
+        wts.crossJoin(F.broadcast(cap))
+        .withColumn(
+            "thr",
+            F.floor(
+                F.least(F.lit(1.0), (F.col("w") * F.col("cap_min")) / F.col("n"))
+                * 65536
+            ).cast("bigint"),
+        )
+        .select("lang", "thr")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(h < F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.min("thr").alias("thr"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "filter_pipeline_gates",
+    category="pipeline",
+    oracle=r"""
+    WITH g AS (
+      SELECT lang,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0) AS digit_ratio,
+             CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / NULLIF(CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE), 0)
+               AS mean_tok_len
+      FROM documents
+    ),
+    flags AS (
+      SELECT lang,
+             CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n_tokens > 5000 THEN 1 ELSE 0 END AS f_long,
+             CASE WHEN digit_ratio > 0.2 THEN 1 ELSE 0 END AS f_digit,
+             CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 1 ELSE 0 END
+               AS f_wordlen
+      FROM g
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f_short + f_long + f_digit + f_wordlen = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(f_short) AS BIGINT) AS n_short,
+           CAST(SUM(f_long) AS BIGINT) AS n_long,
+           CAST(SUM(f_digit) AS BIGINT) AS n_digit,
+           CAST(SUM(f_wordlen) AS BIGINT) AS n_wordlen
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+)
+def filter_pipeline_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-gate filter (the CCNet/Gopher-style keep/drop
+    ensemble): each document is scored against independent gates —
+    too-few/too-many tokens, digit-character ratio, mean token length
+    out of range — and the manifest reports per-language kept counts
+    plus each gate's independent trip count (the per-reason breakdown
+    an ablation needs, not just the final verdict).
+
+    Scale: every gate is a pure JVM expression over the row — one corpus
+    scan, map-side partial counts, a language-cardinality exchange. Gate
+    ratios are double divisions compared against constants; identical
+    IEEE results cross-engine make the counts exact, not approximate."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+        / F.nullif(F.length(F.col("text")).cast("double"), F.lit(0.0))
+    )
+    mean_tok_len = F.length(
+        F.regexp_replace(F.col("text"), r"\s", "")
+    ).cast("double") / F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    f_short = F.when(n_tokens < 5, 1).otherwise(0)
+    f_long = F.when(n_tokens > 5000, 1).otherwise(0)
+    f_digit = F.when(digit_ratio > 0.2, 1).otherwise(0)
+    f_wordlen = F.when((mean_tok_len < 2.0) | (mean_tok_len > 12.0), 1).otherwise(0)
+    return (
+        d.select(
+            "lang",
+            f_short.alias("f_short"),
+            f_long.alias("f_long"),
+            f_digit.alias("f_digit"),
+            f_wordlen.alias("f_wordlen"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("f_short") + F.col("f_long") + F.col("f_digit")
+                    + F.col("f_wordlen")
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("f_short").cast("bigint").alias("n_short"),
+            F.sum("f_long").cast("bigint").alias("n_long"),
+            F.sum("f_digit").cast("bigint").alias("n_digit"),
+            F.sum("f_wordlen").cast("bigint").alias("n_wordlen"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "shuffle_order_sharded",
+    category="pipeline",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hfull,
+             CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % {_SHUFFLE_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hfull, doc_id)
+             AS rk, doc_id
+    FROM h ORDER BY shard, rk
+    """,
+)
+def shuffle_order_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training order: each document hashes into
+    one of {_SHUFFLE_SHARDS} shards and gets a within-shard rank by the
+    md5 of its key — the reproducible global shuffle a training run reads
+    (shard files consumed round-robin give a uniform random-looking order
+    with no RNG state and no global sort).
+
+    Scale: this is the alternative to ORDER BY rand() — a global sort
+    that serializes through a range exchange and is irreproducible across
+    retries. Here the only exchange is the shard hash partitioning; each
+    shard sorts locally (parallelism = shard count; raise shards to
+    spread — ranks never cross shards so determinism survives any
+    fan-out). Append-stable: new docs interleave without moving old
+    ranks' relative order within a shard draw."""
+    d = t(spark, sf_dir, "documents")
+    hfull = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    shard = F.conv(F.substring(hfull, 1, 4), 16, 10).cast("bigint") % _SHUFFLE_SHARDS
+    w = W.partitionBy("shard").orderBy("hfull", "doc_id")
+    return (
+        d.select("doc_id", hfull.alias("hfull"), shard.alias("shard"))
+        .withColumn("rk", F.row_number().over(w))
+        .select("shard", "rk", "doc_id")
+        .orderBy("shard", "rk")
+    )
+
+
 _DECON_WIDTH = 8
 
 

@@ -66,6 +66,8 @@ _COMPACT_ROOT = os.environ.get(
     "SPARK_GRAFT_COMPACT_DIR", "/tmp/pgwarehouse_spark_compacted"
 )
 
+_LAYOUT_VERSION = 2
+
 
 def _single_large_row_group(path: str) -> bool:
     if path not in _layout_cache:
@@ -88,7 +90,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ):
         compacted = _ensure_compacted(spark, sf_dir, name, path)
         if compacted:
-            return spark.read.parquet(compacted)
+            return _normalize_ts(spark.read.parquet(compacted))
     df = _read_raw(spark, sf_dir, name)
     if _single_large_row_group(path):
         df = df.repartition(spark.sparkContext.defaultParallelism)
@@ -116,8 +118,11 @@ def _ensure_compacted(
     import shutil
     import uuid
 
+    # _LAYOUT_VERSION invalidates cached copies when the normalization
+    # applied before the compacting write changes (e.g. the ntz→timestamp
+    # cast): a copy written by older code would otherwise be read forever.
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{os.path.getmtime(src_path)}".encode()
+        f"{os.path.abspath(sf_dir)}|{os.path.getmtime(src_path)}|v{_LAYOUT_VERSION}".encode()
     ).hexdigest()[:12]
     dest = os.path.join(_COMPACT_ROOT, tag, name)
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -142,19 +147,33 @@ def _ensure_compacted(
         return None
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long (runtime conf) and convert
-    to a microsecond TimestampType via integer division — the same
-    truncation DuckDB applies when it reads ns into its µs TIMESTAMP, so
-    both engines see identical values."""
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize any `ts` column to a session-UTC TimestampType whatever
+    the parquet file's physical flavor (applied on BOTH the raw and the
+    compacted read path, so a cached compacted copy written by older code
+    still comes out normalized):
+
+    - TIMESTAMP(NANOS) read as long (runtime conf): truncate to µs — the
+      same truncation DuckDB applies reading ns into its µs TIMESTAMP.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+      which time-arithmetic functions (unix_micros, etc.) reject — cast to
+      TimestampType. With the session pinned to UTC the wall-clock values
+      are unchanged, which is exactly DuckDB's naive-timestamp semantics."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
@@ -162,4 +181,4 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     for name in tables or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
