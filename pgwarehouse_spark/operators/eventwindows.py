@@ -328,3 +328,115 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_gaps_islands",
+    category="eventwindow",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    numbered AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    )
+    SELECT user_id,
+           MIN(d) AS island_start,
+           MAX(d) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM numbered GROUP BY user_id, grp
+    ORDER BY user_id, island_start
+    """,
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per user
+    (the classic streak/retention-streak shape). Each distinct active day
+    gets a per-user row number by date; `date - row_number` is constant
+    exactly within a consecutive run, so grouping on it collapses each
+    island to (start, end, length) with no self-join and no recursion.
+
+    Scale: the distinct collapses events→user-days map-side before any
+    window state exists; the row_number partitions by user_id (millions of
+    tiny partitions — the planner's favorite kind: no skew unless one user
+    is active for years, and even then the state is one counter). Island
+    grouping reuses the same hash partitioning on user_id, so the whole
+    thing is ONE shuffle of the deduplicated day set."""
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    numbered = days.withColumn("grp", F.date_sub(F.col("d"), rn))
+    return (
+        numbered.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    category="eventwindow",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cum AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+             ) AS cum_users
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type, CAST(ts AS DATE) ORDER BY event_id
+      ) = 1
+    )
+    SELECT d.event_type, d.d, d.n_events, c.cum_users
+    FROM daily d JOIN cum c USING (event_type, d)
+    ORDER BY d.event_type, d.d
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event_type by day — COUNT(DISTINCT)
+    OVER, which Spark's window functions reject outright. The rewrite:
+    a user contributes to the running distinct count exactly once, on the
+    day they first appear, so `min(first day) per (type,user)` → count of
+    first-appearances per day → running SUM. The DuckDB oracle uses its
+    native windowed DISTINCT aggregate, so the two engines cross-check
+    genuinely different algorithms.
+
+    Scale: both aggregations are map-side-combinable hash aggs (the naive
+    windowed-distinct would carry a per-day user SET through the window —
+    O(users) state per row); the running sum's window runs over ~days ×
+    types rows, trivially small. The day-level join is broadcastable."""
+    e = t(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    daily = e.groupBy("event_type", d).agg(F.count(F.lit(1)).alias("n_events"))
+    first_seen = e.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    new_by_day = first_seen.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # Left-join onto the daily spine first: an active day where no NEW
+    # user appeared still needs a row (carrying the running total).
+    return (
+        daily.join(new_by_day, ["event_type", "d"], "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .select("event_type", "d", "n_events", "cum_users")
+        .orderBy("event_type", "d")
+    )

@@ -788,3 +788,71 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_corr_regression",
+    category="aggregate",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(HOUR(ts) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(HOUR(ts) AS BIGINT) * CAST(HOUR(ts) AS BIGINT))
+                  AS DOUBLE) AS sxx,
+             {sql_dsum('value')} AS sy,
+             {sql_dsum('value * value', 4)} AS syy,
+             {sql_dsum('CAST(HOUR(ts) AS DOUBLE) * value', 4)} AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORR / REGR_SLOPE / REGR_INTERCEPT / REGR_R2 (value vs. hour of
+    day, per event type) — the bivariate statistical aggregate family.
+    Not Spark's built-in corr()/regr_*(): those accumulate doubles in
+    partition order, so their last ulps differ run-to-run and engine-to-
+    engine. Instead the five raw moments (n, Σx, Σx², Σy, Σy², Σxy) are
+    computed exactly — integer sums for the hour terms, decimal-cast sums
+    (see _helpers) for the value terms — and the statistics derived from
+    them with the same double expression tree the oracle SQL spells out,
+    making every output bit-identical at any partition count.
+
+    Scale: one pass, map-side-combinable (moments are additive), output
+    cardinality = |event_type|. The exact-moment trick is also the only
+    way a 1000-executor corr() is reproducible against a re-run with
+    different partitioning — built-in floating accumulation is not."""
+    e = t(spark, sf_dir, "events")
+    x = F.hour("ts").cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        dsum("value").alias("sy"),
+        dsum(F.col("value") * F.col("value"), 4).alias("syy"),
+        dsum(F.hour("ts").cast("double") * F.col("value"), 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    slope = num / dx
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (num / F.sqrt(dx * dy)).alias("corr"),
+        ((num * num) / (dx * dy)).alias("r2"),
+    ).orderBy("event_type")
