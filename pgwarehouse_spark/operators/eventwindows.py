@@ -358,12 +358,12 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly within a consecutive run, so grouping on it collapses each
     island to (start, end, length) with no self-join and no recursion.
 
-    Scale: the distinct collapses events→user-days map-side before any
-    window state exists; the row_number partitions by user_id (millions of
-    tiny partitions — the planner's favorite kind: no skew unless one user
-    is active for years, and even then the state is one counter). Island
-    grouping reuses the same hash partitioning on user_id, so the whole
-    thing is ONE shuffle of the deduplicated day set."""
+    Scale: the distinct collapses events→user-days with map-side partial
+    aggregation, so the one wide shuffle moves unique (user, day) pairs,
+    not raw events. The window and island grouping re-key that already-
+    deduplicated set (two more exchanges, each over ~active-days rows —
+    audit shows 3 total); per-user window state is one row counter, so
+    no skew unless a single user is active for decades."""
     e = t(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))

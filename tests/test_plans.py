@@ -307,3 +307,54 @@ def test_date_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "day" in part_filters
     assert df.count() == events.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_gaps_islands_shuffles_deduped_days_only(spark, sf_dir):
+    """The wide shuffle must carry map-side-deduplicated (user, day)
+    pairs — partial aggregation below the first exchange — and the whole
+    plan stays within the audited 3 exchanges (distinct, window re-key,
+    final sort; island grouping piggybacks on the window's keying)."""
+    from pgwarehouse_spark.plans.explain import exchange_count
+    from pgwarehouse_spark.operators.eventwindows import events_gaps_islands
+
+    df = events_gaps_islands(spark, sf_dir)
+    plan = physical_plan(df)
+    assert exchange_count(df) <= 3
+    # partial (map-side) dedup before the wide exchange: walking UP from
+    # the scan (formatted trees are top-down, scan deepest), the first
+    # agg/exchange node hit must be a HashAggregate, not an Exchange.
+    tree = plan.split("(1) Scan parquet")[0].splitlines()
+    scan_i = max(i for i, l in enumerate(tree) if "Scan parquet" in l)
+    above = [
+        l for l in reversed(tree[:scan_i]) if "HashAggregate" in l or "Exchange" in l
+    ]
+    assert above and "HashAggregate" in above[0]
+
+
+def test_cumulative_distinct_users_broadcasts_day_grain(spark, sf_dir):
+    """The day-grain join (daily spine ⋈ first-appearance counts) must be
+    broadcast — both sides are ~days×types rows; a sort-merge join here
+    would shuffle the spine for nothing."""
+    from pgwarehouse_spark.operators.eventwindows import (
+        events_cumulative_distinct_users,
+    )
+
+    df = events_cumulative_distinct_users(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_corr_regression_single_pass(spark, sf_dir):
+    """All five moments must come from ONE scan of events (one partial +
+    one final aggregate — no second pass, no join) and the plan must be
+    map-side combinable: exactly one wide exchange plus the final sort."""
+    import re
+
+    from pgwarehouse_spark.plans.explain import exchange_count
+    from pgwarehouse_spark.operators.relational import agg_corr_regression
+
+    df = agg_corr_regression(spark, sf_dir)
+    plan = physical_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1
+    assert exchange_count(df) <= 2
