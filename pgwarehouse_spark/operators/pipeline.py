@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._helpers import t
+from ._helpers import dsum, t
 from .textstats import fingerprint_expr, token_count
 
 PACK_BUDGET = 512  # tokens per packed sequence bin
@@ -511,5 +511,66 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    category="pipeline",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    vocab AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok2 GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, LN(v.c / tot.n) AS lp
+      FROM tok2 t JOIN vocab v USING (w), tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: every document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    classic LM-based quality filter (low score = token salad / OCR junk,
+    relative to the corpus). Two aggregations over one tokenization:
+    vocab counts, then a token⋈vocab equi-join and per-doc mean of
+    ln p(w).
+
+    Scale: the vocab (unique tokens, Zipf-bounded ≪ corpus) broadcasts
+    onto the token stream, so scoring is map-side — the only wide
+    shuffle is the vocab count itself, which moves map-side-combined
+    (token, count) partials. At 100 TB you'd cap the broadcast vocab at
+    top-K tokens with an OOV floor probability — same plan, bounded
+    build side. Determinism: counts are integers (exact as doubles),
+    c/n and ln are evaluated per-row identically in both engines, and
+    per-doc sums go through the decimal cast (_helpers), so a 1-ulp
+    libm difference in LN is absorbed by the scale-6 rounding rather
+    than amplified by accumulation order."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = F.log(F.col("c") / F.col("n"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (dsum(lp) / F.count(F.lit(1))).alias("avg_logprob"),
+        )
         .orderBy("doc_id")
     )

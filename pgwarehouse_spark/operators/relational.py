@@ -12,7 +12,7 @@ partitioning-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -856,3 +856,43 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / F.sqrt(dx * dy)).alias("corr"),
         ((num * num) / (dx * dy)).alias("r2"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_mode_deterministic",
+    category="aggregate",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+      SELECT lang, source, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, source
+             ) AS rk
+      FROM counts
+    )
+    SELECT lang, source AS mode_source, n AS mode_count
+    FROM ranked WHERE rk = 1 ORDER BY lang
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE() / most-frequent-value aggregate with a deterministic
+    tie-break (highest count, then lexicographically smallest value) —
+    built-in mode() in both engines picks an arbitrary winner on ties,
+    which is unacceptable anywhere results are compared across runs.
+
+    Scale: the count collapses the corpus to |lang × source| rows
+    map-side; the rank window then runs on that collapsed frame and
+    Catalyst turns rk=1 into a WindowGroupLimit (per-partition running
+    top-1, nothing group-sized is buffered)."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "source")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("source").alias("mode_source"), F.col("n").alias("mode_count"))
+        .orderBy("lang")
+    )
