@@ -153,6 +153,40 @@ class OrcSource(Source):
         return os.path.exists(self._loc(table))
 
 
+class BinaryFileSource(Source):
+    """Raw media/file ingest via Spark's built-in ``binaryFile`` format:
+    each file under ``<path>/<table>/`` becomes one row of
+    (path, modificationTime, length, content binary) — the lake-ingest
+    step that turns an object-store prefix of images/audio/documents
+    into a multimodal table the mapInPandas decode pipeline
+    (operators/multimodal.py) consumes directly.
+
+    Scale: listing is distributed (InMemoryFileIndex), each file is read
+    by the executor that owns the split, and
+    ``spark.sql.files.maxPartitionBytes`` packs many small media files
+    into one task — the small-files problem is handled by the packer,
+    not by a driver-side loop. `pathGlobFilter` narrows by extension
+    BEFORE content is fetched; the `where` predicate (e.g. on `length`
+    or `path`) prunes on listing metadata without touching bytes."""
+
+    def __init__(self, path: str, glob: str | None = None):
+        self.path = path
+        self.glob = glob
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.path, table)
+
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        reader = spark.read.format("binaryFile")
+        if self.glob:
+            reader = reader.option("pathGlobFilter", self.glob)
+        df = reader.load(self._dir(table))
+        return df.filter(where) if where else df
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.isdir(self._dir(table))
+
+
 class JdbcSource(Source):
     r"""Partitioned-parallel JDBC extract (reference A1, rebuilt as
     `spark.read.jdbc` with partitionColumn bounds so N executors each
@@ -268,6 +302,8 @@ def make_source(conf: dict) -> Source:
         return JsonSource(conf["path"], conf.get("schemas"))
     if kind == "orc":
         return OrcSource(conf["path"])
+    if kind == "binaryfile":
+        return BinaryFileSource(conf["path"], conf.get("glob"))
     if kind == "jdbc":
         return JdbcSource(
             conf["url"],

@@ -113,3 +113,44 @@ def test_extract_features_unit_norm_and_deterministic(spark, sf_dir):
     first = {r.doc_id: tuple(r.embedding) for r in rows}
     for k in first:
         assert first[k] == again.get(k)
+
+
+def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
+    """Lake ingest: raw files on disk → binaryFile source → media-table
+    shape → mapInPandas decode. Glob filtering must happen at listing
+    time (non-matching files never become rows), and the decode output
+    must carry correct byte counts for every ingested file."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.multimodal import decode_media
+    from pgwarehouse_spark.sync.engine import BinaryFileSource, make_source
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i}.jpg": (b"\xff\xd8" + bytes([i]) * (10 + i)) for i in range(5)}
+    for name, data in payloads.items():
+        (media / name).write_bytes(data)
+    (media / "notes.txt").write_bytes(b"not media")
+
+    src = make_source({"type": "binaryfile", "path": str(tmp_path), "glob": "*.jpg"})
+    assert isinstance(src, BinaryFileSource)
+    raw = src.read(spark, "media")
+    assert raw.count() == 5  # .txt filtered at listing time
+
+    table = raw.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.lit("image").alias("modality"),
+        F.col("content").alias("payload"),
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+    )
+    decoded = decode_media(table.select("doc_id", "modality", "payload"))
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    sizes = {r["doc_id"]: r["fname"] for r in table.collect()}
+    assert len(rows) == 5
+    for doc_id, fname in sizes.items():
+        assert rows[doc_id]["n_bytes"] == len(payloads[fname])
+        assert rows[doc_id]["width"] > 0
+
+    # length metadata predicate prunes without touching content
+    small = src.read(spark, "media", where="length <= 12")
+    assert small.count() == sum(1 for d in payloads.values() if len(d) <= 12)
