@@ -58,6 +58,13 @@ HEADLINE = [
     "sample_topk_per_stratum",
     "text_bm25_rank",
     "embedding_quantize_int8",
+    "sample_mixture_weighted",
+    "filter_pipeline_gates",
+    "shuffle_order_sharded",
+    "events_gaps_islands",
+    "events_cumulative_distinct_users",
+    "agg_corr_regression",
+    "text_unigram_logprob",
 ]
 
 

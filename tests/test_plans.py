@@ -358,3 +358,41 @@ def test_corr_regression_single_pass(spark, sf_dir):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_scans == 1
     assert exchange_count(df) <= 2
+
+
+def test_runtime_bloom_filter_eligible_fact_join(spark, sf_dir):
+    """At production scale (application-side scan ≥ the 10 GiB default
+    threshold) Spark injects a runtime bloom filter from the selective
+    side of a shuffle join into the fact scan — rows that can't match
+    die at the scan, before the exchange. Pin that our fact⋈filtered-fact
+    join shape is ELIGIBLE by scaling the thresholds down to test size
+    and asserting the bloom_filter_agg appears; at real size the same
+    plan gets it with default confs."""
+    from pgwarehouse_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom_filter_agg" in physical_plan(j)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
