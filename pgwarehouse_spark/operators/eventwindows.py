@@ -440,3 +440,104 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         .select("event_type", "d", "n_events", "cum_users")
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "events_rolling_active_users",
+    category="eventwindow",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT d,
+           COUNT(DISTINCT user_id) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS wau
+    FROM days
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d ORDER BY user_id) = 1
+    ORDER BY d
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day) — a rolling-window
+    DISTINCT, which unlike the cumulative case cannot be decomposed into
+    first-appearance flags. The scalable rewrite: each deduplicated
+    (user, day) activity contributes to the 7 window-days it falls in
+    (explode a 7-element date sequence), then countDistinct per window
+    day. The DuckDB oracle instead uses its native windowed DISTINCT over
+    a RANGE frame — two genuinely different algorithms cross-checked.
+
+    Scale: shuffle volume is 7× the deduplicated user-day set (NOT 7× the
+    event stream — dedup happens map-side first), and the window width is
+    a constant factor you pay in exchange for never materializing a
+    per-day user set in window state. The day spine broadcast keeps
+    phantom trailing days (a user's contribution past the last observed
+    day) out without a shuffle."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    spine = days.select(F.col("d").alias("spine_d")).distinct()
+    contrib = days.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("wd"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(spine), contrib.wd == spine.spine_d)
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("spine_d").alias("d"), "wau")
+        .orderBy("d")
+    )
+
+
+@register(
+    "events_winsorize_clip",
+    category="eventwindow",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, b.lo), b.hi) AS value_wins,
+           CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+             AS is_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp each value to its event type's
+    [p5, p95] band — the outlier treatment feature pipelines apply before
+    scaling/training. Exact interpolated percentiles (bit-identical
+    across engines, see agg_percentiles) computed once per group, then
+    broadcast back onto the stream; the clamp itself is a pure JVM
+    LEAST/GREATEST per row.
+
+    Scale: same enrich shape as the z-score flag — the bounds table is
+    |event_type| rows, so the fact side is never shuffled; the only
+    wide operation is the percentile aggregation itself. If exact
+    percentiles get too hot at 100 TB, swap approx_percentile into the
+    bounds CTE — the enrich plan is unchanged."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            clipped.alias("value_wins"),
+            F.when(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+            )
+            .otherwise(0)
+            .alias("is_clipped"),
+        )
+        .orderBy("event_id")
+    )
