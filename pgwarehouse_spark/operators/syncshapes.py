@@ -308,3 +308,139 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "profile_columns",
+    category="sync",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nn_key,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_key,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx_key,
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS nn_cust,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_cust,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx_cust,
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nn_stat,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_stat,
+             MIN(o_orderstatus) AS mn_stat,
+             MAX(o_orderstatus) AS mx_stat,
+             CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nn_price,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, nn_key AS n_nulls,
+           nd_key AS n_distinct, mn_key AS min_str, mx_key AS max_str FROM a
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_cust, nd_cust, mn_cust, mx_cust FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_stat, nd_stat, mn_stat, mx_stat FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price, mx_price FROM a
+    ORDER BY col_name
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the warehouse ANALYZE / data-quality pass): per
+    column — null count, distinct count, min, max — computed in ONE scan
+    as a single multi-aggregate row, then unpivoted to a row per column.
+    Numeric min/max normalize through DECIMAL(18,2) so the string forms
+    are engine-independent.
+
+    Scale: one pass however many columns are profiled (the oracle's
+    UNION-ALL form would scan once per column); distinct counts are the
+    expensive part — swap approx_count_distinct in when exactness isn't
+    required, same plan otherwise. Output is O(columns), never
+    data-sized. Reference analogue: the row-count/existence probes
+    (pgwarehouse.py:114-116) grown into a real profiler."""
+    o = t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    a = o.agg(
+        n.cast("bigint").alias("n_rows"),
+        (n - F.count("o_orderkey")).cast("bigint").alias("nn_key"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        (n - F.count("o_custkey")).cast("bigint").alias("nn_cust"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        (n - F.count("o_orderstatus")).cast("bigint").alias("nn_stat"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_stat"),
+        F.min("o_orderstatus").alias("mn_stat"),
+        F.max("o_orderstatus").alias("mx_stat"),
+        (n - F.count("o_totalprice")).cast("bigint").alias("nn_price"),
+        F.countDistinct("o_totalprice").cast("bigint").alias("nd_price"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
+    )
+    rows = [
+        ("o_orderkey", "nn_key", "nd_key", "mn_key", "mx_key"),
+        ("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust"),
+        ("o_orderstatus", "nn_stat", "nd_stat", "mn_stat", "mx_stat"),
+        ("o_totalprice", "nn_price", "nd_price", "mn_price", "mx_price"),
+    ]
+    stack = F.expr(
+        "stack({}, {}) as (col_name, n_nulls, n_distinct, min_str, max_str)".format(
+            len(rows),
+            ", ".join(f"'{c}', {nn}, {nd}, {mn}, {mx}" for c, nn, nd, mn, mx in rows),
+        )
+    )
+    return a.select(stack, "n_rows").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
+    ).orderBy("col_name")
+
+
+@register(
+    "audit_group_checksums",
+    category="sync",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           BIT_XOR(CAST('0x' || SUBSTR(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) AS digest
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def audit_group_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum per group: xor-fold of a canonical-string md5 per
+    row — the order-independent digest that lets two engines (or a source
+    and a warehouse copy) assert byte-level agreement without moving
+    data. This is the registered-query form of `SyncEngine.verify`'s
+    per-bucket audit; a mismatch in one group pinpoints WHERE the copies
+    diverge.
+
+    Scale: xor is associative/commutative, so the digest partial-
+    aggregates map-side and is independent of partitioning — the same
+    digest at local[1] and 1000 executors. Canonicalization (explicit
+    casts, '|' separators, md5 prefix → bigint) is what makes the digest
+    engine-portable, unlike engine-native hash() functions."""
+    o = t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h).alias("digest"),
+        )
+        .orderBy("o_orderpriority")
+    )
