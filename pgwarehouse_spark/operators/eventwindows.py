@@ -541,3 +541,45 @@ def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_distinct_rollup_sketch",
+    category="eventwindow",
+    oracle=None,
+    doc="Mergeable-sketch distinct rollup: no SQL oracle because DuckDB "
+    "cannot reproduce the DataSketches HLL binary; correctness is pinned "
+    "by tests instead — merged-of-daily equals direct-per-week exactly "
+    "(register-max merge is associative/commutative) and both sit within "
+    "2% of the exact distinct count.",
+)
+def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance via mergeable HLL sketches:
+    build one sketch per (week, day), then roll weeks up by UNIONING the
+    daily sketches — never re-touching the raw events. This is the only
+    way a continuously-maintained rollup can serve distinct counts at
+    100 TB: exact countDistinct cannot merge across refreshes (distinct
+    state is data-sized), while sketches are a few KB each, additive, and
+    re-aggregable to any coarser granularity (day→week→month) for free.
+
+    Scale: pass 1 partial-aggregates sketches map-side (register-max is
+    commutative); the rollup shuffles O(days) sketch blobs, not user
+    sets. Estimates are deterministic at any partition count because the
+    merged register state is identical whatever the merge order."""
+    e = t(spark, sf_dir, "events")
+    wk = e.select(
+        F.weekofyear("ts").alias("wk"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    )
+    daily = wk.groupBy("wk", "d").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return (
+        daily.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+        )
+        .orderBy("wk")
+    )

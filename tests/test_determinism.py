@@ -57,3 +57,38 @@ def test_minhash_signature_partition_invariant(spark, sf_dir):
         for r in minhash_signatures_df(sh.repartition(16)).collect()
     }
     assert one == many
+
+
+def test_sketch_rollup_merge_equals_direct_and_near_exact(spark, sf_dir):
+    """Mergeability: weekly estimate from unioned DAILY sketches must
+    equal the estimate of one sketch built directly over the week (HLL
+    register-max merge is associative/commutative), and both must sit
+    within 2% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.eventwindows import (
+        events_distinct_rollup_sketch,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+
+    merged = {
+        r["wk"]: r["est_users"]
+        for r in events_distinct_rollup_sketch(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(F.weekofyear("ts").alias("wk"), "user_id")
+    direct = {
+        r["wk"]: r["est"]
+        for r in wk.groupBy("wk")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    exact = {
+        r["wk"]: r["ex"]
+        for r in wk.groupBy("wk")
+        .agg(F.countDistinct("user_id").alias("ex"))
+        .collect()
+    }
+    assert merged == direct
+    for k, ex in exact.items():
+        assert abs(merged[k] - ex) <= max(1, 0.02 * ex)
