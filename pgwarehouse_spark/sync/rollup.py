@@ -34,9 +34,16 @@ from .merge import BUCKET_COL, bucket_expr, write_bucketed
 Measures = list[tuple[str, Column]]
 
 
-def rollup_delta(delta: DataFrame, group_keys: list[str], measures: Measures) -> DataFrame:
+def rollup_delta(
+    delta: DataFrame,
+    group_keys: list[str],
+    measures: Measures,
+    sketch_measures: Measures | None = None,
+) -> DataFrame:
     """Pre-aggregate a delta to one partial row per touched group."""
-    return delta.groupBy(*group_keys).agg(*[m.alias(n) for n, m in measures])
+    aggs = [m.alias(n) for n, m in measures]
+    aggs += [m.alias(n) for n, m in (sketch_measures or [])]
+    return delta.groupBy(*group_keys).agg(*aggs)
 
 
 def update_rollup(
@@ -46,14 +53,24 @@ def update_rollup(
     group_keys: list[str],
     measures: Measures,
     num_buckets: int = 16,
+    sketch_measures: Measures | None = None,
 ) -> int:
-    """Additively merge a delta into the bucketed rollup at `path`.
+    """Merge a delta into the bucketed rollup at `path`: additive
+    measures merge with `+`, sketch measures (e.g. ``hll_sketch_agg``
+    partials for distinct counts) merge with ``hll_union``.
+
+    Delivery semantics differ per measure kind: additive partials
+    double-count on redelivery (pair with exactly-once); sketch unions
+    are register-max and therefore IDEMPOTENT — re-applying the same
+    delta leaves the sketch unchanged, so distinct-count columns
+    tolerate at-least-once delivery.
 
     Creates the rollup on first call. Returns the number of target
     buckets rewritten (0 on create or empty delta).
     """
-    d = rollup_delta(delta, group_keys, measures)
+    d = rollup_delta(delta, group_keys, measures, sketch_measures)
     names = [n for n, _ in measures]
+    sketch_names = [n for n, _ in (sketch_measures or [])]
     if not os.path.exists(path):
         write_bucketed(d, path, group_keys, num_buckets)
         return 0
@@ -74,6 +91,15 @@ def update_rollup(
                 + F.coalesce(F.col(f"x.{n}"), F.lit(0))
             ).alias(n)
             for n in names
+        ],
+        *[
+            F.when(
+                F.col(f"t.{n}").isNotNull() & F.col(f"x.{n}").isNotNull(),
+                F.expr(f"hll_union(t.{n}, x.{n})"),
+            )
+            .otherwise(F.coalesce(F.col(f"t.{n}"), F.col(f"x.{n}")))
+            .alias(n)
+            for n in sketch_names
         ],
     ).withColumn(BUCKET_COL, bucket_expr(group_keys, num_buckets))
     # Materialize before overwriting the files the plan reads from

@@ -453,3 +453,56 @@ def test_verify_detects_bucket_level_divergence(spark, sf_dir, workspace):
     report = eng.verify("orders")
     assert report["ok"] is False
     assert report["buckets"] == [expected_bucket]
+
+
+def test_incremental_rollup_sketch_distinct_idempotent(spark, sf_dir, tmp_path):
+    """Sketch measures in the maintained rollup: (a) two delta waves
+    merged via hll_union must estimate the same distinct count as a
+    one-shot sketch over all data; (b) RE-applying a wave leaves the
+    sketch estimate unchanged (register-max union is idempotent) while
+    the additive count double-counts — the documented at-least-once
+    tolerance difference between the two measure kinds."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.sync.rollup import read_rollup, update_rollup
+
+    path = str(tmp_path / "rollup_sk")
+    events = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    measures = [("n_events", F.count(F.lit(1)))]
+    sketches = [("sk_users", F.expr("hll_sketch_agg(user_id)"))]
+
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+    update_rollup(spark, path, wave1, keys, measures, 4, sketch_measures=sketches)
+    update_rollup(spark, path, wave2, keys, measures, 4, sketch_measures=sketches)
+
+    def snapshot():
+        return {
+            r.event_type: (r.n_events, r.est)
+            for r in read_rollup(spark, path)
+            .select(
+                "event_type",
+                "n_events",
+                F.expr("hll_sketch_estimate(sk_users)").alias("est"),
+            )
+            .collect()
+        }
+
+    got = snapshot()
+    want = {
+        r.event_type: (r.n, r.est)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # redelivery: sketch unchanged, additive count inflated
+    update_rollup(spark, path, wave2, keys, measures, 4, sketch_measures=sketches)
+    after = snapshot()
+    for k, (n, est) in after.items():
+        assert est == got[k][1]
+        assert n > got[k][0]
