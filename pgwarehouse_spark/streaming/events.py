@@ -233,7 +233,12 @@ def stream_rollup_maintenance(
     Exactly-once matters here: additive merges double-count on replay, so
     the streaming checkpoint (epoch-tracked foreachBatch) is the delivery
     contract — see sync/rollup.py's docstring. State is zero (the rollup
-    table IS the state); per-batch work is O(groups touched)."""
+    table IS the state); per-batch work is O(groups touched).
+
+    The rollup also maintains a distinct-user HLL sketch per group
+    (merged with hll_union): unlike the additive columns, the sketch is
+    idempotent under replay, so the served distinct counts stay correct
+    even where delivery degrades to at-least-once."""
     from ..sync.rollup import update_rollup
 
     def _measures():
@@ -253,6 +258,7 @@ def stream_rollup_maintenance(
             group_keys=["hour", "event_type"],
             measures=_measures(),
             num_buckets=8,
+            sketch_measures=[("sk_users", F.expr("hll_sketch_agg(user_id)"))],
         )
 
     writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")

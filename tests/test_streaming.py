@@ -268,6 +268,29 @@ def test_stream_rollup_maintenance_matches_batch(spark, sf_dir, events_stream_di
     assert all(got[k][0] == want[k][0] for k in want)
     assert all(abs(got[k][1] - want[k][1]) < 1e-6 for k in want)
 
+    # the maintained distinct-user sketch must estimate exactly what a
+    # one-shot sketch over all data estimates (union across micro-batches
+    # leaves identical register state)
+    got_sk = {
+        (r.hour, r.event_type): r.est
+        for r in read_rollup(spark, rollup)
+        .select(
+            "hour",
+            "event_type",
+            F.expr("hll_sketch_estimate(sk_users)").alias("est"),
+        )
+        .collect()
+    }
+    want_sk = {
+        (r.hour, r.event_type): r.est
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    assert got_sk == want_sk
+
 
 def test_stream_sync_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     """Exactly-once across restarts: stop the query after wave 1, start a
