@@ -896,3 +896,97 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("source").alias("mode_source"), F.col("n").alias("mode_count"))
         .orderBy("lang")
     )
+
+
+@register(
+    "join_interval_banded",
+    category="join",
+    oracle="""
+    WITH p AS (
+      SELECT quantile_cont(o_totalprice, 0.00) AS p0,
+             quantile_cont(o_totalprice, 0.25) AS p1,
+             quantile_cont(o_totalprice, 0.50) AS p2,
+             quantile_cont(o_totalprice, 0.75) AS p3,
+             quantile_cont(o_totalprice, 0.90) AS p4,
+             quantile_cont(o_totalprice, 1.00) AS p5
+      FROM orders
+    ),
+    bands AS (
+      SELECT 0 AS band_id, p0 AS lo, p1 AS hi FROM p UNION ALL
+      SELECT 1, p1, p2 FROM p UNION ALL
+      SELECT 2, p2, p3 FROM p UNION ALL
+      SELECT 3, p3, p4 FROM p UNION ALL
+      SELECT 4, p4, p5 + 1.0 FROM p UNION ALL
+      SELECT 5, p3, p5 + 1.0 FROM p
+    )
+    SELECT band_id, lo, hi, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM bands b JOIN orders o
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY band_id, lo, hi ORDER BY band_id
+    """,
+)
+def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-containment join (no equi key, overlapping intervals
+    allowed — band 5 deliberately overlaps bands 3-4) via the BANDING
+    rewrite: quantize the value domain into grid cells, explode each
+    interval into the cells it overlaps, equi-join on the cell, then
+    refine with the exact containment predicate. The oracle does the
+    naive BETWEEN join.
+
+    Scale: a naive theta-join is a broadcast-nested-loop —
+    O(rows × intervals) compare operations with no pruning. Banding makes
+    it an equi hash join: each row probes exactly one cell, each interval
+    replicates into (width/step) cells, so cost is O(rows + intervals ×
+    avg_cells + true_matches·refine). With a 100M-row band table (IP
+    geolocation, tariff schedules) the banded form is the only one that
+    finishes; the grid granularity trades replication against refine
+    selectivity. Candidate generation is a superset by monotonicity of
+    the cell function, so float rounding at cell edges cannot lose a
+    match — the refine predicate decides membership exactly."""
+    o = t(spark, sf_dir, "orders")
+    p = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"p{i}")
+            for i, q in enumerate([0.0, 0.25, 0.5, 0.75, 0.9, 1.0])
+        ]
+    )
+    edges = [(0, "p0", "p1"), (1, "p1", "p2"), (2, "p2", "p3"),
+             (3, "p3", "p4"), (4, "p4", None), (5, "p3", None)]
+    bands = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.col(lo).alias("lo"),
+                        (
+                            F.col("p5") + 1.0 if hi is None else F.col(hi)
+                        ).alias("hi"),
+                    )
+                    for i, lo, hi in edges
+                ]
+            )
+        ).alias("b"),
+        F.col("p0").alias("mn"),
+        (
+            F.greatest((F.col("p5") + 1.0 - F.col("p0")) / 64.0, F.lit(1e-9))
+        ).alias("step"),
+    ).select("b.*", "mn", "step")
+    cell = lambda v: F.floor((v - F.col("mn")) / F.col("step")).cast("int")
+    band_cells = bands.select(
+        "band_id", "lo", "hi",
+        F.explode(F.sequence(cell(F.col("lo")), cell(F.col("hi")))).alias("cell"),
+    )
+    rows = o.select("o_totalprice").crossJoin(
+        F.broadcast(bands.select("mn", "step").limit(1))
+    ).select("o_totalprice", cell(F.col("o_totalprice")).alias("cell"))
+    return (
+        rows.join(F.broadcast(band_cells), "cell")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("band_id")
+    )
