@@ -328,3 +328,50 @@ def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "scalar_map_ops",
+    category="scalar",
+    oracle=r"""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(LEN(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(LEN(list_filter(json_keys(props),
+                kk -> CAST(json_extract_string(props, '$.' || kk) AS INT) > 50))
+                AS INT) AS n_big,
+           CAST(2 * CAST(json_extract_string(props, '$.k') AS INT) AS INT)
+             AS k_doubled
+    FROM events WHERE event_id <= 500 ORDER BY event_id
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type column surface: parse the props JSON into a real
+    map<string,int>, then exercise the map functions — element_at,
+    map_keys, cardinality, and the map higher-order functions
+    (map_filter, transform_values). The DuckDB oracle never builds a
+    map; it derives the same answers through json_keys/list lambdas, so
+    the engines cross-check different representations.
+
+    Scale: all map construction and traversal is per-row JVM codegen —
+    no shuffle, no Python; maps stay columnar (keys/values child arrays)
+    in Tungsten rows. The pattern to avoid at scale is exploding a map
+    per row when a direct map HOF answers the question — explode
+    multiplies rows, the lambda doesn't."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.filter(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            F.element_at(m, "k").cast("int").alias("k_val"),
+            F.size(m).cast("int").alias("n_keys"),
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+            F.size(F.map_filter(m, lambda k, v: v > 50)).cast("int").alias("n_big"),
+            F.element_at(
+                F.transform_values(m, lambda k, v: v * 2), "k"
+            ).cast("int").alias("k_doubled"),
+        )
+        .orderBy("event_id")
+    )
