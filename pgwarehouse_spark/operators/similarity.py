@@ -413,3 +413,124 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest centroid by dot product
+    (broadcast centroids, deterministic tie-break on centroid_id)."""
+    sim = _dot(F.col("embedding"), F.col("cent_emb"))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    return (
+        vectors.join(F.broadcast(centroids))
+        .select("vec_id", "embedding", "centroid_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame, seed_stride: int = IVF_CENTROID_STRIDE, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means on DataFrames: seed from a deterministic stride,
+    then iterate assign (broadcast join + per-vector top-1) → re-center
+    (posexplode + decimal-exact mean per (centroid, pos) → rebuild the
+    array ordered by position). Returns (centroid_id, cent_emb).
+
+    Scale: each iteration is one broadcast-assign pass over the corpus
+    and one shuffle of (centroid, pos, partial) rows — the shuffle
+    volume is centroids × dim per map task (partial aggregation), not
+    corpus-sized. The iteration count is a small constant (k-means for
+    IVF is about balanced cells, not convergence); each hop materializes
+    through the aggregate, so lineage stays linear, no cache churn.
+    Determinism: decimal-exact means and the stride seeding make every
+    round's centroids bit-identical at any partition count."""
+    cents = vectors.filter(F.col("vec_id") % seed_stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    for _ in range(iters):
+        assigned = _assign_nearest(vectors, cents)
+        means = (
+            assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"].cast("float"),
+                ).alias("cent_emb")
+            )
+        )
+    return cents
+
+
+@register(
+    "sim_topk_ivf_kmeans",
+    category="similarity",
+    oracle=None,  # approximate: probes only NPROBE cells
+    doc="ANN top-k via IVF with k-means-trained centroids (2 Lloyd "
+    "iterations from stride seeds). Rows-only driver check; recall vs "
+    "brute force asserted in tests, at least matching the seed-centroid "
+    "variant.",
+)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_topk_ivf with trained centroids: Lloyd iterations tighten the
+    cells around the data's actual clusters, which raises recall at the
+    same nprobe (equivalently: allows lower nprobe at the same recall —
+    the knob that matters when each probed cell is a partition-pruned
+    read of a 100 TB index layout)."""
+    e = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(e, IVF_CENTROID_STRIDE, iters=2)
+    assigned = _assign_nearest(e, centroids)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            _dot(F.col("embedding"), F.col("cent_emb")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    qn = with_norm(q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(assigned).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "centroid_id",
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(probes)
+        .join(cn, "centroid_id")
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -50,3 +50,21 @@ def test_bruteforce_is_exact_k(spark, sf_dir):
         assert len(rs) == TOPK
         cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_kmeans_recall_at_least_seed_variant(spark, sf_dir, exact_topk):
+    """Trained centroids must not lose recall versus the seed-centroid
+    IVF at the same nprobe (usually they gain), and must beat random."""
+    from pgwarehouse_spark.operators.similarity import (
+        sim_topk_ivf,
+        sim_topk_ivf_kmeans,
+    )
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    trained = pairs(sim_topk_ivf_kmeans(spark, sf_dir))
+    seed = pairs(sim_topk_ivf(spark, sf_dir))
+    r_trained = len(trained & exact_topk) / len(exact_topk)
+    r_seed = len(seed & exact_topk) / len(exact_topk)
+    assert r_trained >= max(0.2, r_seed - 0.05), (r_trained, r_seed)
