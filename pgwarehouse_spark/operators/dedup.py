@@ -17,7 +17,7 @@ verified output equals the exact answer on real data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot_exact, sql_cosine
@@ -200,12 +200,24 @@ def minhash_signatures_df(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    sig_df: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each r-row slice of the signature, explode to
     (band_id, band_hash), self-join. Returns distinct (id1, id2)
     candidate pairs with id1 < id2. The self-join shuffles O(bands·N)
-    small keys — never O(N²)."""
+    small keys — never O(N²) across buckets; WITHIN a bucket the pair
+    count is quadratic in bucket size, which is where real corpora bite:
+    boilerplate (empty pages, licence headers, template chrome) lands
+    thousands of near-identical docs in one bucket and that single hot
+    key degenerates to O(c²). ``max_bucket`` is the standard production
+    guard — buckets larger than the cap are dropped entirely (their
+    members are boilerplate you'd dedup by exact-hash first, and any
+    genuinely-similar pair this skips still has 11 other bands to
+    collide in). None (the default, used by the registered queries)
+    keeps exact parity with the oracle."""
     band_structs = F.array(
         *[
             F.struct(
@@ -229,6 +241,13 @@ def lsh_candidate_pairs(
         .select("doc_id", "b.band_id", "b.band_hash")
         .cache()
     )
+    if max_bucket is not None:
+        w = W.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     x = banded.alias("x")
     y = banded.alias("y")
     return (

@@ -41,3 +41,35 @@ def test_exact_dedup_consistent_with_fingerprint(spark, sf_dir):
     n_docs = text_fingerprint(spark, sf_dir).count()
     assert sum(r.n_copies for r in groups) == n_docs
     assert all(r.n_copies >= 1 for r in groups)
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A boilerplate cluster (many identical signatures) must be dropped
+    by the bucket cap — candidate pairs stay bounded — while ordinary
+    near-dup pairs outside the hot bucket survive unchanged."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_df,
+    )
+
+    # 40 identical "boilerplate" docs (ids 0-39) + 2 near-identical
+    # ordinary docs (ids 100, 101) + isolated docs
+    boiler = [(i, ["tok%d" % j for j in range(30)]) for i in range(40)]
+    pair = [
+        (100, ["alpha%d" % j for j in range(30)]),
+        (101, ["alpha%d" % j for j in range(29)] + ["odd"]),
+    ]
+    lone = [(200 + i, ["x%d_%d" % (i, j) for j in range(30)]) for i in range(5)]
+    sh = spark.createDataFrame(boiler + pair + lone, ["doc_id", "shingles"])
+    sigs = minhash_signatures_df(sh)
+
+    uncapped = lsh_candidate_pairs(sigs)
+    capped = lsh_candidate_pairs(sigs, max_bucket=10)
+    up = {(r.id1, r.id2) for r in uncapped.collect()}
+    cp = {(r.id1, r.id2) for r in capped.collect()}
+
+    assert (100, 101) in up and (100, 101) in cp  # ordinary pair survives
+    assert sum(1 for a, b in up if a < 40 and b < 40) == 40 * 39 // 2
+    assert not any(a < 40 and b < 40 for a, b in cp)  # hot bucket dropped
