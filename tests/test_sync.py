@@ -506,3 +506,47 @@ def test_incremental_rollup_sketch_distinct_idempotent(spark, sf_dir, tmp_path):
     for k, (n, est) in after.items():
         assert est == got[k][1]
         assert n > got[k][0]
+
+
+def test_zorder_write_narrows_bands_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must carry usefully narrow min/max footer bands on
+    BOTH clustered columns (the property multi-dim pruning needs), where
+    single-key range clustering narrows only its sort key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.sync.zorder import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zordered(orders, zpath, "o_custkey", "o_totalprice", num_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(rpath)
+    )
+
+    def avg_band(path, col):
+        spans, total = [], None
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index(col)
+            lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+            hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+            spans.append(hi - lo)
+            total = (min(lo, total[0]), max(hi, total[1])) if total else (lo, hi)
+        return sum(spans) / len(spans) / max(total[1] - total[0], 1e-9)
+
+    # z-order: both dims meaningfully narrowed (< 60% of global range,
+    # ~sqrt(1/16)≈25% ideal for 16 files over 2 dims)
+    assert avg_band(zpath, "o_custkey") < 0.6
+    assert avg_band(zpath, "o_totalprice") < 0.6
+    # single-key: sort key razor-thin, other dim near-full-range
+    assert avg_band(rpath, "o_custkey") < 0.15
+    assert avg_band(rpath, "o_totalprice") > 0.8
