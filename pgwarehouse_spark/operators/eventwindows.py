@@ -583,3 +583,54 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("wk")
     )
+
+
+@register(
+    "events_markov_transitions",
+    category="eventwindow",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM trans ORDER BY prev_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral-model /
+    next-action-prediction primitive. lag() pairs each event with its
+    predecessor in one pass; a count + per-row normalization yields the
+    row-stochastic matrix.
+
+    Scale: the only event-sized operation is the lag window, partitioned
+    by user_id (high cardinality, one-row state). The transition counts
+    collapse to |types|² rows before the normalizing window, so the
+    second window is over a handful of rows. The division n/Σn is the
+    same double expression both engines — bit-identical."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        trans.withColumn("p", F.col("n").cast("double") / F.sum("n").over(wp))
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )

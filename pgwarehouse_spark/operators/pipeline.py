@@ -574,3 +574,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CHUNK_W, _CHUNK_STRIDE = 50, 25
+
+
+@register(
+    "text_chunk_windows",
+    category="pipeline",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(CAST(CEIL(LEN(toks) / {_CHUNK_STRIDE}.0) AS BIGINT)))
+                  AS INT) AS chunk_id,
+             toks
+      FROM tok
+    )
+    SELECT doc_id, chunk_id,
+           CAST(LEAST({_CHUNK_W}, LEN(toks) - chunk_id * {_CHUNK_STRIDE}) AS INT)
+             AS n_tokens,
+           toks[chunk_id * {_CHUNK_STRIDE} + 1] AS first_tok,
+           toks[LEAST(LEN(toks), chunk_id * {_CHUNK_STRIDE} + {_CHUNK_W})]
+             AS last_tok
+    FROM chunks WHERE chunk_id * {_CHUNK_STRIDE} < LEN(toks)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token windows, stride 25) —
+    the context-chunking step a RAG index or long-document training
+    pipeline applies before embedding. Chunk boundaries are pure
+    arithmetic on the token array: sequence → explode → slice metadata,
+    no UDF, no second scan.
+
+    Scale: the explode multiplies rows by ~n_tokens/stride (2× token
+    coverage at 50/25) — that fan-out IS the workload, and it's entirely
+    map-side: no shuffle until whatever consumes the chunks aggregates.
+    Stride/window are compile-time constants so every engine and every
+    re-run derives identical chunk ids (append-stable, join-safe)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    chunked = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_id"),
+    )
+    nn = F.size(F.col("toks"))
+    start = F.col("chunk_id") * _CHUNK_STRIDE
+    return (
+        chunked.select(
+            "doc_id",
+            "chunk_id",
+            F.least(F.lit(_CHUNK_W), nn - start).cast("int").alias("n_tokens"),
+            F.element_at("toks", start + 1).alias("first_tok"),
+            F.element_at("toks", F.least(nn, start + _CHUNK_W)).alias("last_tok"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

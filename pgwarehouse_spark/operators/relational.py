@@ -990,3 +990,50 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("band_id")
     )
+
+
+@register(
+    "join_copurchase_pairs",
+    category="join",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def join_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together in
+    one order — a self-join of the fact table on its grouping key, the
+    affinity/association primitive.
+
+    Scale: the self-join shuffles lineitem ONCE on l_orderkey (both
+    sides share the exchange; Catalyst reuses it) and the per-order pair
+    fan-out is quadratic in basket size — bounded at ~7 lines for TPC-H,
+    and in general capped by collecting each basket to an array first
+    and exploding combinations only for baskets under a size limit. The
+    pair counts partial-aggregate map-side and TakeOrdered keeps only
+    the head — nothing pair-space-sized is ever sorted globally."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
