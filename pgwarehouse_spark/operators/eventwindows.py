@@ -634,3 +634,113 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev_type", "next_type", "n", "p")
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "events_session_window_native",
+    category="eventwindow",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL {SESSION_GAP_MINUTES} MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS seq
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS wstart,
+           MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTES AS wend,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, seq
+    ORDER BY user_id, wstart
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregation — the
+    exact construct the streaming form uses (gap-merged dynamic windows,
+    window end = last event + gap). The lag+cumsum twin
+    (events_sessionize) is the ANSI-portable form; this one exercises
+    Spark's dedicated operator, and the oracle replays its half-open
+    boundary semantics (an event exactly at last_ts + gap starts a NEW
+    session, hence >= in the oracle's gap test, vs > in the lag form).
+
+    Scale: session_window aggregates partially map-side (partial session
+    merge) before one exchange on user_id — the same one-shuffle shape
+    as the window rewrite, but with the merge logic inside the
+    aggregation operator, which is what lets the IDENTICAL code run
+    under Structured Streaming with watermark-driven state eviction."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+        )
+        .orderBy("user_id", "wstart")
+    )
+
+
+@register(
+    "audit_fk_orphans",
+    category="sync",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+    ORDER BY fk
+    """,
+)
+def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each declared FK
+    edge (child rows whose parent key is missing) — the data-quality
+    check a warehouse runs after every load, and the one the reference's
+    blind append loop structurally needs (a late-arriving child can land
+    before its parent).
+
+    Scale: each edge is a LEFT ANTI join — parent side reduced to its
+    key column (column pruning) and broadcast when it fits, so the child
+    table is scanned once per edge with no shuffle; the result is one
+    row per edge. Anti join is also null-safe where NOT IN is not."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+
+    def edge(name: str, child: DataFrame, parent: DataFrame, ck: str, pk: str) -> DataFrame:
+        orphans = child.join(
+            F.broadcast(parent), child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    return (
+        edge("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionAll(
+            edge("orders->customer", o.select("o_custkey"), c, "o_custkey", "c_custkey")
+        )
+        .orderBy("fk")
+    )
