@@ -1245,3 +1245,131 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "customer_rfm_segments",
+    category="analytics",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {sql_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum('monetary')} AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    customer, rolled up to segment sizes and value — the classic
+    warehouse customer-scoring query. Ties broken by customer key so the
+    quintile assignment is total-ordered and engine-reproducible.
+
+    Scale: the base aggregate collapses orders to one row per customer
+    map-side. The three NTILEs are global windows — fine at warehouse
+    customer cardinality (they run over the collapsed frame, not the
+    fact table); if customers themselves are billions, swap NTILE for
+    percentile-threshold buckets (broadcast 4 cut points each) and the
+    plan loses the single-partition window entirely."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("monetary").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "supplier_pareto_revenue",
+    category="analytics",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rk,
+             SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+               ORDER BY revenue DESC, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+             SUM(CAST(revenue AS DECIMAL(18,6))) OVER () AS tot_dec,
+             COUNT(*) OVER () AS n_sup
+      FROM rev
+    )
+    SELECT rk, l_suppkey, revenue,
+           CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.8
+                THEN 1 ELSE 0 END AS in_top80
+    FROM ranked ORDER BY rk
+    """,
+)
+def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration analysis: suppliers ranked by revenue
+    with each one's cumulative share of the total, flagging the set that
+    carries 80% of revenue. Cumulative and total sums run in DECIMAL so
+    every share is a ratio of exact numbers — bit-identical cross-engine
+    (a double running sum would drift with accumulation order).
+
+    Scale: the fact table collapses to one row per supplier before any
+    window. The global ordered cumsum serializes through one partition —
+    acceptable at supplier cardinality; for billion-row entity sets,
+    two-pass it: range-partition by revenue, per-partition cumsum, then
+    broadcast per-partition offsets (the classic distributed prefix
+    sum)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w_ord = W.orderBy(F.col("revenue").desc(), "l_suppkey")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_cum)
+    tot = F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_all)
+    share = cum.cast("double") / tot.cast("double")
+    return (
+        rev.withColumn("rk", F.row_number().over(w_ord))
+        .withColumn("cum_share", share)
+        .withColumn("in_top80", F.when(share <= 0.8, 1).otherwise(0))
+        .select("rk", "l_suppkey", "revenue", "cum_share", "in_top80")
+        .orderBy("rk")
+    )
