@@ -567,21 +567,25 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     sets. Estimates are deterministic at any partition count because the
     merged register state is identical whatever the merge order."""
     e = t(spark, sf_dir, "events")
+    # week key = the week's Monday DATE (date_trunc), not weekofyear alone:
+    # a bare ISO week number merges same-numbered weeks across years and
+    # mislabels early-January days that belong to week 52/53 of the prior
+    # ISO year. A week-start date is unambiguous at any time span.
     wk = e.select(
-        F.weekofyear("ts").alias("wk"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
         F.to_date("ts").alias("d"),
         "user_id",
     )
-    daily = wk.groupBy("wk", "d").agg(
+    daily = wk.groupBy("week_start", "d").agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk")
     )
     return (
-        daily.groupBy("wk")
+        daily.groupBy("week_start")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
         )
-        .orderBy("wk")
+        .orderBy("week_start")
     )
 
 
@@ -729,8 +733,12 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey")
 
     def edge(name: str, child: DataFrame, parent: DataFrame, ck: str, pk: str) -> DataFrame:
+        # no explicit broadcast hint: a forced broadcast of the parent key
+        # set is a driver-OOM risk at scale (orders/customer keys can be
+        # huge). autoBroadcastJoinThreshold + AQE pick broadcast only when
+        # the pruned key column actually fits.
         orphans = child.join(
-            F.broadcast(parent), child[ck] == parent[pk], "left_anti"
+            parent, child[ck] == parent[pk], "left_anti"
         ).agg(F.count(F.lit(1)).alias("n_orphans"))
         total = child.agg(F.count(F.lit(1)).alias("n_rows"))
         return orphans.crossJoin(total).select(

@@ -460,6 +460,13 @@ def shuffle_order_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# plain docstrings don't interpolate — splice the real shard count so
+# help() reads correctly and can't drift from _SHUFFLE_SHARDS.
+shuffle_order_sharded.__doc__ = shuffle_order_sharded.__doc__.replace(
+    "{_SHUFFLE_SHARDS}", str(_SHUFFLE_SHARDS)
+)
+
+
 _DECON_WIDTH = 8
 
 

@@ -406,19 +406,45 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_distinct",
     category="aggregate",
-    oracle=None,  # HLL sketch internals differ across engines by design
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_bounds,
+           TRUE AS parts_within_bounds
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for "
     "distinct counts — single pass, fixed memory, no distinct expansion. "
-    "Sketches are engine-specific so there is no SQL oracle; correctness "
-    "is bounded-relative-error vs agg_count_distinct (asserted in tests).",
+    "HLL sketches are engine-specific, so the oracle checks the *verdict*: "
+    "Spark computes both the approximate and exact counts per group and "
+    "emits within_bounds = |approx-exact|/exact <= 3*rsd, which the SQL "
+    "oracle reproduces as the exact counts plus literal TRUE. A sketch "
+    "drifting outside its published error bound turns the row red.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.01
+    bound = 3 * rsd
+
+    def within(approx: str, exact: str):
+        rel_err = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+        return rel_err <= bound
+
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=rsd).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            within("approx_orders", "exact_orders").alias("orders_within_bounds"),
+            within("approx_parts", "exact_parts").alias("parts_within_bounds"),
         )
         .orderBy("l_returnflag")
     )

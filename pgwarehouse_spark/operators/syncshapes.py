@@ -26,6 +26,26 @@ from ._helpers import t
 _CUTOFF = "2001-01-01"
 
 
+def canon_row_digest(*components) -> F.Column:
+    """Engine-portable per-row digest: md5 of a '|'-joined canonical
+    string, first 15 hex chars as a bigint (xor-foldable per group).
+
+    Each component is coalesced to the sentinel '<NULL>' BEFORE joining:
+    concat_ws silently drops NULLs (NULL and absent collide) while SQL
+    ``||`` nulls the whole string (md5(NULL)=NULL, silently skipped by
+    BIT_XOR) — coalescing on both engines makes the canonical form
+    defined and identical for NULL-bearing rows, and keeps '<NULL>'
+    distinct from ''. The DuckDB mirror is
+    ``COALESCE(CAST(c AS VARCHAR), '<NULL>') || '|' || ...``.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(c, F.lit("<NULL>")) for c in components]
+    )
+    return F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
 @register(
     "sync_watermark_max",
     category="sync",
@@ -403,10 +423,10 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            BIT_XOR(CAST('0x' || SUBSTR(md5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(o_custkey AS VARCHAR) || '|' ||
-             o_orderstatus || '|' ||
-             CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(o_orderstatus, '<NULL>') || '|' ||
+             COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '<NULL>')
            ), 1, 15) AS BIGINT)) AS digest
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -426,15 +446,11 @@ def audit_group_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts, '|' separators, md5 prefix → bigint) is what makes the digest
     engine-portable, unlike engine-native hash() functions."""
     o = t(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
+    h = canon_row_digest(
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
         F.col("o_orderdate").cast("date").cast("string"),
-    )
-    h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast(
-        "bigint"
     )
     return (
         o.groupBy("o_orderpriority")

@@ -72,20 +72,23 @@ def test_sketch_rollup_merge_equals_direct_and_near_exact(spark, sf_dir):
     from pgwarehouse_spark.sources.tables import load_table
 
     merged = {
-        r["wk"]: r["est_users"]
+        r["week_start"]: r["est_users"]
         for r in events_distinct_rollup_sketch(spark, sf_dir).collect()
     }
     e = load_table(spark, sf_dir, "events")
-    wk = e.select(F.weekofyear("ts").alias("wk"), "user_id")
+    wk = e.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        "user_id",
+    )
     direct = {
-        r["wk"]: r["est"]
-        for r in wk.groupBy("wk")
+        r["week_start"]: r["est"]
+        for r in wk.groupBy("week_start")
         .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
         .collect()
     }
     exact = {
-        r["wk"]: r["ex"]
-        for r in wk.groupBy("wk")
+        r["week_start"]: r["ex"]
+        for r in wk.groupBy("week_start")
         .agg(F.countDistinct("user_id").alias("ex"))
         .collect()
     }

@@ -550,3 +550,64 @@ def test_zorder_write_narrows_bands_on_both_dimensions(spark, sf_dir, tmp_path):
     # single-key: sort key razor-thin, other dim near-full-range
     assert avg_band(rpath, "o_custkey") < 0.15
     assert avg_band(rpath, "o_totalprice") > 0.8
+
+
+def test_canon_digest_null_safe_vs_duckdb(spark, tmp_path):
+    """NULL-bearing rows must digest identically in Spark and DuckDB:
+    concat_ws drops NULLs while SQL || propagates them, so without the
+    '<NULL>' sentinel the engines diverge and (NULL, 'x') collides with
+    ('', 'x'). Exercises every NULL placement plus the ''-vs-NULL case
+    (ADVICE r01: syncshapes.py audit_group_checksums)."""
+    import duckdb
+
+    from pgwarehouse_spark.operators.syncshapes import canon_row_digest
+
+    rows = [
+        (1, "g", None, "s"),
+        (2, "g", 10, None),
+        (3, "g", None, None),
+        (4, "g", 11, ""),      # empty string must NOT collide with NULL
+        (5, "h", None, "x"),
+        (6, "h", 12, "y"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, grp STRING, v INT, s STRING")
+    path = str(tmp_path / "nulls_pq")
+    df.coalesce(1).write.parquet(path)
+
+    got = {
+        r["grp"]: r["digest"]
+        for r in df.groupBy("grp")
+        .agg(
+            F.bit_xor(
+                canon_row_digest(
+                    F.col("id").cast("string"),
+                    F.col("v").cast("string"),
+                    F.col("s"),
+                )
+            ).alias("digest")
+        )
+        .collect()
+    }
+    want = {
+        g: d
+        for g, d in duckdb.sql(
+            f"""
+            SELECT grp, BIT_XOR(CAST('0x' || SUBSTR(md5(
+              COALESCE(CAST(id AS VARCHAR), '<NULL>') || '|' ||
+              COALESCE(CAST(v AS VARCHAR), '<NULL>') || '|' ||
+              COALESCE(s, '<NULL>')
+            ), 1, 15) AS BIGINT)) AS digest
+            FROM read_parquet('{path}/*.parquet') GROUP BY grp
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+    # and the sentinel actually separates NULL from '' within one column
+    d4 = df.filter("id = 4").select(
+        canon_row_digest(F.col("s")).alias("d")
+    ).collect()[0]["d"]
+    d3 = df.filter("id = 3").select(
+        canon_row_digest(F.col("s")).alias("d")
+    ).collect()[0]["d"]
+    assert d4 != d3
