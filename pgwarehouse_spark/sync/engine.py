@@ -49,6 +49,17 @@ class Source:
     def exists(self, spark: SparkSession, table: str) -> bool:
         raise NotImplementedError
 
+    def discover_primary_key(self, spark: SparkSession, table: str) -> list[str]:
+        """Key metadata the source can surface (reference parity: `psql
+        \\d` PK scrape, pgwarehouse.py:330-333 — its configs never
+        declare a PK). File sources carry no constraints → []."""
+        return []
+
+    def discover_watermark(self, spark: SparkSession, table: str) -> str | None:
+        """Best-effort watermark column (a date/timestamp column with a
+        conventional change-tracking name). File sources → None."""
+        return None
+
 
 class ParquetSource(Source):
     def __init__(self, path: str):
@@ -291,6 +302,86 @@ class JdbcSource(Source):
         except Exception:
             return False
 
+    # -- metadata discovery (reference parity: zero-config sync) -------
+    def _jvm_connection(self, spark: SparkSession):
+        """Raw java.sql.Connection through the Spark JVM gateway — the
+        standard JDBC DatabaseMetaData route (works for every driver on
+        Spark's classpath; no SQL dialect differences to paper over,
+        unlike information_schema which e.g. Derby lacks)."""
+        jvm = spark._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        props = jvm.java.util.Properties()
+        if self.user:
+            props.setProperty("user", self.user)
+        if self.password:
+            props.setProperty("password", self.password)
+        return jvm.java.sql.DriverManager.getConnection(self.url, props)
+
+    def _table_case_candidates(self, table: str) -> list[str]:
+        # unquoted identifiers fold to the backend's preferred case
+        # (Derby/Oracle upper, Postgres lower) — probe the spellings
+        out = [table, table.upper(), table.lower()]
+        return list(dict.fromkeys(out))
+
+    def discover_primary_key(self, spark: SparkSession, table: str) -> list[str]:
+        """`DatabaseMetaData.getPrimaryKeys`, ordered by KEY_SEQ — the
+        JDBC-portable equivalent of the reference's `psql \\d` PK regex
+        (pgwarehouse.py:330-333), so `sync <table>` needs no
+        `primary_key:` stanza, matching reference configs that never
+        declare one (tests/test_postgres.py:101-130)."""
+        conn = self._jvm_connection(spark)
+        try:
+            meta = conn.getMetaData()
+            for cand in self._table_case_candidates(table):
+                rs = meta.getPrimaryKeys(None, None, cand)
+                cols: list[tuple[int, str]] = []
+                while rs.next():
+                    cols.append(
+                        (int(rs.getShort("KEY_SEQ")), rs.getString("COLUMN_NAME"))
+                    )
+                rs.close()
+                if cols:
+                    return [c for _, c in sorted(cols)]
+            return []
+        finally:
+            conn.close()
+
+    # conventional change-tracking column names, checked in order
+    WATERMARK_NAMES = (
+        "last_modified",
+        "last_updated",
+        "updated_at",
+        "modified_at",
+        "updated_ts",
+        "modified_ts",
+    )
+    _TEMPORAL_JDBC_TYPES = {91, 93, 2014}  # DATE, TIMESTAMP, TS_WITH_TZ
+
+    def discover_watermark(self, spark: SparkSession, table: str) -> str | None:
+        """A date/timestamp column with a conventional change-tracking
+        name (DatabaseMetaData.getColumns). Name AND type must match —
+        a varchar `updated_at` is not a watermark."""
+        conn = self._jvm_connection(spark)
+        try:
+            meta = conn.getMetaData()
+            for cand in self._table_case_candidates(table):
+                rs = meta.getColumns(None, None, cand, None)
+                temporal: dict[str, str] = {}
+                while rs.next():
+                    name = rs.getString("COLUMN_NAME")
+                    if int(rs.getInt("DATA_TYPE")) in self._TEMPORAL_JDBC_TYPES:
+                        temporal[name.lower()] = name
+                rs.close()
+                if temporal:
+                    for wm in self.WATERMARK_NAMES:
+                        if wm in temporal:
+                            return temporal[wm]
+                    return None
+            return None
+        finally:
+            conn.close()
+
 
 def make_source(conf: dict) -> Source:
     kind = (conf.get("type") or "parquet").lower()
@@ -333,6 +424,7 @@ class SyncEngine:
         self.warehouse_path = warehouse_path
         self.specs = specs or {}
         self.num_buckets = num_buckets
+        self._discovered: set[str] = set()  # tables metadata-probed once
 
     @classmethod
     def from_config(cls, spark: SparkSession, config: Config, **kw) -> "SyncEngine":
@@ -414,7 +506,33 @@ class SyncEngine:
 
     # -- spec resolution ----------------------------------------------
     def spec(self, table: str) -> TableSpec:
-        return self.specs.get(table) or TableSpec(name=table)
+        """Resolve the table's sync spec, filling missing PK/watermark
+        from source metadata once (reference parity: `psql \\d` scrape
+        means zero per-table config — pgwarehouse.py:248-252). Explicit
+        YAML always wins; discovery only fills blanks. Failures (no
+        metadata API, table missing) degrade silently to the reference's
+        reload-only fallback."""
+        spec = self.specs.get(table)
+        if spec is None:
+            spec = TableSpec(name=table)
+            self.specs[table] = spec
+        if table not in self._discovered:
+            self._discovered.add(table)
+            if not spec.primary_key:
+                try:
+                    spec.primary_key = self.source.discover_primary_key(
+                        self.spark, table
+                    )
+                except Exception:
+                    pass
+            if spec.primary_key and not spec.last_modified:
+                try:
+                    spec.last_modified = self.source.discover_watermark(
+                        self.spark, table
+                    )
+                except Exception:
+                    pass
+        return spec
 
     # -- extract (A1-A3) ----------------------------------------------
     def extract(self, table: str, where: str | None = None) -> DataFrame:

@@ -208,3 +208,87 @@ def test_jdbc_publish_incremental_watermark(spark, sf_dir, tmp_path):
     n_new = grown.count() - base.count()
     assert publish_incremental(spark, grown, wh, "orders", "O_ORDERKEY") == n_new
     assert wh.count(spark, "orders") == grown.count()
+
+
+@pytest.fixture(scope="module")
+def derby_pk(spark, tmp_path_factory):
+    """A Derby database with real declared constraints: EVENTS_PK has a
+    single-column PK + a LAST_MODIFIED timestamp; PAIRS_PK a composite
+    PK; NOKEY nothing."""
+    db = str(tmp_path_factory.mktemp("jdbcpk") / "derbydb")
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY)
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE events_pk (id INT PRIMARY KEY, v INT,"
+        " last_modified TIMESTAMP)"
+    )
+    st.executeUpdate(
+        "CREATE TABLE pairs_pk (a INT NOT NULL, b INT NOT NULL, v INT,"
+        " PRIMARY KEY (a, b))"
+    )
+    st.executeUpdate("CREATE TABLE nokey (x INT, updated_at VARCHAR(10))")
+    for i in range(1, 51):
+        st.executeUpdate(
+            f"INSERT INTO events_pk VALUES ({i}, {i * 10},"
+            f" TIMESTAMP('2024-01-01 00:00:00'))"
+        )
+    st.close()
+    conn.close()
+    return db
+
+
+def test_discover_primary_key_and_watermark(spark, derby_pk):
+    src = JdbcSource(f"jdbc:derby:{derby_pk}", driver=DERBY)
+    assert src.discover_primary_key(spark, "events_pk") == ["ID"]
+    # composite PK comes back in KEY_SEQ order
+    assert src.discover_primary_key(spark, "pairs_pk") == ["A", "B"]
+    assert src.discover_primary_key(spark, "nokey") == []
+    assert src.discover_watermark(spark, "events_pk") == "LAST_MODIFIED"
+    # varchar updated_at must NOT be picked up (name matches, type doesn't)
+    assert src.discover_watermark(spark, "nokey") is None
+
+
+def test_sync_without_configured_pk_uses_append(spark, derby_pk, tmp_path):
+    """Reference parity: its configs never declare a primary_key —
+    `psql \\d` discovery makes `sync <table>` zero-config
+    (pgwarehouse.py:248-252,330-333). The JDBC rebuild must likewise
+    discover the PK and pick the incremental append strategy instead of
+    silently degrading to reload-only."""
+    from pgwarehouse_spark.sync.engine import SyncEngine
+
+    src = JdbcSource(f"jdbc:derby:{derby_pk}", driver=DERBY)
+    # spec for events_pk intentionally ABSENT from the config
+    eng = SyncEngine(spark, src, str(tmp_path / "wh"), specs={}, num_buckets=4)
+
+    spec = eng.spec("events_pk")
+    assert spec.primary_key == ["ID"]
+    assert spec.last_modified == "LAST_MODIFIED"
+    assert spec.strategy == "upsert"
+
+    # strategy exercised end-to-end on the discovered single-col PK:
+    # force append semantics by clearing the discovered watermark (the
+    # upsert SQL path needs typed timestamp literals Derby won't coerce)
+    spec.last_modified = None
+    assert spec.strategy == "append"
+
+    assert eng.sync("events_pk").action == "created"
+    assert eng.count_table("events_pk") == 50
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{derby_pk}")
+    st = conn.createStatement()
+    for i in range(51, 61):
+        st.executeUpdate(
+            f"INSERT INTO events_pk VALUES ({i}, {i * 10},"
+            f" TIMESTAMP('2024-01-02 00:00:00'))"
+        )
+    st.close()
+    conn.close()
+
+    res = eng.sync("events_pk")
+    assert res.action == "appended" and res.rows == 10
+    assert eng.count_table("events_pk") == 60
+    # and a third sync with no new rows short-circuits (A13)
+    assert eng.sync("events_pk").action == "noop"
