@@ -36,6 +36,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jdbc-url", dest="jdbc_url", default=None,
                    help="target DBMS url for publish")
     p.add_argument("--jdbc-driver", dest="jdbc_driver", default=None)
+    p.add_argument("--jdbc-dialect", dest="jdbc_dialect", default=None,
+                   help="publish DDL dialect: generic|snowflake|clickhouse|duckdb")
     return p
 
 
@@ -222,7 +224,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if not args.jdbc_url:
             print("publish requires --jdbc-url", file=sys.stderr)
             return 1
-        wh = JdbcWarehouse(args.jdbc_url, driver=args.jdbc_driver)
+        wh = JdbcWarehouse(
+            args.jdbc_url, driver=args.jdbc_driver, dialect=args.jdbc_dialect
+        )
         for t in tables:
             spec = eng.spec(t)
             if not spec.primary_key:

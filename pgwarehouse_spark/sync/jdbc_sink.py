@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .dialects import SinkDialect, dialect_for
 from .merge import merge_upsert
 
 
@@ -35,6 +36,7 @@ class JdbcWarehouse:
         password: str | None = None,
         batchsize: int = 10_000,
         num_partitions: int | None = None,
+        dialect: str | SinkDialect | None = None,
     ):
         self.url = url
         self.driver = driver
@@ -42,6 +44,10 @@ class JdbcWarehouse:
         self.password = password
         self.batchsize = batchsize
         self.num_partitions = num_partitions
+        # Optional warehouse DDL dialect (reference per-backend quirks:
+        # snowflake_backend.py:111-115 quoting, clickhouse_backend.py:
+        # 145-153 Nullable + engine clause). None → Spark-managed DDL.
+        self.dialect = dialect_for(dialect)
 
     def _opts(self, table: str) -> dict[str, str]:
         opts = {"url": self.url, "dbtable": table, "batchsize": str(self.batchsize)}
@@ -61,11 +67,61 @@ class JdbcWarehouse:
             w = w.option(k, v)
         return w
 
+    # -- DDL (A7, dialect-aware) ---------------------------------------
+    def _execute_ddl(self, spark: SparkSession, sql: str) -> None:
+        """One driver-side DDL statement over a raw JDBC connection —
+        the data path stays the parallel Spark writer; only CREATE/DROP
+        goes through here (mirrors the reference's cursor.execute DDL,
+        clickhouse_backend.py:148-157)."""
+        jvm = spark._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        props = jvm.java.util.Properties()
+        if self.user:
+            props.setProperty("user", self.user)
+        if self.password:
+            props.setProperty("password", self.password)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def create_table(
+        self, spark: SparkSession, table: str, schema, pk: list[str] | None = None
+    ) -> str:
+        """Emit + run the dialect's CREATE TABLE (reserved-word quoting,
+        type overrides, nullability wrap, engine clause). Returns the
+        DDL so callers/tests can assert exactly what was issued."""
+        if self.dialect is None:
+            raise ValueError("create_table requires a sink dialect")
+        sql = self.dialect.create_table_sql(table, schema, pk)
+        self._execute_ddl(spark, sql)
+        return sql
+
     # -- A7/A8/A10: create-or-replace bulk load ------------------------
-    def write_full(self, df: DataFrame, table: str) -> None:
+    def write_full(self, df: DataFrame, table: str, pk: list[str] | None = None) -> None:
         """Drop-and-recreate bulk load (the reference's reload path A10:
-        drop at clickhouse_backend.py:140-141 then per-chunk insert)."""
-        self._writer(df, table).mode("overwrite").save()
+        drop at clickhouse_backend.py:140-141 then per-chunk insert).
+        With a dialect set, the table is created by dialect DDL and the
+        rows appended (Spark's own overwrite would re-issue generic DDL
+        and lose the engine/nullability/quoting semantics); without one,
+        Spark manages the DDL."""
+        if self.dialect is not None:
+            spark = df.sparkSession
+            if self.exists(spark, table):
+                try:
+                    self._execute_ddl(spark, self.dialect.drop_table_sql(table))
+                except Exception:
+                    pass  # e.g. no DROP ... IF EXISTS; append will fail loudly
+            self.create_table(spark, table, df.schema, pk)
+            self.append(df, table)
+        else:
+            self._writer(df, table).mode("overwrite").save()
 
     # -- A14: incremental append ---------------------------------------
     def append(self, df: DataFrame, table: str) -> None:
@@ -86,11 +142,11 @@ class JdbcWarehouse:
         plain parquet, sync/merge.py)."""
         spark = df.sparkSession
         if not self.exists(spark, table):
-            self.write_full(df, table)
+            self.write_full(df, table, keys)
             return
         target = self.read(spark, table)
         merged = merge_upsert(target, df, keys, order_col).localCheckpoint(eager=True)
-        self.write_full(merged, table)
+        self.write_full(merged, table, keys)
 
     # -- probes (A18/A21/A23) ------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame:
