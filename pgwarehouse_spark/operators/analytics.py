@@ -1280,31 +1280,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile assignment is total-ordered and engine-reproducible.
 
     Scale: the base aggregate collapses orders to one row per customer
-    map-side. The three NTILEs are global windows — fine at warehouse
-    customer cardinality (they run over the collapsed frame, not the
-    fact table); if customers themselves are billions, swap NTILE for
-    percentile-threshold buckets (broadcast 4 cut points each) and the
-    plan loses the single-partition window entirely."""
+    map-side. Each quintile is computed WITHOUT a global-window NTILE
+    (which would serialize the customer frame through one partition):
+    a distributed ROW_NUMBER (range partition → local rank → broadcast
+    per-partition offsets, `global_rank_cumsum`) plus the exact NTILE
+    arithmetic from (rank, n) — `ntile_from_rank`. No Exchange in the
+    plan is SinglePartition (pinned in tests/test_plans.py), so the
+    scoring survives billion-customer cardinality unchanged."""
+    from ._helpers import global_rank_cumsum, ntile_from_rank
+
     o = t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "o_custkey")),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")),
-        )
+    scored, n, _ = global_rank_cumsum(
+        rfm, [F.col("last_order").desc(), F.col("o_custkey")]
     )
+    scored = scored.withColumn(
+        "r_score", ntile_from_rank(F.col("_grk"), n)
+    ).drop("_grk")
+    for name, order in [
+        ("f_score", [F.col("frequency").desc(), F.col("o_custkey")]),
+        ("m_score", [F.col("monetary").desc(), F.col("o_custkey")]),
+    ]:
+        scored, _, _ = global_rank_cumsum(scored, order)
+        scored = scored.withColumn(
+            name, ntile_from_rank(F.col("_grk"), n)
+        ).drop("_grk")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -1349,26 +1353,30 @@ def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a double running sum would drift with accumulation order).
 
     Scale: the fact table collapses to one row per supplier before any
-    window. The global ordered cumsum serializes through one partition —
-    acceptable at supplier cardinality; for billion-row entity sets,
-    two-pass it: range-partition by revenue, per-partition cumsum, then
-    broadcast per-partition offsets (the classic distributed prefix
-    sum)."""
+    window, then rank and running sum come from the two-pass distributed
+    prefix sum (`global_rank_cumsum`: range partition → per-partition
+    cumsum → broadcast offsets) — no single-partition Exchange in the
+    plan (pinned in tests/test_plans.py), so the concentration curve
+    computes identically over a billion-entity frame. The grand total is
+    the exact decimal sum of the per-partition totals (driver-side,
+    O(partitions)); decimal addition is associative so it is
+    bit-identical to the engines' own SUM."""
+    from ._helpers import global_rank_cumsum
+
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    w_ord = W.orderBy(F.col("revenue").desc(), "l_suppkey")
-    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_all = W.orderBy(F.lit(1)).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    ranked, _, tot = global_rank_cumsum(
+        rev,
+        [F.col("revenue").desc(), F.col("l_suppkey")],
+        value_col=F.col("revenue").cast("decimal(18,6)"),
+        rank_name="rk",
+        cum_name="_cum",
     )
-    cum = F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_cum)
-    tot = F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_all)
-    share = cum.cast("double") / tot.cast("double")
+    share = F.col("_cum").cast("double") / F.lit(float(tot))
     return (
-        rev.withColumn("rk", F.row_number().over(w_ord))
-        .withColumn("cum_share", share)
+        ranked.withColumn("cum_share", share)
         .withColumn("in_top80", F.when(share <= 0.8, 1).otherwise(0))
         .select("rk", "l_suppkey", "revenue", "cum_share", "in_top80")
         .orderBy("rk")
