@@ -457,7 +457,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
         .select("doc_id", "word", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")

@@ -128,16 +128,32 @@ _SQL_EXACT_JACCARD = f"""
 """
 
 
-@register("dedup_ngram_jaccard", category="dedup", oracle=_SQL_EXACT_JACCARD)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    explode distinct shingles, self-join on shingle (only docs sharing a
-    shingle ever meet), count shared, compute |∩|/|∪|. The exact
-    baseline the sketch methods approximate; at 100 TB you run
-    dedup_minhash_lsh instead (same output, bounded candidates)."""
-    sh = _shingled(spark, sf_dir)
+def ngram_jaccard_pairs(
+    sh: DataFrame, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """Inverted-index exact Jaccard over a (doc_id, shingles) frame.
+
+    ``max_shingle_freq`` is the hot-shingle guard (same production cap
+    as its LSH sibling's ``max_bucket``, lsh_candidate_pairs): the
+    self-join is quadratic WITHIN a shingle's posting list, so one
+    boilerplate shingle shared by c documents alone emits c·(c-1)/2
+    pairs. Shingles whose document frequency exceeds the cap are
+    dropped from the index, the pair counts, AND the per-doc sizes —
+    i.e. the result is exact Jaccard over the stopword-filtered shingle
+    sets (deterministic, order-independent semantics, analogous to IDF
+    pruning). None keeps exact parity with the SQL oracle."""
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    if max_shingle_freq is not None:
+        w_s = W.partitionBy("s")
+        exploded = (
+            exploded.withColumn("df_s", F.count(F.lit(1)).over(w_s))
+            .filter(F.col("df_s") <= max_shingle_freq)
+            .drop("df_s")
+            .cache()
+        )
+        sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -157,6 +173,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("id1", "id2")
     )
+
+
+@register("dedup_ngram_jaccard", category="dedup", oracle=_SQL_EXACT_JACCARD)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode distinct shingles, self-join on shingle (only docs sharing a
+    shingle ever meet), count shared, compute |∩|/|∪|. The exact
+    baseline the sketch methods approximate; at 100 TB you run
+    dedup_minhash_lsh instead (same output, bounded candidates) or pass
+    ``max_shingle_freq`` to `ngram_jaccard_pairs` to cap hot posting
+    lists."""
+    return ngram_jaccard_pairs(_shingled(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +309,7 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id1",
             "id2",
-            inter.alias("n_shared"),
+            inter.cast("bigint").alias("n_shared"),  # COUNT in SQL is bigint
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

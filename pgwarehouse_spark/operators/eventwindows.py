@@ -110,7 +110,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS session_seq
       FROM ordered
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,

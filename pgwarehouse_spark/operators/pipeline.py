@@ -235,7 +235,10 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
     )
     return (
-        d.select("lang", "source", "doc_id", F.row_number().over(w).alias("rk"))
+        d.select(
+            "lang", "source", "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
         .filter(F.col("rk") <= 3)
         .select("lang", "source", "rk", "doc_id")
         .orderBy("lang", "source", "rk")
@@ -454,7 +457,7 @@ def shuffle_order_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("shard").orderBy("hfull", "doc_id")
     return (
         d.select("doc_id", hfull.alias("hfull"), shard.alias("shard"))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select("shard", "rk", "doc_id")
         .orderBy("shard", "rk")
     )

@@ -66,7 +66,7 @@ def brute_force_topk(
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
 
@@ -304,7 +304,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             "label",
-            F.size(emb).alias("dim"),
+            F.size(emb).cast("bigint").alias("dim"),  # len() in SQL is bigint
             F.sqrt(_dot(emb, emb)).alias("l2_norm"),
             F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))).alias(
                 "max_abs"
@@ -407,7 +407,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("mn").alias("offset"),
             scale.alias("scale"),
-            F.size("v").alias("dim"),
+            F.size("v").alias("dim"),  # oracle emits INT32 here
             qexpr.alias("q"),
             recon.alias("max_recon_err"),
         )

@@ -42,9 +42,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w_rn).alias("rn"),
-            F.rank().over(w_rank).alias("rnk"),
-            F.dense_rank().over(w_rank).alias("drnk"),
+            F.row_number().over(w_rn).cast("bigint").alias("rn"),
+            F.rank().over(w_rank).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_rank).cast("bigint").alias("drnk"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -148,7 +148,7 @@ def window_ntile_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_orderkey",
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 8).alias("cdist"),
         )
@@ -179,7 +179,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 5)
         .orderBy("c_mktsegment", "rn")
     )

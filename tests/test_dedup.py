@@ -73,3 +73,36 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert (100, 101) in up and (100, 101) in cp  # ordinary pair survives
     assert sum(1 for a, b in up if a < 40 and b < 40) == 40 * 39 // 2
     assert not any(a < 40 and b < 40 for a, b in cp)  # hot bucket dropped
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """VERDICT r01 item 6: the inverted-index self-join is quadratic in
+    a shingle's posting list. A pathological boilerplate corpus (60 docs
+    sharing 9 shingles) must emit all 60·59/2 pairs uncapped, and ZERO
+    once the hot shingles are dropped by max_shingle_freq — bounding the
+    join work to rare-shingle posting lists."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = [f"common shingle {j}" for j in range(9)]
+    rows = [(i, common + [f"unique shingle {i}"]) for i in range(60)]
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, shingles ARRAY<STRING>")
+
+    uncapped = ngram_jaccard_pairs(sh)
+    # pairwise jaccard = 9/11 ≈ 0.818 ≥ 0.8 → every pair survives
+    assert uncapped.count() == 60 * 59 // 2
+    assert uncapped.select(F.min("n_shared")).collect()[0][0] == 9
+
+    capped = ngram_jaccard_pairs(sh, max_shingle_freq=10)
+    assert capped.count() == 0
+
+    # the cap must not touch docs below it: genuinely-similar small
+    # groups still pair up (df of their shingles = 2 ≤ 10)
+    shared = [f"pair gram {j}" for j in range(9)]  # 9/11 ≥ threshold
+    small = spark.createDataFrame(
+        [(100, shared + ["only in 100"]), (101, shared + ["only in 101"])],
+        "doc_id BIGINT, shingles ARRAY<STRING>",
+    )
+    got = ngram_jaccard_pairs(small, max_shingle_freq=10).collect()
+    assert len(got) == 1 and got[0]["n_shared"] == 9
