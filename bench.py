@@ -68,6 +68,94 @@ HEADLINE = [
 ]
 
 
+# The 10 heaviest headline queries (by BENCH_r01 wall time) re-run at a
+# derived sf1 so the driver's bench record carries a scaling SLOPE, not a
+# single point (VERDICT r01 item 9).
+HEAVY10 = [
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "q21_waiting_suppliers",
+    "join_star_broadcast",
+    "q18_large_volume_customer",
+    "text_tfidf_top_terms",
+    "sim_topk_bruteforce",
+    "topk_per_group",
+    "q1_pricing_summary",
+]
+
+# key families shifted per replica so FK joins stay valid across copies
+_SF1_SHIFTS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_KEY_FAMILY = {
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "o_custkey": "custkey", "c_custkey": "custkey",
+    "l_partkey": "partkey", "p_partkey": "partkey",
+    "l_suppkey": "suppkey", "s_suppkey": "suppkey",
+    "event_id": "eventid", "user_id": "userid",
+    "doc_id": "docid", "vec_id": "vecid",
+}
+
+
+def _ensure_sf1(spark, base_dir: str, copies: int = 10) -> str | None:
+    """Derive an sf≈1 dataset from sf0.1 by key-shifted replication:
+    each table unioned `copies` times (one crossJoin with range(copies),
+    no driver loop), every key family shifted by i*span so joins resolve
+    within a copy and never across copies. Documents/embeddings become
+    exact duplicates across copies — deliberately: the dedup queries
+    then face the boilerplate-heavy corpus they exist for. Cached in
+    /tmp across runs; regeneration is one parallel write per table."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.sources.tables import load_table
+
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1_v1")
+    marker = os.path.join(out, "_ALL_TABLES_OK")
+    if os.path.exists(marker):
+        return out
+    try:
+        os.makedirs(out, exist_ok=True)
+        spans: dict[str, int] = {}
+        for tbl, cols in _SF1_SHIFTS.items():
+            df = load_table(spark, base_dir, tbl)
+            for c in cols:
+                fam = _KEY_FAMILY[c]
+                if fam not in spans:
+                    spans[fam] = int(
+                        df.agg(F.max(F.col(c).cast("bigint"))).collect()[0][0] or 0
+                    ) + 1
+        for tbl in ("region", "nation"):  # dims stay fixed
+            load_table(spark, base_dir, tbl).write.mode("overwrite").parquet(
+                os.path.join(out, f"{tbl}.parquet")
+            )
+        for tbl, cols in _SF1_SHIFTS.items():
+            df = load_table(spark, base_dir, tbl)
+            rep = df.crossJoin(spark.range(copies).toDF("_copy"))
+            for c in cols:
+                rep = rep.withColumn(
+                    c,
+                    F.col(c).cast("bigint")
+                    + F.col("_copy") * F.lit(spans[_KEY_FAMILY[c]]),
+                )
+            rep.drop("_copy").write.mode("overwrite").parquet(
+                os.path.join(out, f"{tbl}.parquet")
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+        return out
+    except Exception as exc:  # sf1 is additive; never break the main bench
+        print(f"# sf1 derivation failed: {exc}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -110,17 +198,42 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # scaling-slope section: heaviest queries at a derived sf1
+    # (opt out with SPARK_GRAFT_SF1=0; auto-skipped at tiny base scales
+    # where a 10x replica proves nothing)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf >= 0.1:
+        sf1_dir = _ensure_sf1(spark, sf_dir)
+        if sf1_dir:
+            sf1_timings: dict[str, float] = {}
+            for name in [n for n in HEAVY10 if n in specs]:
+                fn = specs[name].fn
+                start = time.perf_counter()
+                n = fn(spark, sf1_dir).count()
+                sf1_timings[name] = round(time.perf_counter() - start, 4)
+                print(
+                    f"# sf1 {name}: {sf1_timings[name]:.3f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+            payload["sf1"] = {
+                "sf": sf * 10,
+                "queries": sf1_timings,
+                "total": round(sum(sf1_timings.values()), 4),
+                "slope_vs_base": {
+                    n: round(sf1_timings[n] / timings[n], 2)
+                    for n in sf1_timings
+                    if timings.get(n)
+                },
             }
-        )
-    )
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,53 @@ import sys
 from .catalog import CONFIG_TEMPLATE, Config, TableSpec
 
 
+def load_dotenv(path: str = ".env") -> dict[str, str]:
+    """Minimal `.env` loader (reference parity: __main__.py:7 calls
+    python-dotenv's load_dotenv at startup). Lines are KEY=VALUE with
+    optional `export` prefix, # comments and blanks skipped, single or
+    double quotes stripped. Existing environment wins (python-dotenv's
+    default: real env overrides the file). Returns what was applied."""
+    applied: dict[str, str] = {}
+    if not os.path.exists(path):
+        return applied
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            if line.startswith("export "):
+                line = line[len("export "):]
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+                val = val[1:-1]
+            if key and key not in os.environ:
+                os.environ[key] = val
+                applied[key] = val
+    return applied
+
+
+# init backends the interactive prompt offers (reference
+# pgwarehouse.py:130-160 prompts for the warehouse backend on init)
+_INIT_BACKENDS = ["parquet", "csv", "jdbc"]
+
+
+def _interactive_init_template() -> str:
+    """Prompt for the source backend when stdin is a TTY (reference
+    interactive init); fall back to the stock template otherwise."""
+    if not sys.stdin.isatty():
+        return CONFIG_TEMPLATE
+    print("Choose a source backend:")
+    for i, b in enumerate(_INIT_BACKENDS, 1):
+        print(f"  {i}. {b}")
+    choice = input(f"backend [1-{len(_INIT_BACKENDS)}] (default 1): ").strip()
+    try:
+        backend = _INIT_BACKENDS[int(choice) - 1]
+    except (ValueError, IndexError):
+        backend = _INIT_BACKENDS[0]
+    return CONFIG_TEMPLATE.replace("type: parquet", f"type: {backend}", 1)
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pgwarehouse_spark",
@@ -56,6 +103,7 @@ def _engine(args, spark=None):
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
+    load_dotenv()  # reference loads .env before anything (__main__.py:7)
     args = _build_parser().parse_args(argv)
 
     if args.command == "init":
@@ -63,7 +111,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"{args.config} already exists", file=sys.stderr)
             return 1
         with open(args.config, "w") as f:
-            f.write(CONFIG_TEMPLATE)
+            f.write(_interactive_init_template())
         print(f"wrote {args.config}")
         return 0
 

@@ -4,6 +4,7 @@ test_list/test_extract/test_extract_load scenarios)."""
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
 
@@ -146,3 +147,52 @@ def test_compact_command_and_publish_requires_pk(spark, config_file, tmp_path, c
     )
     err = capsys.readouterr().err
     assert "skipped" in err
+
+
+def test_dotenv_loading(tmp_path, monkeypatch):
+    """VERDICT r01 item 8: CLI loads .env at startup (reference
+    __main__.py:7); real environment wins over the file."""
+    import os
+
+    from pgwarehouse_spark.cli import load_dotenv
+
+    env = tmp_path / ".env"
+    env.write_text(
+        "# comment\n"
+        "PGW_TEST_A=plain\n"
+        'export PGW_TEST_B="quoted value"\n'
+        "PGW_TEST_C='single'\n"
+        "PGW_TEST_EXISTING=from_file\n"
+        "not a kv line\n"
+    )
+    monkeypatch.setenv("PGW_TEST_EXISTING", "from_env")
+    for k in ("PGW_TEST_A", "PGW_TEST_B", "PGW_TEST_C"):
+        monkeypatch.delenv(k, raising=False)
+    applied = load_dotenv(str(env))
+    assert applied == {
+        "PGW_TEST_A": "plain",
+        "PGW_TEST_B": "quoted value",
+        "PGW_TEST_C": "single",
+    }
+    assert os.environ["PGW_TEST_EXISTING"] == "from_env"
+    for k in applied:
+        monkeypatch.delenv(k)
+
+
+def test_interactive_init_backend_choice(tmp_path, monkeypatch, capsys):
+    """Interactive init parity (reference pgwarehouse.py:130-160): a TTY
+    user picks the source backend; non-TTY keeps the stock template."""
+    import io
+
+    from pgwarehouse_spark import cli
+
+    cfg = tmp_path / "pgw.yaml"
+    monkeypatch.setattr(sys.stdin, "isatty", lambda: True, raising=False)
+    monkeypatch.setattr("builtins.input", lambda prompt="": "3")
+    assert cli.main(["init", "--config", str(cfg)]) == 0
+    assert "type: jdbc" in cfg.read_text()
+
+    cfg2 = tmp_path / "pgw2.yaml"
+    monkeypatch.setattr(sys.stdin, "isatty", lambda: False, raising=False)
+    assert cli.main(["init", "--config", str(cfg2)]) == 0
+    assert "type: parquet" in cfg2.read_text()

@@ -154,3 +154,29 @@ def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
     # length metadata predicate prunes without touching content
     small = src.read(spark, "media", where="length <= 12")
     assert small.count() == sum(1 for d in payloads.values() if len(d) <= 12)
+
+
+def test_decode_payload_feature_gate():
+    """decode_payload: real PIL decode when available AND parseable,
+    deterministic stub fallback otherwise (VERDICT r01 item 7)."""
+    from pgwarehouse_spark.operators.multimodal import (
+        _decode_stub,
+        decode_payload,
+    )
+
+    # undecodable bytes fall back to the stub on any install
+    blob = b"definitely not an image payload"
+    assert decode_payload(blob, "image") == _decode_stub(blob, "image")
+    # audio/video have no codec in this container → stub always
+    assert decode_payload(blob, "audio") == _decode_stub(blob, "audio")
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return  # real-codec branch exercised only where PIL exists
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 23)).save(buf, format="PNG")
+    meta = decode_payload(buf.getvalue(), "image")
+    assert (meta["width"], meta["height"]) == (17, 23)
