@@ -365,68 +365,133 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the verified
-    near-dup pairs via iterative min-label propagation — every document
-    gets the min doc_id of its component (singletons keep their own id).
-    Each iteration is one join + one groupBy (label frames are (long,
-    long) pairs — tiny relative to the corpus); convergence needs
-    O(log(max cluster diameter)) iterations because min-labels hop
-    doubling distances. The driver-side loop checks a single scalar
-    aggregate per iteration (sum of labels, strictly decreasing until
-    fixpoint) — the iterative pattern Spark SQL alone can't express
-    (DuckDB needs WITH RECURSIVE; the oracle uses exactly that).
+    near-dup pairs via alternating large-star/small-star contraction
+    (`connected_components`) — every document gets the min doc_id of its
+    component (singletons keep their own id). Each round is two
+    join+groupBy passes over pair-sized (long, long) frames; the
+    driver-side loop checks one edge-set signature per round — the
+    iterative pattern Spark SQL alone can't express (DuckDB needs WITH
+    RECURSIVE; the oracle uses exactly that).
 
-    At 100 TB: labels/edges are per-doc/per-pair longs, caches are cut
-    with localCheckpoint-style staging per iteration, and the loop count
-    stays ≤ ~6 for any real dup-cluster diameter."""
+    At 100 TB: round count is O(log²) in component size even for
+    chain-shaped or skewed components (vs O(diameter) for plain one-hop
+    min propagation), edges are per-pair longs, and per-round caches
+    are released as soon as the next round materializes."""
     return cluster_labels(spark, sf_dir).orderBy("doc_id")
 
 
-def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) via min-label propagation — see dedup_clusters."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = verified_near_dup_pairs(spark, sf_dir).select("id1", "id2")
+# rounds used by the most recent connected_components call (test/obs hook)
+LAST_CC_ROUNDS: int = 0
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014): each round rewires every node toward its neighborhood min,
+    which contracts components to min-rooted stars in O(log²) rounds —
+    versus O(diameter) for one-hop min-label propagation, the
+    difference between 6 rounds and hundreds on chain-shaped or skewed
+    components.
+
+    large-star: for each node u, every LARGER neighbor v re-attaches to
+    m = min(Γ(u) ∪ {u}). small-star: on (big→small)-oriented edges,
+    the big endpoint and all its smaller neighbors attach to the min.
+    Both preserve connectivity; a component is converged when it is a
+    star whose center is its min node — then both operations are
+    no-ops and the edge-set signature (count + order-independent xor of
+    edge hashes) stops changing.
+
+    Each round materializes via localCheckpoint, not cache: a round
+    references its input twice (the symmetric union), so an uncut
+    lineage doubles per round and the logical plan grows exponentially —
+    checkpointing truncates it to the materialized frame. On a cluster
+    this is the same pattern with reliable checkpoint/staging writes.
+
+    Input: (id1, id2) pairs. Output: (doc_id, cluster_id = component
+    min) for every node incident to an edge. Every step is a
+    DataFrame join/groupBy — shuffles scale with edge count, and the
+    per-round frames are cached then released."""
+    global LAST_CC_ROUNDS
+    # canonical big→small orientation, self-loops dropped
     edges = (
-        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
-        .unionAll(pairs.select(F.col("id2").alias("u"), F.col("id1").alias("v")))
-        .cache()
-    )
-    # Only nodes incident to an edge can ever change label — iterate over
-    # that (pair-sized, ≪ corpus-sized) set and union the untouched
-    # singletons back in afterwards. At 100 TB the loop then scales with
-    # the near-dup rate (typically a few % of docs), not the corpus.
-    labels = (
-        edges.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .cache()
-    )
-    def propagate(lab):
-        neighbor_min = (
-            edges.join(lab, edges.v == lab.doc_id)
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nmin"))
+        pairs.select(
+            F.greatest("id1", "id2").alias("a"), F.least("id1", "id2").alias("b")
         )
-        return lab.join(neighbor_min, lab.doc_id == F.col("u"), "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-            ).alias("cluster_id"),
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))  # larger neighbors re-attach
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
 
-    prev_sum = None  # first iteration always runs; saves one collect job
-    for _ in range(20):  # safety cap ≫ log2(any real cluster diameter)
-        # One hop per materialization: the label frame is referenced
-        # twice inside a hop (neighbor lookup + merge), so it must be
-        # cached between hops — chaining uncached hops re-executes the
-        # previous hop once per reference (exponential blowup).
-        new_labels = propagate(labels).cache()
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+    def small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("a").agg(F.min("b").alias("m"))
+        moved = (
+            e.join(mins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+        )
+        center = mins.select(F.col("a").alias("x"), F.col("m").alias("y"))
+        return (
+            moved.unionAll(center)
+            .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = signature(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        sig = signature(new_edges)
+        rounds += 1
+        edges = new_edges
+        if sig == prev_sig:
             break
-        prev_sum = new_sum
-    edges.unpersist()
+        prev_sig = sig
+    LAST_CC_ROUNDS = rounds
+
+    # converged star forest: each edge points a member at its component
+    # min; centers label themselves
+    members = edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    centers = edges.select(F.col("b").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return members.unionAll(centers).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) via large-star/small-star connected
+    components over the verified near-dup pairs — see dedup_clusters.
+    Only edge-incident nodes enter the loop (pair-sized frames, ≪
+    corpus); untouched singletons rejoin labeled as themselves, so at
+    100 TB the iteration cost tracks the near-dup rate, not the corpus
+    size."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = verified_near_dup_pairs(spark, sf_dir).select("id1", "id2")
+    labels = connected_components(pairs)
     return (
         docs.join(labels, "doc_id", "left")
         .select(

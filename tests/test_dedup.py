@@ -106,3 +106,42 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
     )
     got = ngram_jaccard_pairs(small, max_shingle_freq=10).collect()
     assert len(got) == 1 and got[0]["n_shared"] == 9
+
+
+def test_connected_components_star_contraction(spark):
+    """VERDICT r01 item 10: large-star/small-star must label adversarial
+    graphs correctly in O(log) rounds where one-hop min propagation
+    needs O(diameter). A 64-node path (diameter 63) and a skewed
+    bridged-stars graph both converge in <= 10 rounds."""
+    import pgwarehouse_spark.operators.dedup as dd
+
+    # path 0-1-2-...-63
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 BIGINT, id2 BIGINT"
+    )
+    labels = {r.doc_id: r.cluster_id for r in dd.connected_components(path).collect()}
+    assert labels == {i: 0 for i in range(64)}
+    assert dd.LAST_CC_ROUNDS <= 10, dd.LAST_CC_ROUNDS
+
+    # skewed: two hub-and-spoke stars (hubs 0 and 1000) joined by one
+    # bridge, plus a disjoint pair and an isolated self-contained triangle
+    edges = (
+        [(0, i) for i in range(1, 200)]          # big star at 0
+        + [(1000, 1000 + i) for i in range(1, 50)]  # star at 1000
+        + [(199, 1000)]                           # bridge: one component
+        + [(5000, 5001)]                          # separate pair
+        + [(7000, 7001), (7001, 7002), (7000, 7002)]  # triangle
+    )
+    g = spark.createDataFrame(edges, "id1 BIGINT, id2 BIGINT")
+    got = {r.doc_id: r.cluster_id for r in dd.connected_components(g).collect()}
+    assert all(got[n] == 0 for n in list(range(200)) + [1000 + i for i in range(50)])
+    assert got[5000] == got[5001] == 5000
+    assert got[7000] == got[7001] == got[7002] == 7000
+    assert dd.LAST_CC_ROUNDS <= 10, dd.LAST_CC_ROUNDS
+
+    # duplicate/reversed input edges must not affect the labeling
+    g2 = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (3, 2)], "id1 BIGINT, id2 BIGINT"
+    )
+    got2 = {r.doc_id: r.cluster_id for r in dd.connected_components(g2).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1}
