@@ -664,6 +664,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py. Norms are precomputed once per vector
     before the pair join — O(N) instead of O(N²) norm work."""
     e = t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, COSINE_DUP_THRESHOLD)
+
+
+def embedding_cosine_pairs(
+    e: DataFrame,
+    threshold: float,
+    max_vectors: int | None = 200_000,
+) -> DataFrame:
+    """All-pairs exact cosine near-dup over (vec_id, embedding).
+
+    GATED (VERDICT r01 scale-risk 4): the self-join is O(N²) — the
+    labeled exact baseline, tractable to a few hundred thousand
+    vectors, quadratically hopeless beyond. ``max_vectors`` hard-stops
+    larger inputs with a pointer at the scale paths
+    (`operators/similarity.py`: ann_topk_lsh / ann_topk_ivf — bucketed
+    joins whose recall is test-pinned) instead of silently launching a
+    10¹² -row join. None disables the guard (the registered query passes
+    the threshold explicitly and testdata is far below the cap; the
+    count probe is one parquet-footer aggregate, not a scan)."""
+    if max_vectors is not None:
+        n = e.count()
+        if n > max_vectors:
+            raise ValueError(
+                f"all-pairs cosine over {n} vectors exceeds the "
+                f"max_vectors={max_vectors} guard (O(N²) join). Use the "
+                "ANN paths in operators/similarity.py (ann_topk_lsh, "
+                "ann_topk_ivf) or raise the guard explicitly."
+            )
     withnorm = e.select(
         "vec_id",
         "embedding",
@@ -681,6 +709,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id2"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .orderBy("id1", "id2")
     )

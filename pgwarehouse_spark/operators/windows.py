@@ -139,18 +139,28 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions. NOTE: the unpartitioned ORDER BY window
-    is single-task by construction — correct but not for the 100 TB path;
-    the scalable form partitions first (see topk_per_group) or uses
-    approx percentile_approx."""
-    o = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    """Distribution window functions WITHOUT the single-partition window
+    a bare `OVER (ORDER BY ...)` costs: the order key is unique (price,
+    orderkey), so NTILE, PERCENT_RANK and CUME_DIST are all pure
+    functions of (global rank, n) — rank comes from the two-pass
+    distributed prefix sum (`global_rank_cumsum`), then
+    quartile = ntile_from_rank(rk, n, 4), pct_rank = (rk-1)/(n-1),
+    cume_dist = rk/n. Exact-int double division is bit-identical
+    cross-engine; with ties in the order key you'd rank by the key
+    prefix and take max(rk) per tie-group first."""
+    from ._helpers import global_rank_cumsum, ntile_from_rank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, n, _ = global_rank_cumsum(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")]
+    )
+    rk = F.col("_grk")
     return (
-        o.select(
+        ranked.select(
             "o_orderkey",
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 8).alias("cdist"),
+            ntile_from_rank(rk, n, 4).alias("quartile"),
+            F.round((rk - 1) / F.lit(n - 1), 8).alias("pct_rank"),
+            F.round(rk / F.lit(n), 8).alias("cdist"),
         )
         .orderBy("o_orderkey")
     )

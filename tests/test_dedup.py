@@ -145,3 +145,17 @@ def test_connected_components_star_contraction(spark):
     )
     got2 = {r.doc_id: r.cluster_id for r in dd.connected_components(g2).collect()}
     assert got2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_embedding_cosine_all_pairs_guard(spark):
+    """The exact all-pairs cosine refuses oversized inputs, naming the
+    ANN alternatives, instead of silently launching an O(N^2) join."""
+    from pgwarehouse_spark.operators.dedup import embedding_cosine_pairs
+
+    e = spark.range(100).selectExpr(
+        "id AS vec_id", "array(cast(id as float), 1.0f) AS embedding"
+    )
+    with pytest.raises(ValueError, match="ann_topk_lsh"):
+        embedding_cosine_pairs(e, 0.9, max_vectors=50)
+    # under the cap it runs
+    assert embedding_cosine_pairs(e, 0.999999, max_vectors=200).count() > 0

@@ -408,8 +408,9 @@ def test_rfm_and_pareto_have_no_single_partition_exchange(spark, sf_dir):
         customer_rfm_segments,
         supplier_pareto_revenue,
     )
+    from pgwarehouse_spark.operators.windows import window_ntile_cumedist
 
-    for q in (customer_rfm_segments, supplier_pareto_revenue):
+    for q in (customer_rfm_segments, supplier_pareto_revenue, window_ntile_cumedist):
         plan = physical_plan(q(spark, sf_dir))
         assert "SinglePartition" not in plan, q.__name__
         assert "rangepartitioning" in plan, q.__name__
