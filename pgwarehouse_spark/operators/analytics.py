@@ -49,7 +49,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -94,10 +94,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -223,9 +223,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -274,8 +274,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(
@@ -313,7 +313,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 100.0
@@ -345,26 +345,35 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
-    The HAVING subquery is a fact-side pre-aggregation whose surviving
-    key set is tiny (p99 of per-order quantity ≈ 262), so it broadcasts
-    into the semi join — lineitem is scanned twice but never shuffled
-    for a join."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+
+    The HAVING pre-aggregation ALREADY IS the final total_qty (the
+    GROUP BY keys are per-order), so lineitem is scanned and aggregated
+    exactly once; the surviving (orderkey, qty) set is tiny (p99 of
+    per-order quantity ≈ 262), and every join after it keeps that tiny
+    frame on the build side — orders and customer are each scanned once
+    and NEVER broadcast whole (a forced full-orders broadcast is a
+    driver OOM at scale; AQE broadcasts the qty-filtered side, which
+    shrinks with the filter, not the fact table)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("q"))
-        .filter(F.col("q") > 250)
-        .select("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     return (
-        li.join(F.broadcast(big).withColumnRenamed("l_orderkey", "big_key"),
-                li.l_orderkey == F.col("big_key"), "left_semi")
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("total_qty"))
+        # no broadcast hints: the qty-filtered set is tiny at every SF
+        # tested, but it grows linearly with the fact table — AQE picks
+        # broadcast from its RUNTIME size instead of a forced hint
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -393,7 +402,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the join residual."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    joined = li.join(p, p.p_partkey == li.l_partkey)
     cond = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 15)
@@ -448,7 +457,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df_counts), "word").select(
+    scored = tf.join(df_counts, "word").select(
         "doc_id",
         "word",
         F.round(
@@ -521,10 +530,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(
             F.broadcast(first_region),
@@ -620,7 +629,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -653,8 +662,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("pp_key"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -775,12 +784,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    eur = ps.join(F.broadcast(eur_dims), ps.l_suppkey == F.col("s_suppkey"))
+    eur = ps.join(eur_dims, ps.l_suppkey == F.col("s_suppkey"))
     w = W.partitionBy("l_partkey")
     return (
         eur.withColumn("min_cost", F.min("supplycost").over(w))
         .filter(F.col("supplycost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "supplycost"
         )
@@ -824,8 +833,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * 0.1
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -870,7 +879,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     val = (
-        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
         .cache()
@@ -964,8 +973,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(bad_supp, ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -1018,14 +1027,14 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         shipped.withColumn(
             "total_qty", F.sum("qty").over(W.partitionBy("l_partkey"))
         )
-        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("qty") > 0.3 * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -1060,42 +1069,50 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape ("late" = shipped >90 days after order date —
     the data has no commit/receipt dates): suppliers who were the SOLE
     late supplier on a finished multi-supplier order. The correlated
-    EXISTS / NOT EXISTS pair collapses into per-order supplier-set
-    sizes via window collect_set over the order key — one shuffle of
-    the fact, no self-joins (the classic Q21 plan needs two). Orders
-    are ~7 lines, so the per-order sets are tiny and bounded."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate"
+    EXISTS / NOT EXISTS pair collapses into two stacked aggregations:
+    per (order, supplier) line/late-line counts, then per order the
+    distinct-supplier and late-supplier counts plus the sole late
+    supplier's key and late-line total. Both aggregate map-side
+    (windows can't), the second reuses the first's hash partitioning
+    (its keys are a prefix), and the EXISTS semantics never need a
+    self-join (the classic Q21 plan carries two). o_orderstatus = 'F'
+    is pushed into the orders scan — it is an order-level property, so
+    filtering before the fact join is semantics-preserving and prunes
+    the shuffle."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    w = W.partitionBy("l_orderkey")
-    lines = (
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .withColumn("is_late", late)
-        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
-        .withColumn(
-            "n_late_supp",
-            F.size(
-                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
-            ),
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, 1)).alias("n_late_lines"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("n_late_lines") > 0, 1)).alias("n_late_supp"),
+        F.max(
+            F.when(F.col("n_late_lines") > 0, F.col("l_suppkey"))
+        ).alias("late_supp"),
+        F.sum(
+            F.when(F.col("n_late_lines") > 0, F.col("n_late_lines"))
+        ).alias("late_lines"),
     )
     nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "s_name"
     )
     return (
-        lines.filter(
-            (F.col("o_orderstatus") == "F")
-            & F.col("is_late")
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1)
-        )
-        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(nat_supp, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 

