@@ -303,16 +303,33 @@ def extract_features(df: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
 @register(
     "multimodal_resize_stats",
     category="multimodal",
-    oracle=None,  # resize is a stub; plumbing checked rows-only + in tests
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 224 ELSE 0 END AS INT) AS height,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN
+                      CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 49 END
+                    ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1, 2, 3 ORDER BY modality, width
+    """,
     doc="Resize pipeline: image rows re-dimensioned to 224x224 via "
     "mapInPandas (stub compute, real schema/batch plumbing), pass-through "
-    "for other modalities; aggregates payload sizes per modality.",
+    "for other modalities; aggregates payload sizes per modality. The "
+    "stub's output is deterministic (images re-encode to 49 bytes = "
+    "224*224/1024, non-images pass through), so the oracle reproduces "
+    "the whole routing + fan-through arithmetic in SQL — a red row "
+    "means the Arrow batch plumbing dropped/duplicated/misrouted rows.",
 )
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(media_table(spark, sf_dir))
     return (
         resized.groupBy("modality", "width", "height")
-        .agg(F.count(F.lit(1)).alias("n_files"), F.sum(F.length("payload")).alias("total_bytes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        )
         .orderBy("modality", "width")
     )
 
@@ -320,9 +337,22 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     category="multimodal",
-    oracle=None,  # frame sampler is a stub; 1->N fan-out checked in tests
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             5000 + octet_length(encode(text)) % 120000 AS dur
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(LEAST(8, dur // 1000) AS BIGINT) AS n_frames,
+           CAST((LEAST(8, dur // 1000) - 1) * 1000 AS INT) AS last_ts_ms
+    FROM v ORDER BY doc_id
+    """,
     doc="Frame sampling: video rows fan out to <=8 frames at 1s spacing "
-    "(mapInPandas 1->N), then per-video frame counts.",
+    "(mapInPandas 1->N), then per-video frame counts. The stub duration "
+    "is a pure function of payload length, so the oracle recomputes the "
+    "expected fan-out per video in SQL — pinning that the 1->N batch "
+    "iterator emits exactly the sampled frames, no more, no fewer.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(media_table(spark, sf_dir))
