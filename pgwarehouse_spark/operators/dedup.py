@@ -227,6 +227,31 @@ def minhash_signatures_df(
     )
 
 
+def band_keys(
+    sig_df: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per LSH band — the posting
+    key of the banded index. Shared by the self-join (batch dedup) and
+    the delta→corpus join (incremental dedup)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", bi * rows + ri + 1)
+                        for ri in range(rows)
+                    ]
+                ).alias("band_hash"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     bands: int = LSH_BANDS,
@@ -246,29 +271,11 @@ def lsh_candidate_pairs(
     genuinely-similar pair this skips still has 11 other bands to
     collide in). None (the default, used by the registered queries)
     keeps exact parity with the oracle."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", bi * rows + ri + 1)
-                        for ri in range(rows)
-                    ]
-                ).alias("band_hash"),
-            )
-            for bi in range(bands)
-        ]
-    )
     # Materialize before the self-join: without this, both join sides
     # recompute the entire shingle→signature lineage (2× the pipeline
     # cost). Tiny frame: bands × N rows of (long, int, long). At cluster
     # scale this would be a checkpoint/staging write instead of cache.
-    banded = (
-        sig_df.select("doc_id", F.explode(band_structs).alias("b"))
-        .select("doc_id", "b.band_id", "b.band_hash")
-        .cache()
-    )
+    banded = band_keys(sig_df, bands, rows).cache()
     if max_bucket is not None:
         w = W.partitionBy("band_id", "band_hash")
         banded = (
@@ -294,7 +301,13 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle → MinHash(48) → 12×4 banded LSH → candidate pairs → exact
     Jaccard verification via array_intersect on candidates only. Returns
     (id1, id2, n_shared, jaccard) with id1 < id2, jaccard ≥ threshold."""
-    sh = _shingled(spark, sf_dir).cache()
+    return verified_pairs_from_shingled(_shingled(spark, sf_dir).cache())
+
+
+def verified_pairs_from_shingled(sh: DataFrame) -> DataFrame:
+    """The LSH→verify core over an arbitrary (doc_id, shingles) frame
+    (used by the full-corpus query and the within-batch incremental
+    pass)."""
     sigs = minhash_signatures_df(sh)
     candidates = lsh_candidate_pairs(sigs)
     s1 = sh.alias("s1")
@@ -331,6 +344,157 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs → exact Jaccard verification via array_intersect on
     candidates only."""
     return verified_near_dup_pairs(spark, sf_dir).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: delta batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+# deterministic batch split: docs with doc_id % MOD == REM are "the new
+# batch"; everything else is "the existing corpus". Scale-proportional at
+# any SF, and stable (a given doc is always in the same side).
+_DELTA_MOD = 5
+_DELTA_REM = 3
+
+_SQL_INCREMENTAL_DELTA = f"""
+    WITH {_SQL_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+             COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+        AND b.doc_id % {_DELTA_MOD} <> {_DELTA_REM}
+      GROUP BY 1, 2
+    )
+    SELECT new_doc_id, corpus_doc_id,
+           CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON pairs.new_doc_id = s1.doc_id
+    JOIN sizes s2 ON pairs.corpus_doc_id = s2.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY new_doc_id, corpus_doc_id
+"""
+
+
+def incremental_near_dup_pairs(
+    sh_corpus: DataFrame, sh_delta: DataFrame
+) -> DataFrame:
+    """Delta→corpus near-dup matches via the banded MinHash index: band
+    keys of the NEW batch join the corpus's band index, candidates are
+    exact-verified with array_intersect. Returns (new_doc_id,
+    corpus_doc_id, jaccard) at ≥ threshold.
+
+    This is the continuously-ingesting pipeline's shape: at 100 TB the
+    corpus band index is a precomputed, bucketed table maintained by
+    each batch (append bands of accepted docs); per batch only
+    O(bands·|delta|) keys shuffle — never the corpus, never all-pairs.
+    The corpus side here is built in-query because the registered query
+    must be self-contained."""
+    sig_c = minhash_signatures_df(sh_corpus)
+    sig_d = minhash_signatures_df(sh_delta)
+    bc = band_keys(sig_c).alias("bc")
+    bd = band_keys(sig_d).alias("bd")
+    candidates = (
+        bd.join(
+            bc,
+            (F.col("bd.band_id") == F.col("bc.band_id"))
+            & (F.col("bd.band_hash") == F.col("bc.band_hash")),
+        )
+        .select(
+            F.col("bd.doc_id").alias("new_doc_id"),
+            F.col("bc.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    s1 = sh_delta.alias("s1")
+    s2 = sh_corpus.alias("s2")
+    inter = F.size(F.array_intersect(F.col("s1.shingles"), F.col("s2.shingles")))
+    union = F.size(F.col("s1.shingles")) + F.size(F.col("s2.shingles")) - inter
+    return (
+        candidates.join(s1, F.col("new_doc_id") == F.col("s1.doc_id"))
+        .join(s2, F.col("corpus_doc_id") == F.col("s2.doc_id"))
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _split_delta(spark: SparkSession, sf_dir: str):
+    sh = _shingled(spark, sf_dir).cache()
+    is_new = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    return sh.filter(~is_new), sh.filter(is_new)
+
+
+@register(
+    "dedup_incremental_delta",
+    category="dedup",
+    oracle=_SQL_INCREMENTAL_DELTA,
+    doc="Incremental near-dup: which docs of the NEW batch (doc_id % "
+    f"{_DELTA_MOD} == {_DELTA_REM}) near-dup an EXISTING corpus doc — "
+    "banded-index join of delta bands against corpus bands, exact "
+    "verification on candidates. Oracle is the exact delta×corpus "
+    "Jaccard (same miss-probability argument as dedup_minhash_lsh).",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, delta = _split_delta(spark, sf_dir)
+    return incremental_near_dup_pairs(corpus, delta).orderBy(
+        "new_doc_id", "corpus_doc_id"
+    )
+
+
+_SQL_INCREMENTAL_SURVIVORS = f"""
+    WITH {_SQL_SHINGLES},
+    jac AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % {_DELTA_MOD} = {_DELTA_REM}
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT id1 AS new_doc_id FROM jac
+      JOIN sizes s1 ON jac.id1 = s1.doc_id
+      JOIN sizes s2 ON jac.id2 = s2.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared)
+            >= {JACCARD_THRESHOLD}
+        AND (id2 % {_DELTA_MOD} <> {_DELTA_REM} OR id2 < id1)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % {_DELTA_MOD} = {_DELTA_REM}
+      AND doc_id NOT IN (SELECT new_doc_id FROM dropped)
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_incremental_survivors",
+    category="dedup",
+    oracle=_SQL_INCREMENTAL_SURVIVORS,
+    doc="The ingest filter itself: new-batch docs to APPEND — no near-dup "
+    "in the corpus AND no near-dup to a lower-id doc within the batch "
+    "(first-seen wins inside a batch). Composes the delta→corpus banded "
+    "join with a within-delta LSH pass; anti joins remove the matched.",
+)
+def dedup_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At scale both match sets are O(delta)-sized; the two left-anti
+    joins are build-side-small and the corpus is touched only through
+    its band index (see incremental_near_dup_pairs)."""
+    corpus, delta = _split_delta(spark, sf_dir)
+    vs_corpus = incremental_near_dup_pairs(corpus, delta).select(
+        F.col("new_doc_id").alias("doc_id")
+    )
+    within = verified_pairs_from_shingled(delta).select(
+        F.col("id2").alias("doc_id")  # id1 < id2 → later id drops
+    )
+    return (
+        delta.select("doc_id")
+        .join(vs_corpus, "doc_id", "left_anti")
+        .join(within, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
 
 
 @register(
