@@ -378,7 +378,9 @@ _SQL_INCREMENTAL_DELTA = f"""
 
 
 def incremental_near_dup_pairs(
-    sh_corpus: DataFrame, sh_delta: DataFrame
+    sh_corpus: DataFrame,
+    sh_delta: DataFrame,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Delta→corpus near-dup matches via the banded MinHash index: band
     keys of the NEW batch join the corpus's band index, candidates are
@@ -389,11 +391,15 @@ def incremental_near_dup_pairs(
     corpus band index is a precomputed, bucketed table maintained by
     each batch (append bands of accepted docs); per batch only
     O(bands·|delta|) keys shuffle — never the corpus, never all-pairs.
-    The corpus side here is built in-query because the registered query
-    must be self-contained."""
-    sig_c = minhash_signatures_df(sh_corpus)
+    The corpus side is built in-query when ``corpus_bands`` is None
+    (the registered query must be self-contained); the streaming filter
+    passes the MAINTAINED index instead
+    (streaming/events.py::stream_near_dup_filter), so the corpus is
+    never re-shingled per batch."""
+    if corpus_bands is None:
+        corpus_bands = band_keys(minhash_signatures_df(sh_corpus))
     sig_d = minhash_signatures_df(sh_delta)
-    bc = band_keys(sig_c).alias("bc")
+    bc = corpus_bands.alias("bc")
     bd = band_keys(sig_d).alias("bd")
     candidates = (
         bd.join(

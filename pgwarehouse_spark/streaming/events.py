@@ -265,3 +265,97 @@ def stream_rollup_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based document stream (parquet dir of (doc_id, text))."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_near_dup_filter(
+    docs: DataFrame,
+    accepted_path: str,
+    index_path: str,
+    checkpoint: str | None = None,
+):
+    """Streaming near-dup ingest filter: each micro-batch of documents is
+    (1) deduped within the batch (first-seen/lowest-id wins, LSH + exact
+    verify), (2) matched against the MAINTAINED corpus band index
+    (operators/dedup.py::incremental_near_dup_pairs with the stored
+    index — the corpus is never re-shingled), and (3) the survivors are
+    appended to the accepted table AND their band keys to the index.
+    The index is the dedup state, stored as a table rather than in
+    operator memory — so state size doesn't bound the corpus, restarts
+    recover from the checkpoint + tables, and the same index serves
+    batch backfills.
+
+    At 100 TB: per batch the shuffle is O(bands·|batch|) band keys
+    probing a bucketed index table; accepted-doc shingles are read only
+    for the candidate doc_ids (join pruned by the candidate set).
+    Exactly-once: appends replay on failure before checkpoint commit —
+    replayed survivors re-match against the index they were just added
+    to and would be dropped, but the accepted append may duplicate;
+    dedup-on-read by doc_id (or a MERGE sink) closes that gap, exactly
+    as sync/merge.py does for the warehouse path."""
+    import os
+
+    from ..operators.dedup import (
+        band_keys,
+        incremental_near_dup_pairs,
+        minhash_signatures_df,
+        shingles_expr,
+        verified_pairs_from_shingled,
+    )
+
+    def _filter_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sh_batch = (
+            batch_df.select(
+                "doc_id", "text", shingles_expr(F.col("text")).alias("shingles")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # (1) within-batch: later id drops against any earlier near-dup
+        within_drop = (
+            verified_pairs_from_shingled(sh_batch.select("doc_id", "shingles"))
+            .select(F.col("id2").alias("doc_id"))
+            .distinct()
+        )
+        survivors = sh_batch.join(within_drop, "doc_id", "left_anti")
+        # (2) vs corpus: probe the stored band index
+        if os.path.exists(index_path):
+            acc_sh = spark.read.parquet(accepted_path).select("doc_id", "shingles")
+            idx = spark.read.parquet(index_path)
+            matched = (
+                incremental_near_dup_pairs(
+                    acc_sh,
+                    survivors.select("doc_id", "shingles"),
+                    corpus_bands=idx,
+                )
+                .select(F.col("new_doc_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(matched, "doc_id", "left_anti")
+        # materialize before appending to the tables the plan reads
+        survivors = survivors.localCheckpoint(eager=True)
+        # (3) accept + index the survivors
+        survivors.write.mode("append").parquet(accepted_path)
+        band_keys(
+            minhash_signatures_df(survivors.select("doc_id", "shingles"))
+        ).write.mode("append").parquet(index_path)
+
+    writer = docs.writeStream.foreachBatch(_filter_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

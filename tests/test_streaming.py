@@ -324,3 +324,50 @@ def test_stream_sync_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     wh_df = spark.read.parquet(wh)
     assert wh_df.count() == 450  # wave 1 not replayed, wave 2 complete
     assert wh_df.select("event_id").distinct().count() == 450
+
+
+def test_stream_near_dup_filter_across_batches(spark, tmp_path):
+    """Streaming ingest filter: duplicates are dropped WITHIN a batch
+    (first-seen wins) and ACROSS batches via the maintained band index;
+    distinct docs always pass. Batches arrive in doc_id order
+    (maxFilesPerTrigger=1, one file per batch)."""
+    import os
+
+    from pgwarehouse_spark.streaming.events import (
+        read_document_stream,
+        stream_near_dup_filter,
+    )
+
+    def doc(i, words):
+        return (i, " ".join(words))
+
+    base = [f"tok{j}" for j in range(30)]
+    other = [f"alt{j}" for j in range(30)]
+    # batch 1: A(1), B(2, distinct), E(3, dup of A — in-batch drop)
+    b1 = [doc(1, base), doc(2, other), doc(3, base)]
+    # batch 2: C(10, dup of A — cross-batch drop), D(11, distinct)
+    b2 = [doc(10, base[:-1] + ["tokx"]), doc(11, [f"new{j}" for j in range(30)])]
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    schema = "doc_id BIGINT, text STRING"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    accepted = str(tmp_path / "accepted")
+    index = str(tmp_path / "bands")
+    stream = read_document_stream(spark, src, max_files_per_trigger=1)
+    q = stream_near_dup_filter(
+        stream, accepted, index, checkpoint=str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(accepted).select("doc_id").collect()
+    )
+    assert got == [1, 2, 11], got
+    # the index holds band keys for exactly the accepted docs
+    idx_docs = {
+        r.doc_id for r in spark.read.parquet(index).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 2, 11}
