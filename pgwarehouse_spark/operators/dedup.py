@@ -90,9 +90,39 @@ def shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
     )
 
 
+def hashed_shingles_expr(text: Column, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word n-gram shingles as array<long> — no trigram STRINGS
+    are ever built: each word hashes to a long once, then a gram is
+    xxhash64 of its word-hashes. For set-based consumers (MinHash,
+    SimHash, exact verify via array_intersect) this is equivalent to the
+    string form — distinct-set cardinalities match up to a 2^-64
+    collision — while skipping millions of per-gram string allocations
+    and shrinking the cached arrays ~8×. `shingles_expr` (strings)
+    remains for `dedup_ngram_jaccard`, whose SQL oracle joins on the
+    shingle TEXT."""
+    words = F.split(F.trim(text), r"\s+")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    n = F.size(wh)
+    shifted = [F.slice(wh, 1 + off, n) for off in range(width)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        zipped, lambda x: F.xxhash64(*[x[str(k)] for k in range(width)])
+    )
+    return F.array_distinct(
+        F.slice(grams, 1, F.greatest(n - (width - 1), F.lit(0)))
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", shingles_expr(F.col("text")).alias("shingles"))
+
+
+def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", hashed_shingles_expr(F.col("text")).alias("shingles")
+    )
 
 
 # DuckDB-side shingles (list_zip with shifted slices; zip pads with NULL
@@ -301,7 +331,7 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle → MinHash(48) → 12×4 banded LSH → candidate pairs → exact
     Jaccard verification via array_intersect on candidates only. Returns
     (id1, id2, n_shared, jaccard) with id1 < id2, jaccard ≥ threshold."""
-    return verified_pairs_from_shingled(_shingled(spark, sf_dir).cache())
+    return verified_pairs_from_shingled(_shingled_hashed(spark, sf_dir).cache())
 
 
 def verified_pairs_from_shingled(sh: DataFrame) -> DataFrame:
@@ -430,7 +460,7 @@ def incremental_near_dup_pairs(
 
 
 def _split_delta(spark: SparkSession, sf_dir: str):
-    sh = _shingled(spark, sf_dir).cache()
+    sh = _shingled_hashed(spark, sf_dir).cache()
     is_new = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
     return sh.filter(~is_new), sh.filter(is_new)
 
@@ -742,8 +772,8 @@ def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
-        F.explode(shingles_expr(F.col("text"))).alias("w"),
-    ).select("doc_id", F.xxhash64("w").alias("h"))
+        F.explode(hashed_shingles_expr(F.col("text"))).alias("h"),
+    )
     bit_sums = words.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -312,7 +312,7 @@ def stream_near_dup_filter(
         band_keys,
         incremental_near_dup_pairs,
         minhash_signatures_df,
-        shingles_expr,
+        hashed_shingles_expr,
         verified_pairs_from_shingled,
     )
 
@@ -322,7 +322,7 @@ def stream_near_dup_filter(
         spark = batch_df.sparkSession
         sh_batch = (
             batch_df.select(
-                "doc_id", "text", shingles_expr(F.col("text")).alias("shingles")
+                "doc_id", "text", hashed_shingles_expr(F.col("text")).alias("shingles")
             )
             .localCheckpoint(eager=True)
         )
