@@ -64,6 +64,85 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — their suffix-array exact-substring
+# pass, approximated with strided token windows so it stays one
+# explode + one groupBy on Spark)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 20  # tokens per window
+_SPAN_STRIDE = 10  # window start stride; any >=2W-token shared run is caught
+
+
+@register(
+    "dedup_substring_spans",
+    category="dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(w[i:i+{_SPAN_W - 1}], ' ')) AS fp
+      FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_W - 1},
+                                        {_SPAN_STRIDE})) AS t(i)
+    )
+    SELECT fp,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS min_doc
+    FROM spans GROUP BY fp
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY min_doc, fp
+    """,
+    doc="Exact substring-span dedup (Lee et al. 2022's exact-substring "
+    "pass, strided-window approximation): md5 fingerprints of "
+    f"{_SPAN_W}-token windows every {_SPAN_STRIDE} tokens; a fingerprint "
+    "seen in >1 document marks a verbatim cross-document span — the "
+    "boilerplate/quotation duplication that document-level Jaccard "
+    "misses when the surrounding text differs.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: windows/doc = len/stride (~2× token count overhead in
+    fingerprints, each 32 bytes + doc_id); one shuffle on the
+    fingerprint with map-side partial aggregation. The strided window
+    catches every shared run of ≥ 2W tokens exactly and shared runs in
+    [W, 2W) probabilistically (alignment-dependent) — the recall knob
+    is the stride, the cost linear in corpus tokens either way. The
+    full suffix-array construction is the non-Spark-native alternative;
+    this is the shape that distributes."""
+    d = t(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(tokens)
+    starts = F.when(
+        n >= _SPAN_W,
+        F.sequence(F.lit(1), n - (_SPAN_W - 1), F.lit(_SPAN_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(tokens, i, _SPAN_W)).cast("binary")
+                ),
+            )
+        ).alias("fp"),
+    )
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("min_doc", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shingling (shared by Jaccard / MinHash / SimHash)
 # ---------------------------------------------------------------------------
 

@@ -159,3 +159,39 @@ def test_embedding_cosine_all_pairs_guard(spark):
         embedding_cosine_pairs(e, 0.9, max_vectors=50)
     # under the cap it runs
     assert embedding_cosine_pairs(e, 0.999999, max_vectors=200).count() > 0
+
+
+def test_substring_spans_catch_what_doc_jaccard_misses(spark, tmp_path):
+    """A 40-token verbatim run shared by two otherwise-different docs is
+    below the document-level Jaccard threshold but must surface in the
+    substring-span pass (the Lee-et-al modality's point)."""
+    import os
+
+    from pgwarehouse_spark.operators.dedup import (
+        dedup_substring_spans,
+        ngram_jaccard_pairs,
+        shingles_expr,
+    )
+    from pyspark.sql import functions as F
+
+    shared_run = " ".join(f"quote{j}" for j in range(40))
+    docs = [
+        (1, " ".join(f"a{j}" for j in range(200)) + " " + shared_run),
+        (2, shared_run + " " + " ".join(f"b{j}" for j in range(200))),
+        (3, " ".join(f"c{j}" for j in range(200))),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(docs, "doc_id BIGINT, text STRING").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    # doc-level jaccard: 1 and 2 share ~38/~440 trigrams — far below 0.8
+    sh = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", shingles_expr(F.col("text")).alias("shingles")
+    )
+    assert ngram_jaccard_pairs(sh).count() == 0
+
+    spans = dedup_substring_spans(spark, sf).collect()
+    assert spans, "shared 40-token run must produce duplicated spans"
+    assert all(r.n_docs == 2 and r.min_doc == 1 for r in spans)
