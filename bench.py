@@ -117,21 +117,26 @@ def _ensure_sf1(spark, base_dir: str, copies: int = 10) -> str | None:
 
     from pgwarehouse_spark.sources.tables import load_table
 
-    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1_v1")
+    # bump the version suffix whenever the derivation logic changes so a
+    # stale cached replica never serves the new generator
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1_v2")
     marker = os.path.join(out, "_ALL_TABLES_OK")
     if os.path.exists(marker):
         return out
     try:
         os.makedirs(out, exist_ok=True)
+        # span per key FAMILY = max over EVERY table carrying it + 1 —
+        # taking the first table's max alone would collide copies when a
+        # dimension holds keys above the fact side's referenced max
         spans: dict[str, int] = {}
         for tbl, cols in _SF1_SHIFTS.items():
             df = load_table(spark, base_dir, tbl)
             for c in cols:
                 fam = _KEY_FAMILY[c]
-                if fam not in spans:
-                    spans[fam] = int(
-                        df.agg(F.max(F.col(c).cast("bigint"))).collect()[0][0] or 0
-                    ) + 1
+                mx = int(
+                    df.agg(F.max(F.col(c).cast("bigint"))).collect()[0][0] or 0
+                ) + 1
+                spans[fam] = max(spans.get(fam, 0), mx)
         for tbl in ("region", "nation"):  # dims stay fixed
             load_table(spark, base_dir, tbl).write.mode("overwrite").parquet(
                 os.path.join(out, f"{tbl}.parquet")

@@ -59,7 +59,14 @@ def _interactive_init_template() -> str:
         backend = _INIT_BACKENDS[int(choice) - 1]
     except (ValueError, IndexError):
         backend = _INIT_BACKENDS[0]
-    return CONFIG_TEMPLATE.replace("type: parquet", f"type: {backend}", 1)
+    # anchor to the start of the line: a bare replace would hit the
+    # '# type: parquet | csv | jdbc' comment first and leave the real
+    # directive untouched
+    import re
+
+    return re.sub(
+        r"(?m)^(\s*)type: parquet$", rf"\1type: {backend}", CONFIG_TEMPLATE, count=1
+    )
 
 
 def _build_parser() -> argparse.ArgumentParser:

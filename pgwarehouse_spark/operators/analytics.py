@@ -1391,7 +1391,11 @@ def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_name="rk",
         cum_name="_cum",
     )
-    share = F.col("_cum").cast("double") / F.lit(float(tot))
+    # tot is None on empty input (no rows → no shares evaluated; the
+    # guard only prevents float(None) at plan-build time)
+    share = F.col("_cum").cast("double") / F.lit(
+        float(tot) if tot is not None else 1.0
+    )
     return (
         ranked.withColumn("cum_share", share)
         .withColumn("in_top80", F.when(share <= 0.8, 1).otherwise(0))

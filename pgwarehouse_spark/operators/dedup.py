@@ -71,7 +71,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SPAN_W = 20  # tokens per window
-_SPAN_STRIDE = 10  # window start stride; any >=2W-token shared run is caught
+# stride MUST be 1 for an exactness guarantee: with stride s > 1 the two
+# documents' windows only align when the shared run's start offsets are
+# congruent mod s — misaligned runs of ANY length (even 1000 verbatim
+# tokens) produce zero common fingerprints. Stride 1 fingerprints every
+# window (one per token, still linear in corpus tokens) and catches
+# every shared run >= W exactly. To cut cost at equal recall, the
+# position-independent alternative is winnowing/content-defined anchors,
+# not a positional stride.
+_SPAN_STRIDE = 1
 
 
 @register(
@@ -97,21 +105,22 @@ _SPAN_STRIDE = 10  # window start stride; any >=2W-token shared run is caught
     ORDER BY min_doc, fp
     """,
     doc="Exact substring-span dedup (Lee et al. 2022's exact-substring "
-    "pass, strided-window approximation): md5 fingerprints of "
-    f"{_SPAN_W}-token windows every {_SPAN_STRIDE} tokens; a fingerprint "
-    "seen in >1 document marks a verbatim cross-document span — the "
-    "boilerplate/quotation duplication that document-level Jaccard "
-    "misses when the surrounding text differs.",
+    f"pass): md5 fingerprints of every {_SPAN_W}-token window (stride "
+    "1); a fingerprint seen in >1 document marks a verbatim "
+    "cross-document span — the boilerplate/quotation duplication that "
+    "document-level Jaccard misses when the surrounding text differs. "
+    f"Catches every shared run of >= {_SPAN_W} tokens exactly, at any "
+    "alignment.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: windows/doc = len/stride (~2× token count overhead in
-    fingerprints, each 32 bytes + doc_id); one shuffle on the
-    fingerprint with map-side partial aggregation. The strided window
-    catches every shared run of ≥ 2W tokens exactly and shared runs in
-    [W, 2W) probabilistically (alignment-dependent) — the recall knob
-    is the stride, the cost linear in corpus tokens either way. The
-    full suffix-array construction is the non-Spark-native alternative;
-    this is the shape that distributes."""
+    """Scale: one fingerprint per token (32-byte md5 + doc_id), one
+    shuffle on the fingerprint with map-side partial aggregation —
+    linear in corpus tokens. Stride 1 is what makes the guarantee exact
+    for runs ≥ W at ANY alignment (a positional stride only matches
+    runs whose start offsets are congruent mod the stride); the cheaper
+    equal-recall option is winnowing/content-defined anchor selection.
+    The full suffix-array construction is the non-Spark-native
+    alternative; this is the shape that distributes."""
     d = t(spark, sf_dir, "documents")
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(tokens)
@@ -366,6 +375,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     max_bucket: int | None = None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """Banded LSH: hash each r-row slice of the signature, explode to
     (band_id, band_hash), self-join. Returns distinct (id1, id2)
@@ -379,12 +389,22 @@ def lsh_candidate_pairs(
     members are boilerplate you'd dedup by exact-hash first, and any
     genuinely-similar pair this skips still has 11 other bands to
     collide in). None (the default, used by the registered queries)
-    keeps exact parity with the oracle."""
-    # Materialize before the self-join: without this, both join sides
-    # recompute the entire shingle→signature lineage (2× the pipeline
-    # cost). Tiny frame: bands × N rows of (long, int, long). At cluster
-    # scale this would be a checkpoint/staging write instead of cache.
-    banded = band_keys(sig_df, bands, rows).cache()
+    keeps exact parity with the oracle.
+
+    ``materialize`` — how the banded frame is pinned before the
+    self-join (without pinning, both join sides recompute the entire
+    shingle→signature lineage, 2× the pipeline cost). "cache" for
+    one-shot batch queries; "localCheckpoint" for REPEATED callers
+    (the streaming ingest filter): a cache() inside foreachBatch is
+    never unpersisted and CacheManager pins one relation per
+    micro-batch forever, while checkpointed RDDs are released by the
+    ContextCleaner once unreferenced. At cluster scale this would be a
+    reliable checkpoint/staging write."""
+    banded = band_keys(sig_df, bands, rows)
+    if materialize == "cache":
+        banded = banded.cache()
+    elif materialize == "localCheckpoint":
+        banded = banded.localCheckpoint(eager=True)
     if max_bucket is not None:
         w = W.partitionBy("band_id", "band_hash")
         banded = (
@@ -413,12 +433,16 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_from_shingled(_shingled_hashed(spark, sf_dir).cache())
 
 
-def verified_pairs_from_shingled(sh: DataFrame) -> DataFrame:
+def verified_pairs_from_shingled(
+    sh: DataFrame, materialize: str = "cache"
+) -> DataFrame:
     """The LSH→verify core over an arbitrary (doc_id, shingles) frame
     (used by the full-corpus query and the within-batch incremental
-    pass)."""
+    pass). ``materialize`` is forwarded to `lsh_candidate_pairs` —
+    repeated callers (foreachBatch) must pass "localCheckpoint", see
+    there."""
     sigs = minhash_signatures_df(sh)
-    candidates = lsh_candidate_pairs(sigs)
+    candidates = lsh_candidate_pairs(sigs, materialize=materialize)
     s1 = sh.alias("s1")
     s2 = sh.alias("s2")
     inter = F.size(F.array_intersect(F.col("s1.shingles"), F.col("s2.shingles")))

@@ -159,8 +159,10 @@ def window_ntile_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select(
             "o_orderkey",
             ntile_from_rank(rk, n, 4).alias("quartile"),
-            F.round((rk - 1) / F.lit(n - 1), 8).alias("pct_rank"),
-            F.round(rk / F.lit(n), 8).alias("cdist"),
+            # max(n-1, 1): SQL PERCENT_RANK of a single row is 0, while
+            # a literal /0 would yield NULL
+            F.round((rk - 1) / F.lit(max(n - 1, 1)), 8).alias("pct_rank"),
+            F.round(rk / F.lit(max(n, 1)), 8).alias("cdist"),
         )
         .orderBy("o_orderkey")
     )

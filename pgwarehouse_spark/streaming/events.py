@@ -328,7 +328,10 @@ def stream_near_dup_filter(
         )
         # (1) within-batch: later id drops against any earlier near-dup
         within_drop = (
-            verified_pairs_from_shingled(sh_batch.select("doc_id", "shingles"))
+            verified_pairs_from_shingled(
+                sh_batch.select("doc_id", "shingles"),
+                materialize="localCheckpoint",  # cache() would leak per batch
+            )
             .select(F.col("id2").alias("doc_id"))
             .distinct()
         )

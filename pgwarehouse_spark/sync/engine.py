@@ -40,6 +40,30 @@ class SyncResult:
     rows: int
 
 
+def jvm_jdbc_connection(
+    spark: SparkSession,
+    url: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+):
+    """Raw java.sql.Connection through the Spark JVM gateway — the
+    standard JDBC DatabaseMetaData/DDL route (works for every driver on
+    Spark's classpath; no SQL dialect differences to paper over, unlike
+    information_schema which e.g. Derby lacks). Shared by JdbcSource
+    metadata discovery and JdbcWarehouse DDL execution so driver
+    loading and credential wiring can't drift apart."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    if user:
+        props.setProperty("user", user)
+    if password:
+        props.setProperty("password", password)
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
 class Source:
     """Source adapter: returns a DataFrame, pushing `where` into the scan."""
 
@@ -304,19 +328,9 @@ class JdbcSource(Source):
 
     # -- metadata discovery (reference parity: zero-config sync) -------
     def _jvm_connection(self, spark: SparkSession):
-        """Raw java.sql.Connection through the Spark JVM gateway — the
-        standard JDBC DatabaseMetaData route (works for every driver on
-        Spark's classpath; no SQL dialect differences to paper over,
-        unlike information_schema which e.g. Derby lacks)."""
-        jvm = spark._jvm
-        if self.driver:
-            jvm.java.lang.Class.forName(self.driver)
-        props = jvm.java.util.Properties()
-        if self.user:
-            props.setProperty("user", self.user)
-        if self.password:
-            props.setProperty("password", self.password)
-        return jvm.java.sql.DriverManager.getConnection(self.url, props)
+        return jvm_jdbc_connection(
+            spark, self.url, self.driver, self.user, self.password
+        )
 
     def _table_case_candidates(self, table: str) -> list[str]:
         # unquoted identifiers fold to the backend's preferred case
@@ -335,13 +349,20 @@ class JdbcSource(Source):
             meta = conn.getMetaData()
             for cand in self._table_case_candidates(table):
                 rs = meta.getPrimaryKeys(None, None, cand)
-                cols: list[tuple[int, str]] = []
+                # keyed by (catalog, schema): a null schema filter matches
+                # same-named tables in EVERY schema, and merging their PK
+                # rows would fabricate a bogus composite key
+                per_table: dict[tuple, list[tuple[int, str]]] = {}
                 while rs.next():
-                    cols.append(
+                    key = (rs.getString("TABLE_CAT"), rs.getString("TABLE_SCHEM"))
+                    per_table.setdefault(key, []).append(
                         (int(rs.getShort("KEY_SEQ")), rs.getString("COLUMN_NAME"))
                     )
                 rs.close()
-                if cols:
+                if len(per_table) > 1:
+                    return []  # ambiguous across schemas → safe fallback
+                if per_table:
+                    (cols,) = per_table.values()
                     return [c for _, c in sorted(cols)]
             return []
         finally:
@@ -361,19 +382,25 @@ class JdbcSource(Source):
     def discover_watermark(self, spark: SparkSession, table: str) -> str | None:
         """A date/timestamp column with a conventional change-tracking
         name (DatabaseMetaData.getColumns). Name AND type must match —
-        a varchar `updated_at` is not a watermark."""
+        a varchar `updated_at` is not a watermark. The table-found
+        signal is "getColumns returned ANY row" (not "has temporal
+        columns"): a matched spelling with zero temporal columns must
+        stop the probe rather than fall through to a DIFFERENT
+        same-named-other-case table."""
         conn = self._jvm_connection(spark)
         try:
             meta = conn.getMetaData()
             for cand in self._table_case_candidates(table):
                 rs = meta.getColumns(None, None, cand, None)
+                found = False
                 temporal: dict[str, str] = {}
                 while rs.next():
+                    found = True
                     name = rs.getString("COLUMN_NAME")
                     if int(rs.getInt("DATA_TYPE")) in self._TEMPORAL_JDBC_TYPES:
                         temporal[name.lower()] = name
                 rs.close()
-                if temporal:
+                if found:
                     for wm in self.WATERMARK_NAMES:
                         if wm in temporal:
                             return temporal[wm]
@@ -517,21 +544,21 @@ class SyncEngine:
             spec = TableSpec(name=table)
             self.specs[table] = spec
         if table not in self._discovered:
-            self._discovered.add(table)
-            if not spec.primary_key:
-                try:
+            # memoize only on SUCCESS: a transient JDBC failure must not
+            # permanently downgrade the table to reload-only — the next
+            # spec() call retries (discovery is one metadata round trip)
+            try:
+                if not spec.primary_key:
                     spec.primary_key = self.source.discover_primary_key(
                         self.spark, table
                     )
-                except Exception:
-                    pass
-            if spec.primary_key and not spec.last_modified:
-                try:
+                if spec.primary_key and not spec.last_modified:
                     spec.last_modified = self.source.discover_watermark(
                         self.spark, table
                     )
-                except Exception:
-                    pass
+                self._discovered.add(table)
+            except Exception:
+                pass
         return spec
 
     # -- extract (A1-A3) ----------------------------------------------

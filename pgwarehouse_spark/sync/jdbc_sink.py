@@ -73,15 +73,11 @@ class JdbcWarehouse:
         the data path stays the parallel Spark writer; only CREATE/DROP
         goes through here (mirrors the reference's cursor.execute DDL,
         clickhouse_backend.py:148-157)."""
-        jvm = spark._jvm
-        if self.driver:
-            jvm.java.lang.Class.forName(self.driver)
-        props = jvm.java.util.Properties()
-        if self.user:
-            props.setProperty("user", self.user)
-        if self.password:
-            props.setProperty("password", self.password)
-        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        from .engine import jvm_jdbc_connection
+
+        conn = jvm_jdbc_connection(
+            spark, self.url, self.driver, self.user, self.password
+        )
         try:
             st = conn.createStatement()
             try:

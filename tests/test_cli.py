@@ -190,9 +190,15 @@ def test_interactive_init_backend_choice(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys.stdin, "isatty", lambda: True, raising=False)
     monkeypatch.setattr("builtins.input", lambda prompt="": "3")
     assert cli.main(["init", "--config", str(cfg)]) == 0
-    assert "type: jdbc" in cfg.read_text()
+    text = cfg.read_text()
+    # the DIRECTIVE line must change (a naive replace would mangle the
+    # '# type: parquet | csv | jdbc' comment instead and still contain
+    # the substring "type: jdbc")
+    assert "\n  type: jdbc\n" in text
+    assert "\n  type: parquet\n" not in text
+    assert "# type: parquet | csv | jdbc" in text  # comment untouched
 
     cfg2 = tmp_path / "pgw2.yaml"
     monkeypatch.setattr(sys.stdin, "isatty", lambda: False, raising=False)
     assert cli.main(["init", "--config", str(cfg2)]) == 0
-    assert "type: parquet" in cfg2.read_text()
+    assert "\n  type: parquet\n" in cfg2.read_text()

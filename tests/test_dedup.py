@@ -179,6 +179,10 @@ def test_substring_spans_catch_what_doc_jaccard_misses(spark, tmp_path):
         (1, " ".join(f"a{j}" for j in range(200)) + " " + shared_run),
         (2, shared_run + " " + " ".join(f"b{j}" for j in range(200))),
         (3, " ".join(f"c{j}" for j in range(200))),
+        # run starts at token offset 3 — misaligned with doc 1's start
+        # offset mod any stride > 1 (regression for the positional-stride
+        # recall hole: must still be caught)
+        (4, "x0 x1 x2 " + shared_run + " " + " ".join(f"d{j}" for j in range(200))),
     ]
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
@@ -194,4 +198,7 @@ def test_substring_spans_catch_what_doc_jaccard_misses(spark, tmp_path):
 
     spans = dedup_substring_spans(spark, sf).collect()
     assert spans, "shared 40-token run must produce duplicated spans"
-    assert all(r.n_docs == 2 and r.min_doc == 1 for r in spans)
+    assert all(r.min_doc == 1 for r in spans)
+    # all three run-carrying docs share the run's interior windows,
+    # including the arbitrarily-offset doc 4
+    assert max(r.n_docs for r in spans) == 3
