@@ -648,3 +648,85 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# Weighted sampling without replacement: language upweighting for a
+# training mixture (low-resource languages get more draws). Integer
+# weights only — each document races with `w` deterministic md5 draws
+# and keeps the smallest; P(item wins the race) = w_i / sum(w_j), the
+# replicated-minimum form of an Efraimidis-Spirakis priority. All
+# arithmetic is integer-exact, so the oracle hash is bit-stable (no
+# pow/ln whose last-ulp behavior differs across libms).
+_SAMPLE_WEIGHTS = {"en": 1, "de": 3, "es": 3, "fr": 4, "zh": 4}
+_SAMPLE_K = 100
+
+_WEIGHT_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {w}" for lang, w in _SAMPLE_WEIGHTS.items())
+    + " ELSE 1 END"
+)
+
+
+@register(
+    "sample_weighted_priority",
+    category="pipeline",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang,
+             CAST({_WEIGHT_SQL} AS INT) AS weight,
+             list_min(list_transform(
+               generate_series(1, {_WEIGHT_SQL}),
+               j -> CAST('0x' || SUBSTR(
+                      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                      1, 13) AS BIGINT))) AS priority
+      FROM documents
+    ),
+    top AS (
+      SELECT * FROM pri ORDER BY priority, doc_id LIMIT {_SAMPLE_K}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank,
+           doc_id, lang, weight, priority
+    FROM top ORDER BY rank
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (language-upweighted
+    mixture draw): each document gets an integer weight from its
+    language and races `weight` deterministic md5 draws, keeping the
+    minimum as its priority — the replicated-minimum equivalent of an
+    Efraimidis-Spirakis u^(1/w) key, but in pure int64 arithmetic so
+    the draw is bit-reproducible across engines, retries, and appends
+    (no RNG state, no float pow). The k smallest priorities are the
+    sample; P(selected next) ∝ weight.
+
+    Scale: the priority is a per-row O(weight) expression — no shuffle,
+    no explode (the draws fold inside array_min/transform). The global
+    top-k is TakeOrderedAndProject: per-partition top-k then a driver
+    merge of k·partitions rows — no global sort, no single-partition
+    exchange. The final rank window runs on k rows. Real-valued weights
+    would swap the race for a rounded u^(1/w) key; integer weights are
+    the common mixture case (upsample factors)."""
+    d = t(spark, sf_dir, "documents")
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(w))
+            for lang, w in _SAMPLE_WEIGHTS.items()
+        ],
+        F.lit(1),
+    )
+    draw = (
+        "transform(sequence(1, weight), "
+        "j -> CAST(conv(substring(md5(CAST("
+        "CAST(doc_id AS STRING) || ':' || CAST(j AS STRING) AS BINARY"
+        ")), 1, 13), 16, 10) AS BIGINT))"
+    )
+    pri = d.select(
+        "doc_id", "lang", weight.alias("weight")
+    ).withColumn("priority", F.expr(f"array_min({draw})"))
+    top = pri.orderBy("priority", "doc_id").limit(_SAMPLE_K)
+    w_rank = W.orderBy("priority", "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .select("rank", "doc_id", "lang", "weight", "priority")
+        .orderBy("rank")
+    )
