@@ -1015,3 +1015,123 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id1", "id2")
     )
+
+
+# SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
+# and comparing pairs only WITHIN each cluster — the scale fix for the
+# all-pairs join above. Stride-seeded centroids keep the whole pipeline
+# deterministic and therefore oracle-checkable; the k-means-trained
+# variant reuses operators/similarity.kmeans_centroids.
+_SEMDEDUP_STRIDE = 50  # vec_id % stride == 0 → centroid seed
+_SEMDEDUP_TAU = 0.35  # testdata max pair cosine ≈ 0.48
+
+
+def _semdedup_assign_sql(stride: int) -> str:
+    """DuckDB CTEs: stride-seeded centroids + nearest-centroid (by exact
+    dot product, centroid_id tie-break) assignment of every vector."""
+    from ..functions.vector import sql_dot
+
+    return f"""
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id % {stride} = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {sql_dot('v.embedding', 'c.cent_emb')} DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "semdedup_centroid",
+    category="dedup",
+    oracle=f"""
+    WITH {_semdedup_assign_sql(_SEMDEDUP_STRIDE)},
+    dup_ids AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
+    )
+    SELECT v.vec_id, v.centroid_id,
+           CAST(COUNT(*) OVER (PARTITION BY v.centroid_id) AS BIGINT)
+             AS n_cluster_members,
+           CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_dup
+    FROM assign v LEFT JOIN dup_ids d ON v.vec_id = d.vec_id
+    ORDER BY v.vec_id
+    """,
+)
+def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then mark as
+    duplicate any vector with a lower-id same-cluster neighbor at
+    cosine >= {tau} — pairwise comparison happens only INSIDE clusters,
+    never across the corpus. Emits per-vector (centroid, cluster size,
+    verdict); `WHERE is_dup = 0` is the deduplicated corpus.
+
+    This is the scale path that replaces dedup_embedding_cosine's gated
+    all-pairs join: with k balanced clusters the pair work drops from
+    O(N²) to O(N²/k), and the only corpus-sized exchange is one hash
+    shuffle on centroid_id that co-locates each cluster (assignment
+    itself is a broadcast join against the centroid set — centroids are
+    k rows, never the corpus). At 100 TB, k scales with the corpus so
+    each cluster stays executor-sized, and the within-cluster join
+    stays local to its partition. Stride-seeded centroids (same seeds
+    as sim_topk_ivf) keep every step decimal-exact and deterministic —
+    the oracle replays the identical assignment; swap in
+    similarity.kmeans_centroids for trained cells when determinism
+    across engines is not required."""
+    from .similarity import _assign_nearest
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % _SEMDEDUP_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    assigned = _assign_nearest(e, cents)
+    withnorm = assigned.select(
+        "vec_id",
+        "centroid_id",
+        "embedding",
+        F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    cos = dot_exact(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    w_cluster = W.partitionBy("centroid_id")
+    return (
+        withnorm.join(
+            dup_ids, F.col("vec_id") == F.col("dup_id"), "left_outer"
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.count(F.lit(1)).over(w_cluster).alias("n_cluster_members"),
+            F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+semdedup_centroid.__doc__ = semdedup_centroid.__doc__.replace(
+    "{tau}", str(_SEMDEDUP_TAU)
+)

@@ -202,3 +202,29 @@ def test_substring_spans_catch_what_doc_jaccard_misses(spark, tmp_path):
     # all three run-carrying docs share the run's interior windows,
     # including the arbitrarily-offset doc 4
     assert max(r.n_docs for r in spans) == 3
+
+
+def test_semdedup_precision_and_recall_vs_exact(spark, sf_dir):
+    """SemDeDup's within-cluster pairs are a subset of the exact all-pairs
+    cosine dups (precision 1 by construction — the cosine test is the
+    same decimal-exact expression); recall < 1 only because cross-cluster
+    pairs are unseen. On this near-uniform testdata (adversarial for
+    clustering) recall still must clear a floor."""
+    from pgwarehouse_spark.operators.dedup import (
+        _SEMDEDUP_TAU,
+        embedding_cosine_pairs,
+        semdedup_centroid,
+    )
+    from pgwarehouse_spark.operators._helpers import t
+
+    e = t(spark, sf_dir, "embeddings")
+    exact_dup_ids = {
+        r.id2 for r in embedding_cosine_pairs(e, _SEMDEDUP_TAU).collect()
+    }
+    verdicts = semdedup_centroid(spark, sf_dir).collect()
+    flagged = {r.vec_id for r in verdicts if r.is_dup == 1}
+    assert flagged, "semdedup flagged nothing at tau on testdata"
+    assert flagged <= exact_dup_ids  # precision 1 vs the exact baseline
+    assert len(flagged) / len(exact_dup_ids) >= 0.2  # recall floor
+    # every vector got exactly one verdict and one cluster
+    assert len(verdicts) == e.count()
