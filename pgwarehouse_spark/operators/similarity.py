@@ -534,3 +534,236 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): compress each vector to M
+# sub-codes (here 8 subspaces × 16 codewords = 8 bytes per 64-d float
+# vector, a 32× compression) and search with asymmetric distance
+# computation (ADC) — the memory-side scale path that composes with IVF.
+# The codebook is the K lowest-vec_id vectors (deterministic, no RNG),
+# so encode/decode is decimal-exact and the codes have a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces over the 64-d embedding
+PQ_SUBDIM = 8  # dims per subspace
+PQ_K = 16  # codewords per subspace
+PQ_RERANK = 50  # ADC shortlist size before exact re-rank
+
+_PQ_ACC = "decimal(30,12)"
+
+
+def _sub_l2_exact(u: Column, v: Column, m: int) -> Column:
+    """Exact squared L2 distance between subvectors m of two float
+    arrays: per-element diff in double (bit-identical in any engine),
+    squared, cast DECIMAL(28,12), summed exactly. Stays decimal so
+    argmin comparisons are exact; cast to double only for output."""
+    lo = m * PQ_SUBDIM + 1
+    diff2 = lambda x, y: (  # noqa: E731
+        (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    ).cast("decimal(28,12)")
+    return F.aggregate(
+        F.zip_with(
+            F.slice(u, lo, PQ_SUBDIM), F.slice(v, lo, PQ_SUBDIM), diff2
+        ),
+        F.lit(0).cast(_PQ_ACC),
+        lambda acc, z: (acc + z).cast(_PQ_ACC),
+    )
+
+
+def _sql_sub_l2(u: str, v: str, m: int) -> str:
+    lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+    return (
+        f"CAST(list_sum(list_transform("
+        f"list_zip(list_slice({u}, {lo}, {hi}), list_slice({v}, {lo}, {hi})), "
+        f"x -> CAST((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS DECIMAL(28,12))))"
+        f" AS DECIMAL(30,12))"
+    )
+
+
+def pq_codebook(e: DataFrame) -> DataFrame:
+    """(k, cb_emb): the PQ codebook — K lowest-vec_id vectors, k = rank.
+    Deterministic stand-in for k-means codewords (swap in
+    kmeans_centroids per subspace when cross-engine determinism is not
+    needed); K rows total, always broadcastable."""
+    w = W.orderBy("vec_id")
+    return (
+        e.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("k", F.row_number().over(w) - 1)
+        .select("k", F.col("embedding").alias("cb_emb"))
+    )
+
+
+def pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, m, code, dist): per-subspace nearest codeword (exact
+    decimal argmin, tie-break on k). One broadcast join against K rows
+    and a per-(vector, subspace) top-1 — no corpus-sized shuffle except
+    the window's hash partition on vec_id."""
+    sub = e.select(
+        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    )
+    dists = [
+        F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
+        for m in range(PQ_M)
+    ]
+    w = W.partitionBy("vec_id", "m").orderBy(F.col("dist").asc(), F.col("k").asc())
+    return (
+        sub.join(F.broadcast(codebook))
+        .select(
+            "vec_id", "m", "k", F.coalesce(*dists).alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"), "dist")
+    )
+
+
+_PQ_DIST_CASES = " ".join(
+    f"WHEN {m} THEN {_sql_sub_l2('v.embedding', 'c.cb_emb', m)}"
+    for m in range(PQ_M)
+)
+
+_PQ_ENCODE_SQL = f"""
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
+             embedding AS cb_emb
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    sub AS (
+      SELECT vec_id, embedding, unnest(generate_series(0, {PQ_M - 1})) AS m
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT v.vec_id, v.m, c.k,
+             CASE v.m {_PQ_DIST_CASES} END AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.m
+               ORDER BY CASE v.m {_PQ_DIST_CASES} END ASC, c.k ASC
+             ) AS rn
+      FROM sub v CROSS JOIN cb c
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code, dist FROM scored WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_pq_codes",
+    category="similarity",
+    oracle=f"""
+    WITH {_PQ_ENCODE_SQL}
+    SELECT vec_id,
+           list_transform(
+             list_sort(list_zip(list(m), list(code))), x -> CAST(x[2] AS INT)
+           ) AS codes,
+           CAST(SUM(dist) AS DOUBLE) AS recon_err
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each 64-d
+    vector becomes 8 sub-codes (nearest of 16 codewords per 8-d
+    subspace) plus the total quantization error — 8 bytes instead of
+    256, the compression that lets a 100 TB embedding corpus fit its
+    ANN index in executor memory. Encode is one broadcast join against
+    the K-row codebook and a per-(vector, subspace) exact-decimal
+    argmin; nothing corpus-sized shuffles. The deterministic codebook
+    (K lowest-vec_id vectors) makes the codes bit-stable cross-engine —
+    the oracle replays the identical argmin in DuckDB."""
+    e = t(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, pq_codebook(e))
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"].cast("int"),
+            ).alias("codes"),
+            F.sum("dist").cast("double").alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "sim_topk_pq",
+    category="similarity",
+    oracle=None,  # approximate: ADC distances are quantized
+    doc="ANN top-k via product quantization + asymmetric distance "
+    "computation: corpus vectors live as 8 sub-codes; each query builds "
+    "a 8x16 distance table to the codebook (broadcast), ADC distance is "
+    "a table-lookup sum, and the ADC shortlist is exactly re-ranked. "
+    "Rows-only driver check; recall vs brute force asserted in "
+    "tests/test_similarity.py.",
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: the query never touches raw corpus vectors until
+    the final re-rank — it scans (vec_id, m, code) tuples and sums
+    per-subspace distances looked up from its broadcast 8×16 table.
+    At 100 TB the codes relation is ~32× smaller than the embeddings,
+    and the ADC join is an equi-join on (m, code) against a
+    constant-size broadcast — no corpus shuffle; composes with IVF
+    (probe cells first, ADC within cells). Exact re-rank touches only
+    PQ_RERANK raw vectors per query."""
+    e = t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e)
+    codes = pq_encode(e, cb).select("vec_id", "m", "code")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    # per-query distance table: (query_id, m, k, d) — PQ_M*PQ_K rows/query
+    dists = [
+        F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
+        for m in range(PQ_M)
+    ]
+    dtable = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .join(F.broadcast(cb))
+        .select("query_id", "m", "k", F.coalesce(*dists).alias("d"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtable),
+            (codes.m == dtable.m) & (codes.code == dtable.k),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w_short = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qn = with_norm(q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )

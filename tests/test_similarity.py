@@ -68,3 +68,30 @@ def test_ivf_kmeans_recall_at_least_seed_variant(spark, sf_dir, exact_topk):
     r_trained = len(trained & exact_topk) / len(exact_topk)
     r_seed = len(seed & exact_topk) / len(exact_topk)
     assert r_trained >= max(0.2, r_seed - 0.05), (r_trained, r_seed)
+
+
+def test_pq_recall(spark, sf_dir, exact_topk):
+    """PQ-ADC with a PQ_RERANK exact re-rank: the shortlist is ADC-
+    approximate but the final ranking is exact cosine, so recall is
+    bounded by P(true neighbor in shortlist)."""
+    from pgwarehouse_spark.operators.similarity import sim_topk_pq
+
+    ann = {(r.query_id, r.neighbor_id) for r in sim_topk_pq(spark, sf_dir).collect()}
+    recall = len(ann & exact_topk) / len(exact_topk)
+    assert recall >= 0.2, f"PQ recall {recall:.2f}"
+
+
+def test_pq_codes_shape_and_compression(spark, sf_dir):
+    """Every vector gets exactly PQ_M codes, each in [0, PQ_K)."""
+    from pgwarehouse_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        embedding_pq_codes,
+    )
+
+    rows = embedding_pq_codes(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.recon_err >= 0.0
