@@ -65,6 +65,10 @@ HEADLINE = [
     "events_cumulative_distinct_users",
     "agg_corr_regression",
     "text_unigram_logprob",
+    "semdedup_centroid",
+    "sim_topk_pq",
+    "filter_gopher_rules",
+    "sample_weighted_priority",
 ]
 
 

@@ -752,3 +752,60 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+@register(
+    "events_props_extract",
+    category="events",
+    oracle="""
+    WITH typed AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(COUNT(absent) AS BIGINT) AS n_with_missing,
+           CAST(MIN(k) AS INT) AS k_min,
+           CAST(MAX(k) AS INT) AS k_max,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_avg
+    FROM typed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: pull typed fields out of the
+    JSON ``props`` column (the event-payload pattern every product
+    analytics source ships) and aggregate them per event type —
+    including the count of a property that does NOT exist, pinning
+    missing-key → NULL semantics cross-engine.
+
+    Scale: get_json_object compiles to Spark's JVM JSON path evaluator
+    inside whole-stage codegen — a single-pass projection, no Python,
+    no UDF; the aggregate is a standard partial/final hash agg on
+    event_type (map-side combine shrinks the shuffle to
+    n_event_types × partitions rows). For repeated multi-field
+    extraction at 100 TB, promote to from_json with an explicit schema
+    once and prune columns at the scan (the `scalar_from_json` query
+    pins that variant); integer sums keep the oracle exact."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    absent = F.get_json_object("props", "$.missing").cast("int")
+    typed = e.select("event_type", k.alias("k"), absent.alias("absent"))
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.count("absent").alias("n_with_missing"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
