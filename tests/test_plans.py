@@ -438,3 +438,43 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             f" FROM range(1, {n + 1})"
         )
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, n
+
+
+def test_weighted_sample_avoids_global_sort(spark, sf_dir):
+    """The weighted draw's global top-k must compile to
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    range-exchange global sort of the corpus."""
+    from pgwarehouse_spark.operators.pipeline import sample_weighted_priority
+
+    df = sample_weighted_priority(spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_pq_adc_join_is_all_broadcast(spark, sf_dir):
+    """PQ-ADC: the codebook and per-query distance tables are
+    constant-size → every join in the search must broadcast; a
+    SortMergeJoin would mean the corpus codes relation is being
+    shuffled against a small side."""
+    from pgwarehouse_spark.operators.similarity import sim_topk_pq
+
+    df = sim_topk_pq(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3  # codebook, dtable, query side
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup: centroid assignment must broadcast the k-row centroid
+    set against the corpus (a BroadcastNestedLoopJoin whose build side
+    is the k centroids — the intended all-pairs-vs-constant shape), and
+    the within-cluster pair join must be a shuffled EQUI join on
+    centroid_id, never an unpartitioned cartesian of the corpus with
+    itself."""
+    from pgwarehouse_spark.operators.dedup import semdedup_centroid
+
+    df = semdedup_centroid(spark, sf_dir)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+    # the corpus-x-corpus pair join co-locates clusters via an equi
+    # join on centroid_id (sort-merge or shuffled-hash, either is fine)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
