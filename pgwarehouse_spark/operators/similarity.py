@@ -767,3 +767,106 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "sim_topk_ivfpq",
+    category="similarity",
+    oracle=None,  # approximate twice over (cell probe + ADC)
+    doc="ANN top-k via IVF-PQ — the composed 100 TB architecture: coarse "
+    "IVF cells prune the corpus to NPROBE partitions, PQ-ADC ranks "
+    "inside the probed cells from 8-byte codes, and only the shortlist "
+    "touches raw vectors for the exact re-rank. Rows-only driver check; "
+    "recall vs brute force asserted in tests/test_similarity.py.",
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the index layout a billion-vector deployment actually
+    ships (FAISS IVFx,PQy). Coarse quantizer = stride-seeded IVF
+    centroids (cell assignment is one broadcast join; at scale the cell
+    id is the partition key, so probes read only matching partitions).
+    Fine quantizer = PQ codes (32× smaller residency). A query probes
+    IVF_NPROBE cells, ADC-ranks the cells' codes against its broadcast
+    8×16 distance table, and exactly re-ranks the PQ_RERANK shortlist.
+    Versus flat PQ the scan shrinks by ~nprobe/k_cells; versus flat IVF
+    the probed partitions are read as codes, not vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    assigned = _assign_nearest(e, cents)  # (vec_id, embedding, centroid_id)
+    cb = pq_codebook(e)
+    codes = pq_encode(e, cb).join(
+        assigned.select("vec_id", "centroid_id"), "vec_id"
+    ).select("vec_id", "centroid_id", "m", "code")
+
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            _dot(F.col("embedding"), F.col("cent_emb")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    dists = [
+        F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
+        for m in range(PQ_M)
+    ]
+    dtable = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .join(F.broadcast(cb))
+        .select("query_id", "m", "k", F.coalesce(*dists).alias("d"))
+    )
+    # probe-pruned ADC: only codes in a probed cell join the query's table
+    adc = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .join(
+            F.broadcast(dtable.withColumnRenamed("query_id", "dq")),
+            (F.col("dq") == F.col("query_id"))
+            & (dtable.m == codes.m)
+            & (F.col("k") == F.col("code")),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w_short = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qn = with_norm(q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -95,3 +95,20 @@ def test_pq_codes_shape_and_compression(spark, sf_dir):
         assert len(r.codes) == PQ_M
         assert all(0 <= c < PQ_K for c in r.codes)
         assert r.recon_err >= 0.0
+
+
+def test_ivfpq_recall(spark, sf_dir, exact_topk):
+    """IVF-PQ composes two approximations (cell probe + ADC); its recall
+    floor is accordingly looser than either alone, but it must still
+    beat random and return exactly k rows per query."""
+    from pgwarehouse_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        sim_topk_ivfpq,
+    )
+
+    rows = sim_topk_ivfpq(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * TOPK
+    ann = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(ann & exact_topk) / len(exact_topk)
+    assert recall >= 0.1, f"IVF-PQ recall {recall:.2f}"
