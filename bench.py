@@ -69,6 +69,9 @@ HEADLINE = [
     "sim_topk_pq",
     "filter_gopher_rules",
     "sample_weighted_priority",
+    "corpus_drift_kl",
+    "source_quality_report",
+    "sim_topk_ivfpq",
 ]
 
 

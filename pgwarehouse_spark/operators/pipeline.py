@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ._helpers import dsum, t
-from .textstats import fingerprint_expr, token_count
+from .textstats import GOPHER_FEAT_SQL, fingerprint_expr, gopher_flags, token_count
 
 PACK_BUDGET = 512  # tokens per packed sequence bin
 
@@ -729,4 +729,154 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .select("rank", "doc_id", "lang", "weight", "priority")
         .orderBy("rank")
+    )
+
+
+@register(
+    "corpus_drift_kl",
+    category="pipeline",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+      FROM documents
+    ),
+    tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+    sv AS (SELECT source, w, COUNT(*) AS c_sv FROM tok2 GROUP BY source, w),
+    st AS (SELECT source, SUM(c_sv) AS n_s, COUNT(*) AS n_distinct FROM sv GROUP BY source),
+    cv AS (SELECT w, SUM(c_sv) AS c_v FROM sv GROUP BY w),
+    tot AS (SELECT SUM(c_v) AS n FROM cv),
+    terms AS (
+      SELECT sv.source,
+             (CAST(sv.c_sv AS DOUBLE) / st.n_s)
+               * LN((CAST(sv.c_sv AS DOUBLE) * tot.n)
+                    / (CAST(st.n_s AS DOUBLE) * cv.c_v)) AS term
+      FROM sv JOIN st USING (source) JOIN cv USING (w), tot
+    )
+    SELECT st.source,
+           CAST(st.n_s AS BIGINT) AS n_tokens,
+           CAST(st.n_distinct AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS kl_vs_corpus
+    FROM terms JOIN st USING (source)
+    GROUP BY st.source, st.n_s, st.n_distinct
+    ORDER BY st.source
+    """,
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture drift monitor: KL divergence of each source's unigram
+    token distribution from the corpus-wide distribution — the signal a
+    training pipeline watches to catch a crawl slice or vendor feed
+    whose content shifted (KL spikes) before it contaminates a mixture.
+    Summed only over tokens the source actually emits, so no smoothing
+    is needed (c_v >= c_sv > 0).
+
+    Scale: both distributions come from ONE tokenize pass — per-(source,
+    token) counts roll up to source totals, corpus totals, and vocab
+    counts without re-reading text; the vocab join broadcasts
+    (Zipf-bounded ≪ corpus). Per-term arithmetic is integer-ratio ->
+    double -> LN evaluated identically in both engines, and the
+    per-source sum goes through the decimal cast so 1-ulp libm
+    differences in LN are absorbed by scale-6 rounding, not amplified
+    by accumulation order."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sv = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sv"))
+    st = sv.groupBy("source").agg(
+        F.sum("c_sv").alias("n_s"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    cv = sv.groupBy("w").agg(F.sum("c_sv").alias("c_v"))
+    tot = cv.agg(F.sum("c_v").alias("n"))
+    term = (F.col("c_sv").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c_sv").cast("double") * F.col("n"))
+        / (F.col("n_s").cast("double") * F.col("c_v"))
+    )
+    return (
+        sv.join(F.broadcast(st), "source")
+        .join(F.broadcast(cv), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_s", "n_distinct", term.alias("term"))
+        .groupBy("source", "n_s", "n_distinct")
+        .agg(dsum(F.col("term")).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_QUALITY_ORACLE = f"""
+    WITH {GOPHER_FEAT_SQL},
+    fp AS (
+      SELECT doc_id,
+             md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    dups AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+                  AS INT) AS is_dup
+      FROM fp
+    )
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT g.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(g.n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           CAST(SUM(g.keep) AS BIGINT) AS n_keep,
+           CAST(SUM(g.keep) AS DOUBLE) / COUNT(*) AS keep_rate,
+           CAST(SUM(d.is_dup) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(d.is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM gopher g JOIN dups d USING (doc_id)
+    GROUP BY g.source ORDER BY g.source
+"""
+
+
+@register(
+    "source_quality_report",
+    category="pipeline",
+    oracle=_SOURCE_QUALITY_ORACLE,
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: the one-page report a data
+    team reviews before admitting a source into a training mixture —
+    volume, language spread, mean length, Gopher-rule keep rate, and
+    exact-duplicate rate, one row per source. Composes gopher_flags
+    (shared with filter_gopher_rules) and the normalized fingerprint
+    (shared with dedup_exact), so the report can never drift from the
+    operators it summarizes.
+
+    Scale: flags are map-side expressions; dup detection is ONE shuffle
+    on the md5 fingerprint (row_number per fingerprint, first doc_id
+    survives); the final per-source aggregate moves map-side-combined
+    partials. n_sources rows out — driver-safe at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    flags = gopher_flags(d)
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    dups = (
+        d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+        .withColumn(
+            "is_dup",
+            (F.row_number().over(w_fp) > 1).cast("int"),
+        )
+        .select("doc_id", "is_dup")
+    )
+    n_docs = F.count(F.lit(1))
+    return (
+        flags.join(dups, "doc_id")
+        .groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.sum("n_tokens").cast("double") / n_docs).alias("mean_tokens"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            (F.sum("keep").cast("double") / n_docs).alias("keep_rate"),
+            F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+            (F.sum("is_dup").cast("double") / n_docs).alias("dup_rate"),
+        )
+        .orderBy("source")
     )

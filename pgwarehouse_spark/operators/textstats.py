@@ -402,9 +402,11 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # instead of hard-dropping.
 _GOPHER_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
-_GOPHER_ORACLE = r"""
-    WITH base AS (
-      SELECT doc_id, lang,
+# Shared SQL CTE chain: per-document Gopher features + keep verdict
+# (used by filter_gopher_rules' oracle and source_quality_report's).
+GOPHER_FEAT_SQL = r"""
+    gopher_base AS (
+      SELECT doc_id, lang, source,
              string_split_regex(TRIM(text), '\s+') AS l,
              CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS INT)
                AS n_word_chars,
@@ -414,29 +416,30 @@ _GOPHER_ORACLE = r"""
              {stop_hits} AS stopword_hits
       FROM documents
     ),
-    feat AS (
-      SELECT doc_id, lang,
+    gopher_feat AS (
+      SELECT doc_id, lang, source,
              CAST(LEN(l) AS INT) AS n_tokens,
              CAST(n_word_chars AS DOUBLE) / LEN(l) AS mean_word_len,
              CAST(n_symbols AS DOUBLE) / LEN(l) AS symbol_ratio,
              CAST(LEN(list_filter(l, x -> regexp_matches(x, '[a-z]')))
                   AS DOUBLE) / LEN(l) AS alpha_word_frac,
              stopword_hits
-      FROM base
+      FROM gopher_base
+    ),
+    gopher AS (
+      SELECT *,
+             CAST(n_tokens BETWEEN 50 AND 100000 AS INT) AS pass_len,
+             CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS pass_mean_len,
+             CAST(symbol_ratio <= 0.1 AS INT) AS pass_symbol,
+             CAST(alpha_word_frac >= 0.8 AS INT) AS pass_alpha,
+             CAST(stopword_hits >= 2 AS INT) AS pass_stopword,
+             CAST(n_tokens BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio <= 0.1
+                  AND alpha_word_frac >= 0.8
+                  AND stopword_hits >= 2 AS INT) AS keep
+      FROM gopher_feat
     )
-    SELECT doc_id, lang, n_tokens, mean_word_len, symbol_ratio,
-           alpha_word_frac, stopword_hits,
-           CAST(n_tokens BETWEEN 50 AND 100000 AS INT) AS pass_len,
-           CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS pass_mean_len,
-           CAST(symbol_ratio <= 0.1 AS INT) AS pass_symbol,
-           CAST(alpha_word_frac >= 0.8 AS INT) AS pass_alpha,
-           CAST(stopword_hits >= 2 AS INT) AS pass_stopword,
-           CAST(n_tokens BETWEEN 50 AND 100000
-                AND mean_word_len BETWEEN 3.0 AND 10.0
-                AND symbol_ratio <= 0.1
-                AND alpha_word_frac >= 0.8
-                AND stopword_hits >= 2 AS INT) AS keep
-    FROM feat ORDER BY doc_id
 """.format(
     stop_hits="CAST("
     + " + ".join(
@@ -445,6 +448,68 @@ _GOPHER_ORACLE = r"""
     )
     + " AS INT)"
 )
+
+_GOPHER_ORACLE = f"""
+    WITH {GOPHER_FEAT_SQL}
+    SELECT doc_id, lang, n_tokens, mean_word_len, symbol_ratio,
+           alpha_word_frac, stopword_hits,
+           pass_len, pass_mean_len, pass_symbol, pass_alpha,
+           pass_stopword, keep
+    FROM gopher ORDER BY doc_id
+"""
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """Per-document Gopher features + rule flags + keep verdict, keyed
+    by (doc_id, lang, source) — the Spark twin of GOPHER_FEAT_SQL."""
+    text = F.col("text")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    stop_hits = sum(
+        (
+            F.when(_count_token(text, w) > 0, 1).otherwise(0)
+            for w in _GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    ).cast("int")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split(F.trim(text), r"\s+").alias("l"),
+        F.length(F.regexp_replace(text, r"\s", "")).cast("int").alias("n_word_chars"),
+        (n_hash + n_ellipsis).cast("int").alias("n_symbols"),
+        stop_hits.alias("stopword_hits"),
+    )
+    n_tokens = F.size("l")
+    feat = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("int").alias("n_tokens"),
+        (F.col("n_word_chars").cast("double") / n_tokens).alias("mean_word_len"),
+        (F.col("n_symbols").cast("double") / n_tokens).alias("symbol_ratio"),
+        F.expr(
+            "CAST(size(filter(l, x -> x rlike '[a-z]')) AS DOUBLE) / size(l)"
+        ).alias("alpha_word_frac"),
+        "stopword_hits",
+    )
+    p_len = F.col("n_tokens").between(50, 100000)
+    p_mean = F.col("mean_word_len").between(3.0, 10.0)
+    p_sym = F.col("symbol_ratio") <= 0.1
+    p_alpha = F.col("alpha_word_frac") >= 0.8
+    p_stop = F.col("stopword_hits") >= 2
+    return feat.select(
+        "*",
+        p_len.cast("int").alias("pass_len"),
+        p_mean.cast("int").alias("pass_mean_len"),
+        p_sym.cast("int").alias("pass_symbol"),
+        p_alpha.cast("int").alias("pass_alpha"),
+        p_stop.cast("int").alias("pass_stopword"),
+        (p_len & p_mean & p_sym & p_alpha & p_stop).cast("int").alias("keep"),
+    )
 
 
 @register("filter_gopher_rules", category="text", oracle=_GOPHER_ORACLE)
@@ -463,64 +528,9 @@ def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_repetition_stats (Gopher's repetition rules) and
     text_quality_score (C4-style heuristics)."""
     d = t(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / 3
-    stop_hits = sum(
-        (
-            F.when(_count_token(text, w) > 0, 1).otherwise(0)
-            for w in _GOPHER_STOPWORDS
-        ),
-        F.lit(0),
-    ).cast("int")
-    base = d.select(
-        "doc_id",
-        "lang",
-        F.split(F.trim(text), r"\s+").alias("l"),
-        F.length(F.regexp_replace(text, r"\s", "")).cast("int").alias("n_word_chars"),
-        (n_hash + n_ellipsis).cast("int").alias("n_symbols"),
-        stop_hits.alias("stopword_hits"),
-    )
-    n_tokens = F.size("l")
-    mean_len = F.col("n_word_chars").cast("double") / n_tokens
-    sym_ratio = F.col("n_symbols").cast("double") / n_tokens
-    alpha_frac = F.expr(
-        "CAST(size(filter(l, x -> x rlike '[a-z]')) AS DOUBLE) / size(l)"
-    )
-    feat = base.select(
-        "doc_id",
-        "lang",
-        n_tokens.cast("int").alias("n_tokens"),
-        mean_len.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        "stopword_hits",
-    )
-    p_len = F.col("n_tokens").between(50, 100000)
-    p_mean = F.col("mean_word_len").between(3.0, 10.0)
-    p_sym = F.col("symbol_ratio") <= 0.1
-    p_alpha = F.col("alpha_word_frac") >= 0.8
-    p_stop = F.col("stopword_hits") >= 2
     return (
-        feat.select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "mean_word_len",
-            "symbol_ratio",
-            "alpha_word_frac",
-            "stopword_hits",
-            p_len.cast("int").alias("pass_len"),
-            p_mean.cast("int").alias("pass_mean_len"),
-            p_sym.cast("int").alias("pass_symbol"),
-            p_alpha.cast("int").alias("pass_alpha"),
-            p_stop.cast("int").alias("pass_stopword"),
-            (p_len & p_mean & p_sym & p_alpha & p_stop)
-            .cast("int")
-            .alias("keep"),
-        )
+        gopher_flags(d)
+        .drop("source")
         .orderBy("doc_id")
     )
 
