@@ -61,6 +61,27 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """At-least-once ingest dedup via ``dropDuplicatesWithinWatermark``:
+    collapses re-deliveries of the same event_id whose event TIMESTAMPS
+    differ (a redelivered record restamped by the producer — the case
+    plain dropDuplicates treats as two distinct keys-with-state when the
+    key includes ts, or keeps state for forever when it does not).
+    State for a key is evicted once the watermark passes the FIRST
+    sighting + delay, so memory is bounded by the horizon's key arrival
+    rate rather than the stream's lifetime key count — the property
+    that matters when event_id space is unbounded at 100 TB/day.
+
+    The first-arriving record per event_id within the horizon wins —
+    matching the reference's INSERT OR IGNORE-style at-least-once load
+    semantics (SURVEY §2-A upserts)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_sessionize(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:

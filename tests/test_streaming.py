@@ -371,3 +371,34 @@ def test_stream_near_dup_filter_across_batches(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(index).select("doc_id").distinct().collect()
     }
     assert idx_docs == {1, 2, 11}
+
+
+def test_stream_dedup_within_watermark_collapses_restamped(spark, tmp_path):
+    """Two deliveries of the same event_id with different ts (producer
+    restamp) must collapse to one row; distinct ids all survive."""
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "restamped")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 2, "click", 2.0, "{}"),
+    ]
+    redelivered = [
+        # same event_id=1, restamped 30s later — inside the horizon
+        (1, "2024-01-01 10:00:30", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 3, "view", 3.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, batch in enumerate([rows, redelivered]):
+        spark.createDataFrame(batch, cols).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    _run_to_completion(stream_dedup_within_watermark(stream), "dedup_wm")
+    got = spark.sql("select event_id from dedup_wm").collect()
+    ids = sorted(r.event_id for r in got)
+    assert ids == [1, 2, 3], ids
