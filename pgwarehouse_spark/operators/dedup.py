@@ -1024,11 +1024,18 @@ def embedding_cosine_pairs(
 # variant reuses operators/similarity.kmeans_centroids.
 _SEMDEDUP_STRIDE = 50  # vec_id % stride == 0 → centroid seed
 _SEMDEDUP_TAU = 0.35  # testdata max pair cosine ≈ 0.48
+# hot-cluster guard: clusters larger than this sub-split by a portable
+# md5 hash of vec_id so no cell's pair join exceeds ~MAX_CELL² work —
+# the same boilerplate-blowup cap the LSH band buckets carry. Chosen
+# below the sf0.01 max cluster size (59) so the split path is exercised
+# by the driver gate, not just documented.
+_SEMDEDUP_MAX_CELL = 48
 
 
 def _semdedup_assign_sql(stride: int) -> str:
     """DuckDB CTEs: stride-seeded centroids + nearest-centroid (by exact
-    dot product, centroid_id tie-break) assignment of every vector."""
+    dot product, centroid_id tie-break) assignment of every vector,
+    then the hot-cluster sub-split (portable md5 sub-cell hash)."""
     from ..functions.vector import sql_dot
 
     return f"""
@@ -1036,7 +1043,7 @@ def _semdedup_assign_sql(stride: int) -> str:
       SELECT vec_id AS centroid_id, embedding AS cent_emb
       FROM embeddings WHERE vec_id % {stride} = 0
     ),
-    assign AS (
+    assign0 AS (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT v.vec_id, v.embedding, c.centroid_id,
                ROW_NUMBER() OVER (
@@ -1046,6 +1053,18 @@ def _semdedup_assign_sql(stride: int) -> str:
                ) AS rn
         FROM embeddings v CROSS JOIN cents c
       ) WHERE rn = 1
+    ),
+    csize AS (
+      SELECT centroid_id, COUNT(*) AS n_c,
+             CAST(CEIL(COUNT(*) / {_SEMDEDUP_MAX_CELL}.0) AS BIGINT)
+               AS n_cells
+      FROM assign0 GROUP BY centroid_id
+    ),
+    assign AS (
+      SELECT a.vec_id, a.embedding, a.centroid_id, s.n_c,
+             CAST('0x' || SUBSTR(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % s.n_cells AS sub_cell
+      FROM assign0 a JOIN csize s USING (centroid_id)
     )"""
 
 
@@ -1057,12 +1076,13 @@ def _semdedup_assign_sql(stride: int) -> str:
     dup_ids AS (
       SELECT DISTINCT b.vec_id
       FROM assign a JOIN assign b
-        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        ON a.centroid_id = b.centroid_id
+       AND a.sub_cell = b.sub_cell
+       AND a.vec_id < b.vec_id
       WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
     )
     SELECT v.vec_id, v.centroid_id,
-           CAST(COUNT(*) OVER (PARTITION BY v.centroid_id) AS BIGINT)
-             AS n_cluster_members,
+           CAST(v.n_c AS BIGINT) AS n_cluster_members,
            CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
              AS is_dup
     FROM assign v LEFT JOIN dup_ids d ON v.vec_id = d.vec_id
@@ -1083,11 +1103,16 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is a broadcast join against the centroid set — centroids are
     k rows, never the corpus). At 100 TB, k scales with the corpus so
     each cluster stays executor-sized, and the within-cluster join
-    stays local to its partition. Stride-seeded centroids (same seeds
-    as sim_topk_ivf) keep every step decimal-exact and deterministic —
-    the oracle replays the identical assignment; swap in
-    similarity.kmeans_centroids for trained cells when determinism
-    across engines is not required."""
+    stays local to its partition. Hot-cluster guard: clusters above
+    {max_cell} members sub-split by a portable md5 hash of vec_id, so
+    one boilerplate mega-cluster (the real-corpus failure mode — k-means
+    collapses near-identical docs into one cell) can never go quadratic;
+    the cost is missed cross-sub-cell pairs, the same recall-for-bound
+    trade the LSH hot-bucket cap makes. Stride-seeded centroids (same
+    seeds as sim_topk_ivf) keep every step decimal-exact and
+    deterministic — the oracle replays the identical assignment AND the
+    identical sub-split; swap in similarity.kmeans_centroids for
+    trained cells when determinism across engines is not required."""
     from .similarity import _assign_nearest
 
     e = t(spark, sf_dir, "embeddings")
@@ -1096,9 +1121,23 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cent_emb"),
     )
     assigned = _assign_nearest(e, cents)
-    withnorm = assigned.select(
+    csize = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.ceil(F.count(F.lit(1)) / float(_SEMDEDUP_MAX_CELL)).alias("n_cells"),
+    )
+    sub_cell = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("n_cells")
+    )
+    withnorm = assigned.join(F.broadcast(csize), "centroid_id").select(
         "vec_id",
         "centroid_id",
+        "n_c",
+        sub_cell.alias("sub_cell"),
         "embedding",
         F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
@@ -1111,13 +1150,13 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.sub_cell") == F.col("b.sub_cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= _SEMDEDUP_TAU)
         .select(F.col("b.vec_id").alias("dup_id"))
         .distinct()
     )
-    w_cluster = W.partitionBy("centroid_id")
     return (
         withnorm.join(
             dup_ids, F.col("vec_id") == F.col("dup_id"), "left_outer"
@@ -1125,7 +1164,7 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "centroid_id",
-            F.count(F.lit(1)).over(w_cluster).alias("n_cluster_members"),
+            F.col("n_c").cast("bigint").alias("n_cluster_members"),
             F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
         )
         .orderBy("vec_id")
@@ -1134,4 +1173,4 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 semdedup_centroid.__doc__ = semdedup_centroid.__doc__.replace(
     "{tau}", str(_SEMDEDUP_TAU)
-)
+).replace("{max_cell}", str(_SEMDEDUP_MAX_CELL))

@@ -599,9 +599,12 @@ def pq_codebook(e: DataFrame) -> DataFrame:
 
 def pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, m, code, dist): per-subspace nearest codeword (exact
-    decimal argmin, tie-break on k). One broadcast join against K rows
-    and a per-(vector, subspace) top-1 — no corpus-sized shuffle except
-    the window's hash partition on vec_id."""
+    decimal argmin, tie-break on k). One broadcast join against K rows,
+    then `min(struct(dist, k))` — struct ordering compares the exact
+    decimal first, k second, so the argmin is deterministic AND the
+    aggregate partial-combines map-side (no window sort of the
+    N·M·K candidate relation; the one exchange carries pre-reduced
+    (vec, subspace) partials)."""
     sub = e.select(
         "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
     )
@@ -609,15 +612,19 @@ def pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
         F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
         for m in range(PQ_M)
     ]
-    w = W.partitionBy("vec_id", "m").orderBy(F.col("dist").asc(), F.col("k").asc())
     return (
         sub.join(F.broadcast(codebook))
         .select(
             "vec_id", "m", "k", F.coalesce(*dists).alias("dist")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("k").alias("code"), "dist")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "k")).alias("best"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.k").alias("code"),
+            F.col("best.dist").alias("dist"),
+        )
     )
 
 
