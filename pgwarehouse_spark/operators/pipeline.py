@@ -525,27 +525,41 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_unigram_logprob",
-    category="pipeline",
-    oracle=r"""
-    WITH tok AS (
+# Shared CTE chain: per-document mean token log-prob under the corpus
+# unigram model — reused by text_unigram_logprob's oracle and
+# sample_quality_buckets' (one definition, two consumers).
+UNIGRAM_LP_SQL = r"""
+    ulp_tok AS (
       SELECT doc_id,
              unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
       FROM documents
     ),
-    tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-    vocab AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok2 GROUP BY w),
-    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
-    scored AS (
-      SELECT t.doc_id, LN(v.c / tot.n) AS lp
-      FROM tok2 t JOIN vocab v USING (w), tot
+    ulp_tok2 AS (SELECT doc_id, w FROM ulp_tok WHERE w <> ''),
+    ulp_vocab AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM ulp_tok2 GROUP BY w
+    ),
+    ulp_tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ulp_vocab),
+    ulp_scored AS (
+      SELECT t.doc_id, LN(v.c / ulp_tot.n) AS lp
+      FROM ulp_tok2 t JOIN ulp_vocab v USING (w), ulp_tot
+    ),
+    unigram_lp AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_logprob
+      FROM ulp_scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-             AS avg_logprob
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    category="pipeline",
+    oracle=f"""
+    WITH {UNIGRAM_LP_SQL}
+    SELECT doc_id, n_tokens, avg_logprob
+    FROM unigram_lp ORDER BY doc_id
     """,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,4 +893,92 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("is_dup").cast("double") / n_docs).alias("dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+# DoReMi-flavored quality-bucket sampling: documents ranked by their
+# unigram-LM quality score, split into quintiles, sampled at a rate
+# that rises with quality. Rates in 1/65536 units so the hash-threshold
+# comparison is pure integer.
+_QUALITY_BUCKETS = 5
+_BUCKET_KEEP_65536 = [13107, 26214, 39321, 52428, 65536]  # 0.2 .. 1.0
+
+
+@register(
+    "sample_quality_buckets",
+    category="pipeline",
+    oracle=f"""
+    WITH {UNIGRAM_LP_SQL},
+    ranked AS (
+      SELECT doc_id, avg_logprob,
+             ROW_NUMBER() OVER (ORDER BY avg_logprob, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM unigram_lp
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CAST(FLOOR((rk - 1) * {_QUALITY_BUCKETS}.0 / n) AS BIGINT)
+               AS bucket,
+             CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               AS h
+      FROM ranked
+    ),
+    verdicts AS (
+      SELECT bucket, doc_id,
+             CASE WHEN h < CASE bucket
+               {' '.join(f'WHEN {b} THEN {r}' for b, r in enumerate(_BUCKET_KEEP_65536))}
+             END THEN 1 ELSE 0 END AS kept
+      FROM bucketed
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+    FROM verdicts GROUP BY bucket ORDER BY bucket
+    """,
+)
+def sample_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling (the DoReMi/quality-curriculum
+    shape): rank every document by its unigram-LM score, cut the
+    ranking into quintiles, and keep a hash-deterministic fraction that
+    rises with quality (20% of the worst bucket, 100% of the best) —
+    upweighting high-quality data without dropping the tail entirely.
+
+    Scale: the score reuses text_unigram_logprob's two-aggregation
+    plan; the global ranking is the distributed two-pass prefix sum
+    (`global_rank_cumsum` — range partition + per-partition rank +
+    broadcast offsets, NO single-partition exchange, plan-pinned for
+    its other consumers); membership is an integer md5-threshold per
+    doc — RNG-free, append-stable within a bucket assignment, and
+    bit-identical cross-engine. Output is the per-bucket manifest."""
+    from ._helpers import global_rank_cumsum
+
+    lp = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    ranked, total, _ = global_rank_cumsum(
+        lp, [F.col("avg_logprob"), F.col("doc_id")], rank_name="rk"
+    )
+    bucket = F.floor(
+        (F.col("rk") - 1) * _QUALITY_BUCKETS / F.lit(float(total))
+    ).cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("bucket") == b, F.lit(r))
+            for b, r in enumerate(_BUCKET_KEEP_65536)
+        ]
+    )
+    return (
+        ranked.select("doc_id", bucket.alias("bucket"), h.alias("h"))
+        .withColumn("kept", F.when(F.col("h") < rate, 1).otherwise(0))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+        )
+        .orderBy("bucket")
     )

@@ -1066,3 +1066,72 @@ def join_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "agg_approx_percentile",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_bounds,
+           TRUE AS p95_within_bounds
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="approx_percentile (Greenwald-Khanna sketch): the fixed-memory "
+    "single-pass quantile path for 100 TB inputs. Sketch VALUES are "
+    "merge-order-specific, so — like agg_approx_distinct — the oracle "
+    "checks the published RANK-ERROR bound as a verdict: Spark counts "
+    "rows strictly below / at-or-below each approximate quantile and "
+    "asserts the rank lands within p*n ± n/accuracy; the SQL oracle "
+    "reproduces the exact group sizes plus literal TRUE. A sketch "
+    "drifting outside its guarantee turns the row red.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    accuracy = 1000  # rank error <= n / accuracy
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, accuracy).alias("a50"),
+        F.percentile_approx("l_quantity", 0.95, accuracy).alias("a95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def verdict(p: str, frac: float):
+        # GK guarantee: the returned value's rank r satisfies
+        # (frac - eps)*n <= r <= (frac + eps)*n with eps = 1/accuracy.
+        # cnt_le >= lower bound AND cnt_lt <= upper bound pins it using
+        # only exact integer counts.
+        eps_n = F.col("n_rows").cast("double") / accuracy
+        lower = frac * F.col("n_rows").cast("double") - eps_n
+        upper = frac * F.col("n_rows").cast("double") + eps_n
+        return (F.col(f"cnt_le_{p}").cast("double") >= lower) & (
+            F.col(f"cnt_lt_{p}").cast("double") <= upper
+        )
+
+    ranked = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows")
+        .agg(
+            F.sum((F.col("l_quantity") <= F.col("a50")).cast("long")).alias(
+                "cnt_le_p50"
+            ),
+            F.sum((F.col("l_quantity") < F.col("a50")).cast("long")).alias(
+                "cnt_lt_p50"
+            ),
+            F.sum((F.col("l_quantity") <= F.col("a95")).cast("long")).alias(
+                "cnt_le_p95"
+            ),
+            F.sum((F.col("l_quantity") < F.col("a95")).cast("long")).alias(
+                "cnt_lt_p95"
+            ),
+        )
+    )
+    return (
+        ranked.select(
+            "l_returnflag",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            verdict("p50", 0.5).alias("p50_within_bounds"),
+            verdict("p95", 0.95).alias("p95_within_bounds"),
+        )
+        .orderBy("l_returnflag")
+    )

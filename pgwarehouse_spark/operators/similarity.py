@@ -417,15 +417,29 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, centroid_id): nearest centroid by dot product
-    (broadcast centroids, deterministic tie-break on centroid_id)."""
+    (broadcast centroids, deterministic tie-break on centroid_id).
+
+    Argmax via `max(struct(sim, -centroid_id))`: struct ordering
+    compares the exact-decimal similarity first, then the negated id —
+    identical winner to ORDER BY sim DESC, centroid_id ASC — and the
+    aggregate partial-combines map-side, so the N·k candidate relation
+    reduces before its exchange instead of window-sorting through it
+    (the window variant shuffled every candidate row)."""
     sim = _dot(F.col("embedding"), F.col("cent_emb"))
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     return (
         vectors.join(F.broadcast(centroids))
-        .select("vec_id", "embedding", "centroid_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                sim.alias("sim"), (-F.col("centroid_id")).alias("neg_id")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "vec_id", "embedding", (-F.col("best.neg_id")).alias("centroid_id")
+        )
     )
 
 
