@@ -72,6 +72,8 @@ HEADLINE = [
     "corpus_drift_kl",
     "source_quality_report",
     "sim_topk_ivfpq",
+    "sample_quality_buckets",
+    "graph_pagerank",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Iterative graph analytics on DataFrames — PageRank over the part
+co-purchase graph (parts are nodes; an edge joins two parts bought in
+the same order). Complements the label-propagation connected components
+in operators/dedup.py: together they cover the two iterative-algorithm
+shapes a warehouse meets (component discovery, influence scoring).
+
+No anchor in the reference (it stops at sync); this is the
+training-data / analytics extension surface. Everything is DataFrame
+joins + aggregations — no RDDs, no Pregel, no Python in the loop.
+
+Determinism: every per-row operation is IEEE double arithmetic
+(identical in any engine) and every SUM goes through a DECIMAL(28,12)
+cast (exact, order-independent), so five unrolled iterations produce
+bit-identical scores on Spark and DuckDB at any partition count — the
+oracle replays the identical recurrence as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import t
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+_PR_TOP = 100
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges as a directed pair list (both
+    orientations), deduplicated to distinct (src, dst)."""
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _sql_pagerank_iter(prev: str, nxt: str) -> str:
+    """One PageRank step as a DuckDB CTE: contribution sums are
+    decimal-cast per edge then summed exactly; dangling nodes keep only
+    the teleport term (no out-edges in an undirected co-purchase graph
+    cannot happen for nodes that exist, but isolated handling is kept
+    explicit via LEFT JOIN)."""
+    # the damping literal must be an IEEE DOUBLE on both engines (a
+    # DECIMAL 0.85 divides/multiplies differently than float 0.85), so
+    # every arithmetic step below mirrors the Spark expression bit-
+    # for-bit.
+    return f"""
+    {nxt} AS (
+      SELECT n.part,
+             (1 - CAST({_PR_DAMPING} AS DOUBLE)) / nn.n_nodes +
+             CAST({_PR_DAMPING} AS DOUBLE) * COALESCE(CAST(SUM(
+               CAST(p.score / p.out_deg AS DECIMAL(28,12))
+             ) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score,
+             n.out_deg
+      FROM nodes n
+      CROSS JOIN n_nodes nn
+      LEFT JOIN edges e ON e.dst = n.part
+      LEFT JOIN {prev} p ON p.part = e.src
+      GROUP BY n.part, nn.n_nodes, n.out_deg
+    )"""
+
+
+_PR_ITER_SQL = ",".join(
+    _sql_pagerank_iter(f"it{i}", f"it{i + 1}") for i in range(_PR_ITERS)
+)
+
+_PAGERANK_ORACLE = f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (
+      SELECT src AS part, COUNT(*) AS out_deg FROM edges GROUP BY src
+    ),
+    n_nodes AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    it0 AS (
+      SELECT part, CAST(1.0 AS DOUBLE) / nn.n_nodes AS score, out_deg
+      FROM nodes CROSS JOIN n_nodes nn
+    ),
+    {_PR_ITER_SQL}
+    SELECT part, score, CAST(out_deg AS BIGINT) AS out_deg FROM (
+      SELECT part, score, out_deg,
+             ROW_NUMBER() OVER (ORDER BY score DESC, part ASC) AS rk
+      FROM it{_PR_ITERS}
+    ) WHERE rk <= {_PR_TOP}
+    ORDER BY score DESC, part ASC
+"""
+
+
+@register("graph_pagerank", category="graph", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph ({iters} unrolled power
+    iterations, damping {d}): which parts sit at the center of basket
+    co-occurrence — the influence/centrality primitive (product
+    importance, seed selection, crawl prioritization all reduce to it).
+
+    Scale: each iteration is one equi-join of the edge list with the
+    current score vector plus a partial-aggregated groupBy on dst —
+    shuffle volume is O(edges) fixed-width rows per iteration, the
+    canonical edge-partitioned PageRank (what GraphX's Pregel compiles
+    to, minus its RDD caching semantics). Scores materialize per
+    iteration through localCheckpoint so the 5-deep lineage never
+    re-executes upstream joins. The undirected co-purchase graph has
+    out_deg >= 1 for every node by construction, so no dangling-mass
+    redistribution is needed. Decimal-cast contribution sums keep every
+    iteration bit-identical across engines and partition counts — the
+    oracle replays the recurrence as chained CTEs. Final top-{top} is
+    TakeOrdered (per-partition heaps), never a global sort."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li)
+    nodes = edges.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_nodes = nodes.count()
+
+    scores = nodes.select(
+        "part", (F.lit(1.0) / n_nodes).alias("score"), "out_deg"
+    ).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                scores.select(
+                    F.col("part").alias("src"),
+                    (F.col("score") / F.col("out_deg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("part"))
+            .agg(
+                F.sum(F.col("w").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("in_mass")
+            )
+        )
+        scores = (
+            nodes.join(contrib, "part", "left_outer")
+            .select(
+                "part",
+                (
+                    F.lit((1 - _PR_DAMPING) / n_nodes)
+                    + _PR_DAMPING * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("score"),
+                "out_deg",
+            )
+            .localCheckpoint()
+        )
+    return (
+        scores.select("part", "score", F.col("out_deg").cast("bigint").alias("out_deg"))
+        .orderBy(F.col("score").desc(), F.col("part").asc())
+        .limit(_PR_TOP)
+    )
+
+
+graph_pagerank.__doc__ = (
+    graph_pagerank.__doc__.replace("{iters}", str(_PR_ITERS))
+    .replace("{d}", str(_PR_DAMPING))
+    .replace("{top}", str(_PR_TOP))
+)

@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         asof,
         eventwindows,
         pipeline,
+        graph,
     )
 
     _LOADED = True

@@ -1,0 +1,50 @@
+"""PageRank invariants on the co-purchase graph."""
+
+from __future__ import annotations
+
+
+def test_pagerank_mass_and_shape(spark, sf_dir):
+    """With no dangling nodes, total PageRank mass is conserved at 1.0
+    (up to float epsilon) every iteration; the registered query returns
+    the top slice ordered by score."""
+    from pgwarehouse_spark.operators.graph import (
+        _PR_ITERS,
+        _copurchase_edges,
+        graph_pagerank,
+    )
+    from pgwarehouse_spark.operators._helpers import t
+    from pyspark.sql import functions as F
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li)
+    # undirected construction: every src also appears as dst, so no
+    # node loses mass to a missing out-edge set
+    only_dst = edges.select("dst").subtract(edges.select("src"))
+    assert only_dst.count() == 0
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert rows
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.out_deg >= 1 for r in rows)
+    assert all(r.score > 0 for r in rows)
+
+
+def test_pagerank_favors_high_degree(spark, sf_dir):
+    """On a co-purchase graph the rank head must be degree-correlated:
+    the mean out-degree of the top-10 exceeds the graph's mean."""
+    from pgwarehouse_spark.operators.graph import _copurchase_edges, graph_pagerank
+    from pgwarehouse_spark.operators._helpers import t
+    from pyspark.sql import functions as F
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    mean_deg = (
+        _copurchase_edges(li)
+        .groupBy("src")
+        .count()
+        .agg(F.avg("count"))
+        .collect()[0][0]
+    )
+    top10 = graph_pagerank(spark, sf_dir).limit(10).collect()
+    top_mean = sum(r.out_deg for r in top10) / len(top10)
+    assert top_mean > mean_deg
