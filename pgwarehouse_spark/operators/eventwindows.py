@@ -809,3 +809,93 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_BETA = 1 - _EWMA_ALPHA  # both engines fold with these exact doubles
+
+
+@register(
+    "events_ewma_smoothing",
+    category="events",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    seqs AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS days,
+             list(CAST(n_events AS DOUBLE) ORDER BY day) AS xs,
+             list(n_events ORDER BY day) AS ns
+      FROM daily GROUP BY event_type
+    ),
+    unrolled AS (
+      SELECT event_type, days, xs, ns,
+             unnest(generate_series(1, len(xs))) AS t
+      FROM seqs
+    )
+    SELECT event_type,
+           CAST(days[t] AS TIMESTAMP) AS day,
+           ns[t] AS n_events,
+           list_reduce(
+             list_slice(xs, 1, t),
+             (acc, x) -> CAST({_EWMA_ALPHA!r} AS DOUBLE) * x
+                         + CAST({_EWMA_BETA!r} AS DOUBLE) * acc
+           ) AS ewma
+    FROM unrolled
+    ORDER BY event_type, day
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event volume
+    per type (s_1 = x_1; s_t = a*x_t + (1-a)*s_[t-1], a={alpha}) —
+    the standard smoothing/short-horizon-forecast primitive a metrics
+    pipeline layers on the warehouse (`ewma` at the last day IS the
+    one-step forecast; pair with events_zscore_anomaly for control
+    bands).
+
+    Scale: the recurrence is inherently sequential per series, so each
+    series' history is collected into ONE array (bounded by days — a
+    few thousand elements even for a decade) and folded with JVM array
+    lambdas; parallelism is the series count, and nothing row-grained
+    shuffles after the daily pre-aggregation (map-side combined). The
+    per-day prefix folds re-reduce the slice (O(days²) per series —
+    at typical day counts cheaper than materializing state); for very
+    long series switch to per-year segment folds carried forward.
+    Determinism: both engines fold identical IEEE doubles in identical
+    day order, so the EWMA stream hash-matches bit-for-bit."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    seqs = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "n_events"))
+        ).alias("seq")
+    )
+    unrolled = seqs.select(
+        "event_type",
+        F.expr("transform(seq, s -> CAST(s.n_events AS DOUBLE))").alias("xs"),
+        F.posexplode(F.col("seq")).alias("p", "s"),
+    )
+    ewma = F.expr(
+        f"aggregate(slice(xs, 2, p), xs[0], "
+        f"(acc, x) -> CAST({_EWMA_ALPHA!r} AS DOUBLE) * x"
+        f" + CAST({_EWMA_BETA!r} AS DOUBLE) * acc)"
+    )
+    return (
+        unrolled.select(
+            "event_type",
+            F.col("s.day").alias("day"),
+            F.col("s.n_events").alias("n_events"),
+            ewma.alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+events_ewma_smoothing.__doc__ = events_ewma_smoothing.__doc__.replace(
+    "{alpha}", str(_EWMA_ALPHA)
+)
