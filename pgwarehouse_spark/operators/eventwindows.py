@@ -899,3 +899,95 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_ewma_smoothing.__doc__ = events_ewma_smoothing.__doc__.replace(
     "{alpha}", str(_EWMA_ALPHA)
 )
+
+
+@register(
+    "audit_value_constraints",
+    category="sync",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_ship
+      FROM lineitem
+    ),
+    o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_status,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_price
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'lineitem' AS table_name, 'quantity_range' AS constraint_name,
+             n AS n_rows, v_qty AS n_violations,
+             CAST(v_qty AS DOUBLE) / n AS violation_rate FROM li
+      UNION ALL
+      SELECT 'lineitem', 'discount_range', n, v_disc,
+             CAST(v_disc AS DOUBLE) / n FROM li
+      UNION ALL
+      SELECT 'lineitem', 'shipdate_not_null', n, v_ship,
+             CAST(v_ship AS DOUBLE) / n FROM li
+      UNION ALL
+      SELECT 'orders', 'status_enum', n, v_status,
+             CAST(v_status AS DOUBLE) / n FROM o
+      UNION ALL
+      SELECT 'orders', 'totalprice_positive', n, v_price,
+             CAST(v_price AS DOUBLE) / n FROM o
+    ) ORDER BY table_name, constraint_name
+    """,
+)
+def audit_value_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit: declarative value constraints (range, enum,
+    not-null) evaluated as conditional aggregates — the post-load gate
+    that catches a source schema drift or a bad extract before it
+    propagates (complements audit_fk_orphans' referential checks and
+    profile_columns' unconstrained stats).
+
+    Scale: ALL of a table's constraints evaluate in ONE scan (each is a
+    conditional sum, map-side combined into a single aggregate row), so
+    cost is scans-per-table, not scans-per-constraint; output is one
+    row per constraint. Adding a constraint is adding a column
+    expression — no new pass."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 0).otherwise(1)).cast("bigint")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("l_quantity").between(1, 50)).alias("v_qty"),
+        viol(F.col("l_discount").between(0.0, 0.1)).alias("v_disc"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_ship"),
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        viol(F.col("o_totalprice") > 0).alias("v_price"),
+    )
+
+    def row(src, tbl, cname, vcol):
+        return src.select(
+            F.lit(tbl).alias("table_name"),
+            F.lit(cname).alias("constraint_name"),
+            F.col("n").alias("n_rows"),
+            F.col(vcol).alias("n_violations"),
+            (F.col(vcol).cast("double") / F.col("n")).alias("violation_rate"),
+        )
+
+    return (
+        row(li_agg, "lineitem", "quantity_range", "v_qty")
+        .unionAll(row(li_agg, "lineitem", "discount_range", "v_disc"))
+        .unionAll(row(li_agg, "lineitem", "shipdate_not_null", "v_ship"))
+        .unionAll(row(o_agg, "orders", "status_enum", "v_status"))
+        .unionAll(row(o_agg, "orders", "totalprice_positive", "v_price"))
+        .orderBy("table_name", "constraint_name")
+    )

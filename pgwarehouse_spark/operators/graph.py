@@ -122,10 +122,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the recurrence as chained CTEs. Final top-{top} is
     TakeOrdered (per-partition heaps), never a global sort."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _copurchase_edges(li)
+    # materialize the edge list ONCE — without this every iteration
+    # (plus the node-count action) re-executes the lineitem self-join;
+    # localCheckpoint keeps the materialized partitions and cuts lineage
+    edges = _copurchase_edges(li).localCheckpoint()
     nodes = edges.groupBy(F.col("src").alias("part")).agg(
         F.count(F.lit(1)).alias("out_deg")
-    )
+    ).localCheckpoint()
     n_nodes = nodes.count()
 
     scores = nodes.select(

@@ -891,3 +891,115 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+_CONTRASTIVE_ANCHORS = 20  # vec_id < N → anchors
+_CONTRASTIVE_NEGS = 3
+
+
+@register(
+    "embedding_contrastive_pairs",
+    category="similarity",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
+      FROM embeddings WHERE vec_id < {_CONTRASTIVE_ANCHORS}
+    ),
+    pos AS (
+      SELECT anchor_id, vec_id AS pair_id, 'pos' AS role,
+             CAST(0 AS BIGINT) AS rank FROM (
+        SELECT a.anchor_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.anchor_id
+                 ORDER BY {sql_cosine('a.a_emb', 'c.embedding')} DESC,
+                          c.vec_id ASC
+               ) AS rn
+        FROM anchors a JOIN embeddings c
+          ON c.label = a.a_label AND c.vec_id <> a.anchor_id
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id AS pair_id, 'neg' AS role,
+             CAST(rn AS BIGINT) AS rank FROM (
+        SELECT a.anchor_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.anchor_id
+                 ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                              || CAST(c.vec_id AS VARCHAR)) ASC,
+                          c.vec_id ASC
+               ) AS rn
+        FROM anchors a JOIN embeddings c ON c.label <> a.a_label
+      ) WHERE rn <= {_CONTRASTIVE_NEGS}
+    )
+    SELECT anchor_id, pair_id, role, rank
+    FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+    ORDER BY anchor_id, role DESC, rank, pair_id
+    """,
+)
+def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, ONE hard
+    positive (highest-cosine same-label vector — exact decimal
+    arithmetic) and K hash-drawn negatives from other labels
+    (md5(anchor, candidate) order — RNG-free, append-stable, no
+    coordinated state between workers). This is the dataset-construction
+    step for embedding/contrastive training (SimCLR/InfoNCE-style),
+    expressed as two joins.
+
+    Scale: anchors are the small side (a training batch worth) —
+    broadcast against the corpus, so the corpus is scanned once per
+    role with no shuffle of the big side; both top-1 and top-K prune
+    through WindowGroupLimit (per-partition heaps, never a full sort).
+    Hard-negative variants swap the hash order for ANN-ranked cosine
+    (compose with sim_topk_* candidates)."""
+    e = t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < _CONTRASTIVE_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("a_emb"), F.col("a_emb")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    w_pos = W.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pos = (
+        F.broadcast(anchors)
+        .join(e, (e.label == anchors.a_label) & (e.vec_id != anchors.anchor_id))
+        .select("anchor_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pair_id"),
+            F.lit("pos").alias("role"),
+            F.lit(0).cast("bigint").alias("rank"),
+        )
+    )
+    draw = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+        ).cast("binary")
+    )
+    w_neg = W.partitionBy("anchor_id").orderBy(
+        F.col("draw").asc(), F.col("vec_id").asc()
+    )
+    neg = (
+        F.broadcast(anchors.select("anchor_id", "a_label"))
+        .join(e, e.label != anchors.a_label)
+        .select("anchor_id", "vec_id", draw.alias("draw"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") <= _CONTRASTIVE_NEGS)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pair_id"),
+            F.lit("neg").alias("role"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+    return pos.unionAll(neg).orderBy(
+        "anchor_id", F.col("role").desc(), "rank", "pair_id"
+    )
