@@ -895,15 +895,52 @@ def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
+# Floor for the registered simhash recall verdict — identical to the
+# assertion in tests/test_dedup.py.
+SIMHASH_MIN_RECALL = 0.9
+
+_SQL_SIMHASH_VERDICT = f"""
+    SELECT id1, id2, n_shared, jaccard, TRUE AS recall_ok
+    FROM ({_SQL_EXACT_JACCARD})
+    ORDER BY id1, id2
+"""
+
+
 @register(
     "dedup_simhash",
     category="dedup",
-    oracle=None,  # bit-level sketch; no portable SQL equivalent
-    doc="SimHash near-dup: 64-bit signatures, 4×16-bit band LSH for "
+    oracle=_SQL_SIMHASH_VERDICT,
+    doc="SimHash near-dup: 64-bit signatures, 8×8-bit band LSH for "
     "candidates, exact Hamming-distance verification (bit_count of xor). "
-    "Rows-only driver check; recall vs exact Jaccard pairs is asserted "
-    "in tests/test_dedup.py.",
+    "The sketch is bit-level and engine-specific, so the registered "
+    "query is a recall verdict (the agg_approx_distinct pattern): it "
+    "emits the exact n-gram-Jaccard near-dup pairs — hash-matched "
+    "against the SQL oracle — plus recall_ok = (fraction of exact pairs "
+    "the simhash candidates caught >= 0.9), which the oracle pins to "
+    "literal TRUE. Recall degradation turns the driver row red.",
 )
+def dedup_simhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs + simhash recall verdict. The verdict
+    aggregate runs through a single-partition window over the near-dup
+    PAIR set (the operator's small output, never the corpus)."""
+    exact = ngram_jaccard_pairs(_shingled(spark, sf_dir))
+    caught = dedup_simhash(spark, sf_dir).select("id1", "id2").withColumn(
+        "caught", F.lit(1)
+    )
+    flags = exact.join(caught, ["id1", "id2"], "left")
+    w_all = W.partitionBy(F.lit(1))
+    n_caught = F.sum(F.coalesce(F.col("caught"), F.lit(0))).over(w_all)
+    n_exact = F.count(F.lit(1)).over(w_all)
+    return (
+        flags.withColumn(
+            "recall_ok",
+            n_caught.cast("double") >= F.lit(SIMHASH_MIN_RECALL) * n_exact,
+        )
+        .select("id1", "id2", "n_shared", "jaccard", "recall_ok")
+        .orderBy("id1", "id2")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = simhash_df(spark, sf_dir)
     width = SIMHASH_BITS // SIMHASH_BAND_CHUNKS

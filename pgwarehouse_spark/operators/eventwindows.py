@@ -543,17 +543,62 @@ def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_ROLLUP_REL_ERR = 0.02  # matches the tests' 2% envelope
+
+
 @register(
     "events_distinct_rollup_sketch",
     category="eventwindow",
-    oracle=None,
-    doc="Mergeable-sketch distinct rollup: no SQL oracle because DuckDB "
-    "cannot reproduce the DataSketches HLL binary; correctness is pinned "
-    "by tests instead — merged-of-daily equals direct-per-week exactly "
-    "(register-max merge is associative/commutative) and both sit within "
-    "2% of the exact distinct count.",
+    oracle=f"""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bounds
+    FROM events
+    GROUP BY 1 ORDER BY week_start
+    """,
+    doc="Mergeable-sketch distinct rollup, registered as a bounded-error "
+    "verdict (the agg_approx_distinct pattern): DuckDB cannot reproduce "
+    "the DataSketches HLL binary, so the query emits the EXACT per-week "
+    "distinct-user counts (hash-matched cross-engine) plus "
+    f"within_bounds = |sketch_est - exact|/exact <= {_SKETCH_ROLLUP_REL_ERR} "
+    "computed in Spark, pinned to literal TRUE by the oracle. Tests "
+    "additionally pin merged-of-daily == direct-per-week exactly "
+    "(register-max merge is associative/commutative).",
 )
 def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered verdict wrapper over `events_distinct_rollup_estimates`."""
+    wk = t(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        "user_id",
+    )
+    rolled = events_distinct_rollup_estimates(spark, sf_dir)
+    # Verdict join: the exact per-week distinct count (what the SQL
+    # oracle reproduces) + the sketch's bounded-error claim. The exact
+    # branch is one extra distinct-agg pass at verification scale; a
+    # production rollup ships only the estimates frame.
+    exact = wk.groupBy("week_start").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rel_err = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return (
+        rolled.join(exact, "week_start")
+        .select(
+            "week_start",
+            "n_days",
+            "exact_users",
+            (rel_err <= _SKETCH_ROLLUP_REL_ERR).alias("within_bounds"),
+        )
+        .orderBy("week_start")
+    )
+
+
+def events_distinct_rollup_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Incremental distinct-count maintenance via mergeable HLL sketches:
     build one sketch per (week, day), then roll weeks up by UNIONING the
     daily sketches — never re-touching the raw events. This is the only
@@ -579,14 +624,11 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = wk.groupBy("week_start", "d").agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk")
     )
-    return (
-        daily.groupBy("week_start")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
-        )
-        .orderBy("week_start")
+    rolled = daily.groupBy("week_start").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
     )
+    return rolled
 
 
 @register(

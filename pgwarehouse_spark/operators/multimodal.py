@@ -366,10 +366,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_feature_similarity",
     category="multimodal",
-    oracle=None,  # hash-seeded stub features; pipeline checked in tests
+    oracle="""
+    SELECT doc_id, TRUE AS neighbor_valid, TRUE AS cosine_bounded
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id < 200
+    ORDER BY doc_id
+    """,
     doc="Binary->vector bridge: extract_features embeddings -> exact "
     "cosine top-1 neighbor per image doc (brute force over the stub "
-    "features, same plan shape as operators/similarity.py).",
+    "features, same plan shape as operators/similarity.py). The stub "
+    "features are hash-seeded and engine-specific, so the registered "
+    "query is an invariant verdict: the oracle hash-matches the row "
+    "UNIVERSE (exactly one top-1 row per image doc — end-to-end "
+    "completeness through the mapInPandas feature pass) and pins two "
+    "Spark-computed invariants to TRUE: the neighbor is a distinct doc "
+    "from the same universe, and |cosine| <= 1 (unit-norm features).",
 )
 def multimodal_feature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -390,9 +400,20 @@ def multimodal_feature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    return (
+    top1 = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("doc_id")
     )
+    neighbor_valid = (
+        (F.col("neighbor_id") % 3 == 0)
+        & (F.col("neighbor_id") < 200)
+        & (F.col("neighbor_id") != F.col("doc_id"))
+    )
+    return top1.select(
+        "doc_id",
+        neighbor_valid.alias("neighbor_valid"),
+        # float32 storage: unit norms carry ~1e-7 per-component error, so
+        # a self-duplicate pair's dot can land slightly above 1.
+        (F.abs(F.col("cosine")) <= 1.0 + 1e-5).alias("cosine_bounded"),
+    ).orderBy("doc_id")

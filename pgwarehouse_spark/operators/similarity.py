@@ -5,8 +5,15 @@ brute-force cosine top-k (exact baseline), random-hyperplane LSH and IVF
 Everything is built-in DataFrame ops — dot products are `zip_with` +
 `aggregate` folds (JVM codegen), never per-row Python. The exact top-k
 has a DuckDB oracle (identical decimal-exact arithmetic); the ANN
-variants are approximate by construction, so they register rows-only and
-their recall vs the exact baseline is asserted in tests/test_similarity.py.
+variants are approximate by construction, so their registered queries are
+*recall verdicts* (same pattern as ``agg_approx_distinct``): the query
+emits the exact brute-force top-k — which the SQL oracle reproduces
+hash-exactly — plus a ``recall_ok`` boolean computed in Spark (ANN hits
+over exact pairs >= the test-pinned floor) that the oracle asserts as
+literal TRUE. An ANN variant whose recall degrades turns its driver row
+red instead of hiding behind a rows-only check. The raw ANN functions
+remain the engine API and are additionally recall-tested in
+tests/test_similarity.py.
 
 Scale design:
 - brute force: broadcast the (small) query set against the full table —
@@ -37,6 +44,15 @@ LSH_PLANES_PER_TABLE = 6
 LSH_MULTIPROBE = True  # probe hamming-1 neighbor buckets on the query side
 IVF_CENTROID_STRIDE = 50  # vec_id % stride == 0 → seed centroid
 IVF_NPROBE = 3
+
+# Recall floors for the registered verdict queries — identical to the
+# assertions in tests/test_similarity.py (this testdata's embeddings are
+# near-uniform, the adversarial case for every ANN family, so the floors
+# are "meaningfully better than random", not production-recall claims).
+LSH_MIN_RECALL = 0.2
+IVF_MIN_RECALL = 0.2
+PQ_MIN_RECALL = 0.2
+IVFPQ_MIN_RECALL = 0.1
 
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -71,11 +87,9 @@ def brute_force_topk(
     )
 
 
-@register(
-    "sim_topk_bruteforce",
-    category="similarity",
-    oracle=f"""
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+# Exact brute-force top-k in SQL — the oracle for sim_topk_bruteforce and
+# the exact half of every ANN recall-verdict oracle below.
+_SQL_BF_INNER = f"""
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {sql_cosine('q.embedding', 'c.embedding')} AS cosine,
              ROW_NUMBER() OVER (
@@ -84,9 +98,63 @@ def brute_force_topk(
              ) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
       WHERE q.vec_id < {N_QUERIES}
-    ) WHERE rank <= {TOPK}
+"""
+
+_SQL_BF_TOPK = f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM ({_SQL_BF_INNER})
+    WHERE rank <= {TOPK}
     ORDER BY query_id, rank
-    """,
+"""
+
+# ANN verdict oracle: the exact top-k (hash-matched cross-engine) plus the
+# recall claim as literal TRUE — Spark computes the actual boolean.
+_SQL_RECALL_VERDICT = f"""
+    SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok
+    FROM ({_SQL_BF_INNER})
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+
+
+def recall_verdict(ann: DataFrame, exact: DataFrame, min_recall: float) -> DataFrame:
+    """Exact top-k rows + an aggregate ANN-recall verdict column.
+
+    ANN buckets are hash-seeded and engine-specific, so the raw ANN rows
+    can never hash-match a SQL oracle. The oracle-checkable facts are
+    (a) the exact brute-force top-k, reproduced by ``_SQL_RECALL_VERDICT``
+    decimal-exactly, and (b) the claim "ANN recall >= min_recall",
+    computed here in Spark and emitted as a constant boolean the oracle
+    pins to TRUE (the ``agg_approx_distinct`` bounded-error pattern).
+
+    The verdict aggregate runs through a single-partition window over
+    exactly N_QUERIES*TOPK rows (a few dozen, constant in data size), so
+    no data-sized frame ever collapses to one partition."""
+    flags = exact.join(
+        ann.select("query_id", "neighbor_id").withColumn("in_ann", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    w_all = W.partitionBy(F.lit(1))
+    caught = F.sum(F.coalesce(F.col("in_ann"), F.lit(0))).over(w_all)
+    total = F.count(F.lit(1)).over(w_all)
+    return (
+        flags.withColumn(
+            "recall_ok", caught.cast("double") >= F.lit(min_recall) * total
+        )
+        .select("query_id", "neighbor_id", "cosine", "rank", "recall_ok")
+        .orderBy("query_id", "rank")
+    )
+
+
+def exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") < N_QUERIES), e)
+
+
+@register(
+    "sim_topk_bruteforce",
+    category="similarity",
+    oracle=_SQL_BF_TOPK,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
@@ -138,15 +206,22 @@ def lsh_buckets(df: DataFrame, vec: str = "embedding") -> DataFrame:
 @register(
     "sim_topk_lsh",
     category="similarity",
-    oracle=None,  # approximate by construction (bucket collisions)
+    oracle=_SQL_RECALL_VERDICT,
     doc="ANN top-k via random-hyperplane LSH: 8 tables × 6 sign bits with "
     "hamming-1 multi-probe on the query side; candidates share a bucket "
-    "in ≥1 table; exact cosine re-rank on candidates. Rows-only driver "
-    "check; recall vs brute force asserted in tests/test_similarity.py. "
+    "in ≥1 table; exact cosine re-rank on candidates. Registered as a "
+    "recall verdict: exact top-k (hash-matched vs DuckDB) + recall_ok "
+    "computed in Spark, TRUE in the oracle. "
     "NOTE: this testdata's embeddings are near-uniform (max pair cosine "
     "≈0.48), the adversarial case for LSH — multi-probe is what keeps "
     "recall usable; on clustered real embeddings fewer probes suffice.",
 )
+def sim_topk_lsh_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_verdict(
+        sim_topk_lsh(spark, sf_dir), exact_topk(spark, sf_dir), LSH_MIN_RECALL
+    )
+
+
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(e)
@@ -212,11 +287,18 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_ivf",
     category="similarity",
-    oracle=None,  # approximate: probes only NPROBE cells
+    oracle=_SQL_RECALL_VERDICT,
     doc="ANN top-k via IVF: fixed seed centroids (vec_id % stride == 0), "
     "one broadcast-join assignment pass, queries probe the 3 nearest "
-    "cells. Rows-only driver check; recall asserted in tests.",
+    "cells. Registered as a recall verdict (exact top-k hash-matched, "
+    "recall_ok pinned TRUE by the oracle).",
 )
+def sim_topk_ivf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_verdict(
+        sim_topk_ivf(spark, sf_dir), exact_topk(spark, sf_dir), IVF_MIN_RECALL
+    )
+
+
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
@@ -493,12 +575,18 @@ def kmeans_centroids(
 @register(
     "sim_topk_ivf_kmeans",
     category="similarity",
-    oracle=None,  # approximate: probes only NPROBE cells
+    oracle=_SQL_RECALL_VERDICT,
     doc="ANN top-k via IVF with k-means-trained centroids (2 Lloyd "
-    "iterations from stride seeds). Rows-only driver check; recall vs "
-    "brute force asserted in tests, at least matching the seed-centroid "
-    "variant.",
+    "iterations from stride seeds). Registered as a recall verdict "
+    "(exact top-k hash-matched, recall_ok pinned TRUE by the oracle); "
+    "tests additionally assert trained recall >= the seed variant's.",
 )
+def sim_topk_ivf_kmeans_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_verdict(
+        sim_topk_ivf_kmeans(spark, sf_dir), exact_topk(spark, sf_dir), IVF_MIN_RECALL
+    )
+
+
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_topk_ivf with trained centroids: Lloyd iterations tighten the
     cells around the data's actual clusters, which raises recall at the
@@ -714,14 +802,20 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_pq",
     category="similarity",
-    oracle=None,  # approximate: ADC distances are quantized
+    oracle=_SQL_RECALL_VERDICT,
     doc="ANN top-k via product quantization + asymmetric distance "
     "computation: corpus vectors live as 8 sub-codes; each query builds "
     "a 8x16 distance table to the codebook (broadcast), ADC distance is "
     "a table-lookup sum, and the ADC shortlist is exactly re-ranked. "
-    "Rows-only driver check; recall vs brute force asserted in "
-    "tests/test_similarity.py.",
+    "Registered as a recall verdict (exact top-k hash-matched, "
+    "recall_ok pinned TRUE by the oracle).",
 )
+def sim_topk_pq_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_verdict(
+        sim_topk_pq(spark, sf_dir), exact_topk(spark, sf_dir), PQ_MIN_RECALL
+    )
+
+
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-k: the query never touches raw corpus vectors until
     the final re-rank — it scans (vec_id, m, code) tuples and sums
@@ -793,13 +887,20 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_ivfpq",
     category="similarity",
-    oracle=None,  # approximate twice over (cell probe + ADC)
+    oracle=_SQL_RECALL_VERDICT,
     doc="ANN top-k via IVF-PQ — the composed 100 TB architecture: coarse "
     "IVF cells prune the corpus to NPROBE partitions, PQ-ADC ranks "
     "inside the probed cells from 8-byte codes, and only the shortlist "
-    "touches raw vectors for the exact re-rank. Rows-only driver check; "
-    "recall vs brute force asserted in tests/test_similarity.py.",
+    "touches raw vectors for the exact re-rank. Registered as a recall "
+    "verdict (exact top-k hash-matched, recall_ok pinned TRUE by the "
+    "oracle; the floor is lower — two stacked approximations).",
 )
+def sim_topk_ivfpq_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_verdict(
+        sim_topk_ivfpq(spark, sf_dir), exact_topk(spark, sf_dir), IVFPQ_MIN_RECALL
+    )
+
+
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the index layout a billion-vector deployment actually
     ships (FAISS IVFx,PQy). Coarse quantizer = stride-seeded IVF

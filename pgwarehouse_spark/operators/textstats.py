@@ -584,3 +584,207 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram counts, PMI collocations, heavy hitters
+# ---------------------------------------------------------------------------
+
+_BIGRAM_MIN_COUNT = 5
+_PMI_TOP = 100
+
+# Shared CTE chain: lower-cased whitespace tokens -> per-doc word arrays
+# -> corpus bigram counts (identical tokenization to the unigram-LM ops).
+_BIGRAM_SQL = r"""
+    bg_docs AS (
+      SELECT string_split_regex(TRIM(LOWER(text)), '\s+') AS l FROM documents
+    ),
+    bg_z AS (
+      -- DuckDB slice bounds are INCLUSIVE (l[:-1] is the whole list):
+      -- elements 1..n-1 zip elements 2..n
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS p
+      FROM bg_docs WHERE len(l) >= 2
+    ),
+    bg_pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg_z),
+    bg_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM bg_pairs GROUP BY w1, w2
+    )
+"""
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts: one zip_with per document builds adjacent
+    pairs in place (no positional self-join), then a single map-side-
+    combined groupBy. The shuffle moves (bigram, partial_count) rows —
+    Zipf-bounded far below token volume."""
+    d = t(spark, sf_dir, "documents")
+    l = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(l, 1, F.greatest(F.size(l) - 1, F.lit(0))),
+        F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+@register(
+    "text_ngram_counts",
+    category="text",
+    oracle=f"""
+    WITH {_BIGRAM_SQL}
+    SELECT w1, w2, n_pair FROM bg_counts
+    WHERE n_pair >= {_BIGRAM_MIN_COUNT}
+    ORDER BY n_pair DESC, w1, w2
+    """,
+    doc="Corpus bigram counting with a min-count floor — the n-gram LM /"
+    " tokenizer-training primitive (BPE pair statistics, Kneser-Ney "
+    "counts, collocation mining all start from this table).",
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair construction is per-row array work (zip_with on the
+    token array — no explode-then-positional-self-join, which would
+    shuffle the full token stream on (doc_id, pos)). At 100 TB the only
+    shuffle is the (bigram, count) partial aggregate; a production run
+    adds the same hot-key cap as the shingle ops for degenerate
+    single-token corpora."""
+    return (
+        _bigram_counts(spark, sf_dir)
+        .filter(F.col("n_pair") >= _BIGRAM_MIN_COUNT)
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    category="text",
+    oracle=f"""
+    WITH {_BIGRAM_SQL},
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(l) AS w FROM bg_docs
+      ) WHERE w <> '' GROUP BY w
+    ),
+    tots AS (
+      SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS tu,
+             (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM bg_counts) AS tb
+    )
+    SELECT w1, w2, n_pair,
+           ROUND(LN((CAST(n_pair AS DOUBLE) * tu * tu)
+                    / (CAST(u1.c AS DOUBLE) * u2.c * tb)), 6) AS pmi
+    FROM bg_counts
+    JOIN uni u1 ON w1 = u1.w
+    JOIN uni u2 ON w2 = u2.w
+    CROSS JOIN tots
+    WHERE n_pair >= {_BIGRAM_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+    doc="Pointwise mutual information collocations: PMI = "
+    "ln(p(xy)/(p(x)p(y))) over corpus bigrams with a count floor — the "
+    "classic phrase-mining / tokenizer-merge scoring function.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI from one bigram table + one unigram table. The unigram vocab
+    (Zipf-bounded) broadcasts onto the bigram counts, the totals ride
+    in a 1-row broadcast cross join, so scoring is map-side; the double
+    arithmetic is the same left-associated expression in both engines
+    (exact integer counts widen to IEEE doubles), and the single LN per
+    row is rounded to 6 decimals, absorbing any 1-ulp libm difference
+    (the tfidf precedent)."""
+    d = t(spark, sf_dir, "documents")
+    bg = _bigram_counts(spark, sf_dir).filter(
+        F.col("n_pair") >= _BIGRAM_MIN_COUNT
+    )
+    uni = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tots = uni.agg(F.sum("c").cast("double").alias("tu")).crossJoin(
+        _bigram_counts(spark, sf_dir).agg(
+            F.sum("n_pair").cast("double").alias("tb")
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("tu") * F.col("tu"))
+            / (F.col("c1").cast("double") * F.col("c2") * F.col("tb"))
+        ),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tots))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+_HH_SUPPORT = 0.02  # phi-frequent floor: > 2% of all tokens
+
+
+@register(
+    "text_heavy_hitters",
+    category="text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    tok2 AS (SELECT w FROM tok WHERE w <> ''),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok2),
+    counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok2 GROUP BY w)
+    SELECT w, c, TRUE AS in_sketch
+    FROM counts CROSS JOIN tot
+    WHERE c > {_HH_SUPPORT} * n
+    ORDER BY c DESC, w
+    """,
+    doc="Phi-frequent heavy hitters over the token stream, with a "
+    "single-pass sketch verdict: the exact counts (one map-side-combined "
+    "groupBy + broadcast total) are hash-matched cross-engine, and "
+    "in_sketch pins the Misra-Gries guarantee of Spark's freqItems — "
+    "every true phi-frequent item MUST appear in the one-pass sketch's "
+    "candidate set — to literal TRUE in the oracle.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-frequent tokens + freqItems containment verdict.
+
+    Scale: the exact path is the two-aggregate shape (counts, then
+    filter against a broadcast scalar total); the sketch path
+    (DataFrame.stat.freqItems — Karp/Misra-Gries) is single-pass with
+    O(1/support) state and is how the first pass of a 100 TB run finds
+    the candidate set without a full shuffle. The sketch probe here is
+    a constant-size driver-side read (like a watermark scalar), feeding
+    a literal IN-list back into the plan."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    sketch_items = sorted(tok.stat.freqItems(["w"], _HH_SUPPORT).collect()[0][0])
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") > F.lit(_HH_SUPPORT) * F.col("n"))
+        .select(
+            "w",
+            "c",
+            (
+                F.col("w").isin(sketch_items) if sketch_items else F.lit(False)
+            ).alias("in_sketch"),
+        )
+        .orderBy(F.col("c").desc(), "w")
+    )

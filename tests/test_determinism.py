@@ -67,13 +67,13 @@ def test_sketch_rollup_merge_equals_direct_and_near_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from pgwarehouse_spark.operators.eventwindows import (
-        events_distinct_rollup_sketch,
+        events_distinct_rollup_estimates,
     )
     from pgwarehouse_spark.sources.tables import load_table
 
     merged = {
         r["week_start"]: r["est_users"]
-        for r in events_distinct_rollup_sketch(spark, sf_dir).collect()
+        for r in events_distinct_rollup_estimates(spark, sf_dir).collect()
     }
     e = load_table(spark, sf_dir, "events")
     wk = e.select(
