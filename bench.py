@@ -74,6 +74,13 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "sample_quality_buckets",
     "graph_pagerank",
+    "graph_triangle_count",
+    "text_ngram_counts",
+    "text_pmi_collocations",
+    "text_heavy_hitters",
+    "events_rolling_median",
+    "events_bitmap_distinct_rollup",
+    "sync_ivm_join_delta",
 ]
 
 

@@ -1033,3 +1033,112 @@ def audit_value_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row(o_agg, "orders", "totalprice_positive", "v_price"))
         .orderBy("table_name", "constraint_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (order-statistic window)
+# ---------------------------------------------------------------------------
+
+_ROLLMED_PRECEDING = 6  # current row + 6 preceding = 7-row window
+
+
+@register(
+    "events_rolling_median",
+    category="eventwindow",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN {_ROLLMED_PRECEDING} PRECEDING AND CURRENT ROW
+           ), 8) AS rolling_median
+    FROM events
+    ORDER BY event_type, ts, event_id
+    """,
+    doc="Rolling median of event values over a 7-row trailing window per "
+    "event-type series — the robust (outlier-immune) smoother that "
+    "complements events_ewma_smoothing's mean-based one.",
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic window: `percentile(value, 0.5)` as a window
+    aggregate over a bounded ROWS frame (Spark evaluates the exact
+    interpolated percentile per frame; DuckDB's quantile_cont is the
+    identical definition, and the 8-dp round absorbs the at-most-1-ulp
+    a+f*(b-a) associativity difference).
+
+    Scale: the frame is ROWS-bounded (7 rows), so state per window
+    position is O(1) and the only shuffle is the hash partition on
+    event_type; the per-partition sort is the same one every window in
+    the series shares. A RANGE/time-bounded variant swaps the frame
+    spec, same plan. Order keys (ts, event_id) are unique per series,
+    so results are total-order deterministic."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ROLLMED_PRECEDING, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 8).alias(
+            "rolling_median"
+        ),
+        "ts",
+    ).orderBy("event_type", "ts", "event_id").drop("ts")
+
+
+@register(
+    "events_bitmap_distinct_rollup",
+    category="eventwindow",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1 ORDER BY week_start
+    """,
+    doc="EXACT mergeable distinct rollup via bitmaps: daily "
+    "(bucket-sharded) user bitmaps OR-merge into weekly bitmaps — the "
+    "integer-key companion to events_distinct_rollup_sketch that trades "
+    "HLL's fixed few-KB state for exactness at O(range/8) bits. Unlike "
+    "the sketch the result hash-matches COUNT(DISTINCT) directly.",
+)
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct maintenance that still merges like a sketch:
+    bitmap_construct_agg builds one bitmap per (week, day, 32k-bucket)
+    map-side; the week rollup is bitmap_or_agg per bucket (associative/
+    commutative — register-OR, order- and partition-independent) and the
+    final count sums bitmap_count over buckets. Nothing ever re-touches
+    raw events at rollup time, and unlike HLL the counts are exact —
+    the right tool when keys are dense integers (user ids, FK
+    surrogates): a 1e9-id space is ~30.5k buckets × 4 KB = manageable,
+    partitioned by bucket. For sparse/string keys the sketch variant
+    stays the scale path."""
+    e = t(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    )
+    daily = wk.groupBy(
+        "week_start",
+        "d",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    weekly_buckets = daily.groupBy("week_start", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    counts = weekly_buckets.groupBy("week_start").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    # day spine from the daily bitmap frame (NOT per bucket — a single
+    # bucket need not span every active day of the week)
+    days = daily.groupBy("week_start").agg(F.countDistinct("d").alias("n_days"))
+    return (
+        days.join(counts, "week_start")
+        .select("week_start", "n_days", "n_users")
+        .orderBy("week_start")
+    )

@@ -460,3 +460,83 @@ def audit_group_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (sync/ivm.py as a registered query)
+# ---------------------------------------------------------------------------
+
+# deterministic delta split: orders with o_orderkey % 7 == 3 and lineitem
+# rows with l_orderkey % 5 == 2 are "the new batch"
+_IVM_A_MOD, _IVM_A_REM = 7, 3
+_IVM_B_MOD, _IVM_B_REM = 5, 2
+
+
+@register(
+    "sync_ivm_join_delta",
+    category="sync",
+    oracle=f"""
+    WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderkey % {_IVM_A_MOD} <> {_IVM_A_REM}),
+    da AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderkey % {_IVM_A_MOD} = {_IVM_A_REM}),
+    b_old AS (SELECT l_orderkey AS o_orderkey, l_extendedprice, l_discount
+              FROM lineitem WHERE l_orderkey % {_IVM_B_MOD} <> {_IVM_B_REM}),
+    db AS (SELECT l_orderkey AS o_orderkey, l_extendedprice, l_discount
+           FROM lineitem WHERE l_orderkey % {_IVM_B_MOD} = {_IVM_B_REM}),
+    dv AS (
+      SELECT da.o_custkey, b_old.l_extendedprice, b_old.l_discount
+      FROM da JOIN b_old USING (o_orderkey)
+      UNION ALL
+      SELECT a_old.o_custkey, db.l_extendedprice, db.l_discount
+      FROM a_old JOIN db USING (o_orderkey)
+      UNION ALL
+      SELECT da.o_custkey, db.l_extendedprice, db.l_discount
+      FROM da JOIN db USING (o_orderkey)
+    )
+    SELECT o_custkey, COUNT(*) AS delta_rows,
+           {{dsum}} AS delta_revenue
+    FROM dv GROUP BY o_custkey
+    ORDER BY o_custkey
+    """.replace(
+        "{dsum}",
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) "
+        "AS DOUBLE)",
+    ),
+    doc="Incremental JOIN-view maintenance delta (sync/ivm.py): for the "
+    "orders⋈lineitem revenue view and a deterministic insert batch on "
+    "both base tables, emit the exact three-term view delta "
+    "dV = dA⋈B_old ∪ A_old⋈dB ∪ dA⋈dB, aggregated per customer — the "
+    "rows a continuously-maintained join view merges per batch without "
+    "ever recomputing A_old⋈B_old.",
+)
+def sync_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of `pgwarehouse_spark.sync.ivm.join_view_delta`.
+    Per-batch cost is O(|delta| + matched base rows): the two cross
+    terms broadcast the delta against the base (at 100 TB the base is
+    the bucketed layout, so only buckets holding delta keys are read),
+    and the dA⋈dB term is delta-sized on both sides. The aggregate on
+    top partial-combines map-side — this is exactly the delta a
+    downstream rollup (sync/rollup.py) merges additively."""
+    from ..sync.ivm import join_view_delta
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    a_old = o.filter(F.col("o_orderkey") % _IVM_A_MOD != _IVM_A_REM)
+    da = o.filter(F.col("o_orderkey") % _IVM_A_MOD == _IVM_A_REM)
+    b_old = l.filter(F.col("o_orderkey") % _IVM_B_MOD != _IVM_B_REM)
+    db = l.filter(F.col("o_orderkey") % _IVM_B_MOD == _IVM_B_REM)
+    dv = join_view_delta(a_old, da, b_old, db, "o_orderkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        dv.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("delta_rows"),
+            F.sum(revenue.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("delta_revenue"),
+        )
+        .orderBy("o_custkey")
+    )

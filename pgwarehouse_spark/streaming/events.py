@@ -383,3 +383,88 @@ def stream_near_dup_filter(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental join-view maintenance (CDC feed -> maintained view)
+# ---------------------------------------------------------------------------
+
+CDC_JOIN_SCHEMA = (
+    "side string, o_orderkey bigint, o_custkey bigint, l_quantity double"
+)
+
+
+def read_cdc_join_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Tagged CDC feed for a two-table join view: side='A' rows carry
+    (o_orderkey, o_custkey), side='B' rows carry (o_orderkey,
+    l_quantity)."""
+    return (
+        spark.readStream.schema(CDC_JOIN_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_join_maintenance(
+    tagged: DataFrame,
+    state_dir: str,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained JOIN view over a tagged two-table CDC
+    feed: each micro-batch splits into base-table deltas dA / dB, the
+    exact view delta dV = dA⋈B ∪ A⋈dB ∪ dA⋈dB is computed against the
+    CURRENT base snapshots (sync/ivm.py), and dV appends to the view —
+    A_old⋈B_old is never recomputed, so per-batch cost tracks batch
+    size, not view size.
+
+    Apply order per batch: dV first (against pre-batch snapshots), then
+    the deltas append to their base tables — the inductive step that
+    keeps view == A⋈B after every epoch. State lives in tables, not
+    operator memory (the same durability story as
+    stream_rollup_maintenance); exactly-once comes from the streaming
+    checkpoint, since view appends double-count on replay."""
+    import os
+
+    from ..sync.ivm import join_view_delta
+
+    a_path = os.path.join(state_dir, "base_a")
+    b_path = os.path.join(state_dir, "base_b")
+    v_path = os.path.join(state_dir, "view")
+
+    def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        da = batch_df.filter(F.col("side") == "A").select(
+            "o_orderkey", "o_custkey"
+        )
+        db = batch_df.filter(F.col("side") == "B").select(
+            "o_orderkey", "l_quantity"
+        )
+        a_old = _read_or_empty(
+            spark, a_path, "o_orderkey bigint, o_custkey bigint"
+        )
+        b_old = _read_or_empty(
+            spark, b_path, "o_orderkey bigint, l_quantity double"
+        )
+        dv = join_view_delta(a_old, da, b_old, db, "o_orderkey")
+        # localCheckpoint pins dv BEFORE the base appends below mutate
+        # the tables it reads — otherwise the lazy plan would see the
+        # post-append bases and double-count.
+        dv = dv.localCheckpoint()
+        dv.write.mode("append").parquet(v_path)
+        da.write.mode("append").parquet(a_path)
+        db.write.mode("append").parquet(b_path)
+
+    writer = tagged.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -478,3 +478,33 @@ def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
     # the corpus-x-corpus pair join co-locates clusters via an equi
     # join on centroid_id (sort-merge or shuffled-hash, either is fine)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Date-partitioned storage + a selective dim filter must produce a
+    dynamic-partition-pruning subquery on the fact scan: only partitions
+    matching the dim's filtered keys are read — the partition-layout
+    analogue of the bucket-pruned merge, and the mechanism that turns a
+    100 TB date-partitioned fact scan into a handful of partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.sources.tables import load_table
+
+    fact = str(tmp_path / "orders_by_month")
+    dim = str(tmp_path / "months_dim")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("o_month").parquet(fact)
+    load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    ).distinct().write.parquet(dim)
+
+    f = spark.read.parquet(fact)
+    # DPP inserts only when the build side carries a real filter (the
+    # pruning-has-benefit heuristic) — a bare distinct/limit doesn't.
+    m = spark.read.parquet(dim).filter(F.col("o_month") <= "1992-06")
+    joined = f.join(m, "o_month").groupBy("o_month").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
