@@ -789,12 +789,12 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) via large-star/small-star connected
     components over the verified near-dup pairs — see dedup_clusters.
 
-    EXACT duplicates are collapsed before any shingling (one md5-
-    fingerprint groupBy; min doc_id per fingerprint is the
-    representative): two byte-identical docs have Jaccard 1, so they are
-    always near-dup-connected, and any edge between copies exists iff
-    the same edge exists between representatives (identical shingle
-    sets). Components over representatives therefore expand EXACTLY to
+    EXACT duplicates are collapsed before any shingling (one md5 groupBy
+    over the exact word sequence; min doc_id per key is the
+    representative): two word-identical docs have identical shingle sets
+    and Jaccard 1, so they are always near-dup-connected, and any edge
+    between copies exists iff the same edge exists between
+    representatives (identical shingle sets). Components over representatives therefore expand EXACTLY to
     components over all docs, and because each representative is its
     group's min id, the expanded cluster_id (component min) is
     unchanged. On duplicate-heavy corpora — the ones dedup exists for —
@@ -805,7 +805,21 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-linear slope). Only edge-incident representatives enter the CC
     loop; untouched docs rejoin labeled by their representative."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+    # The collapse key must coincide with shingle-set equality, not the
+    # reporting fingerprint: shingling is case-SENSITIVE and whitespace-
+    # collapsing (TRIM + \s+ split), so the key is md5 over the exact
+    # word sequence. Docs that cannot produce a shingle (NULL text or
+    # fewer than SHINGLE_WIDTH words) have empty shingle sets — Jaccard
+    # never links them (0-size union), so they must NOT collapse with
+    # their byte-identical twins: they get a per-doc sentinel key.
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    collapsible = F.col("text").isNotNull() & (
+        F.size(words) >= SHINGLE_WIDTH
+    )
+    key = F.when(
+        collapsible, F.md5(F.concat_ws(" ", words).cast("binary"))
+    ).otherwise(F.concat(F.lit("solo:"), F.col("doc_id").cast("string")))
+    fp = d.select("doc_id", key.alias("fp"))
     reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     membership = fp.join(reps, "fp").select("doc_id", "rep")
     rep_docs = d.join(
