@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot_exact as _dot
-from ..functions.vector import sql_cosine
+from ..functions.vector import sql_cosine, sql_dot
 from ..registry import register
 from ._helpers import t
 
@@ -1104,3 +1104,74 @@ def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionAll(neg).orderBy(
         "anchor_id", F.col("role").desc(), "rank", "pair_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance
+# ---------------------------------------------------------------------------
+
+_IVF_DELTA_MOD, _IVF_DELTA_REM = 7, 1  # vec_id % 7 == 1 is "the new batch"
+
+
+@register(
+    "sim_ivf_index_delta",
+    category="similarity",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ),
+    delta AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_IVF_DELTA_MOD} = {_IVF_DELTA_REM}
+    ),
+    scored AS (
+      SELECT d.vec_id, c.centroid_id,
+             {sql_dot('d.embedding', 'c.cent_emb')} AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY {sql_dot('d.embedding', 'c.cent_emb')} DESC,
+                        c.centroid_id ASC
+             ) AS rk
+      FROM delta d CROSS JOIN cents c
+    )
+    SELECT vec_id, centroid_id, sim FROM scored WHERE rk = 1
+    ORDER BY vec_id
+    """,
+    doc="Incremental ANN-index maintenance: assign a delta batch of new "
+    "vectors to the EXISTING IVF cells (broadcast centroids, exact-"
+    "decimal argmax) — the per-batch step that keeps a 100 TB IVF "
+    "layout current without re-clustering; the assignment rows are "
+    "exactly what appends into the cell-partitioned index table.",
+)
+def sim_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch index append for the IVF family (the vector-search
+    sibling of sync/ivm.py): cost is O(|delta|·k) JVM dot products with
+    no corpus access at all — the existing index is untouched, and the
+    output's centroid_id IS the partition key of the index table, so
+    the append lands partition-local. Periodic re-training
+    (`kmeans_centroids`) swaps centroids wholesale; between trainings,
+    assignment drift is the monitored quantity (corpus_drift_kl is the
+    companion monitor)."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    delta = e.filter(F.col("vec_id") % _IVF_DELTA_MOD == _IVF_DELTA_REM)
+    sim = _dot(F.col("embedding"), F.col("cent_emb"))
+    best = (
+        delta.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                sim.alias("sim"), (-F.col("centroid_id")).alias("neg_id")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cand").alias("best"))
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("best.neg_id")).alias("centroid_id"),
+        F.col("best.sim").alias("sim"),
+    ).orderBy("vec_id")
