@@ -698,9 +698,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is rounded to 6 decimals, absorbing any 1-ulp libm difference
     (the tfidf precedent)."""
     d = t(spark, sf_dir, "documents")
-    bg = _bigram_counts(spark, sf_dir).filter(
-        F.col("n_pair") >= _BIGRAM_MIN_COUNT
-    )
+    # one bigram-count frame, cached: the filtered collocation set and
+    # the corpus total both read it — without the cache Catalyst plans
+    # two independent subtrees that each re-tokenize and re-shuffle the
+    # corpus (the most expensive stage, twice).
+    bgc = _bigram_counts(spark, sf_dir).cache()
+    bg = bgc.filter(F.col("n_pair") >= _BIGRAM_MIN_COUNT)
     uni = (
         d.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
@@ -710,9 +713,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tots = uni.agg(F.sum("c").cast("double").alias("tu")).crossJoin(
-        _bigram_counts(spark, sf_dir).agg(
-            F.sum("n_pair").cast("double").alias("tb")
-        )
+        bgc.agg(F.sum("n_pair").cast("double").alias("tb"))
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
@@ -766,25 +767,27 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter against a broadcast scalar total); the sketch path
     (DataFrame.stat.freqItems — Karp/Misra-Gries) is single-pass with
     O(1/support) state and is how the first pass of a 100 TB run finds
-    the candidate set without a full shuffle. The sketch probe here is
-    a constant-size driver-side read (like a watermark scalar), feeding
-    a literal IN-list back into the plan."""
+    the candidate set without a full shuffle. The sketch's one-row
+    candidate frame stays INSIDE the plan (broadcast cross join +
+    array_contains) — plan construction is lazy like every other
+    registered query, nothing executes at build/audit time."""
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
-    sketch_items = sorted(tok.stat.freqItems(["w"], _HH_SUPPORT).collect()[0][0])
+    sketch = tok.stat.freqItems(["w"], _HH_SUPPORT)  # lazy 1-row frame
     tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
     counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     return (
         counts.crossJoin(F.broadcast(tot))
         .filter(F.col("c") > F.lit(_HH_SUPPORT) * F.col("n"))
+        .crossJoin(F.broadcast(sketch))
         .select(
             "w",
             "c",
-            (
-                F.col("w").isin(sketch_items) if sketch_items else F.lit(False)
-            ).alias("in_sketch"),
+            F.array_contains(F.col("w_freqItems"), F.col("w")).alias(
+                "in_sketch"
+            ),
         )
         .orderBy(F.col("c").desc(), "w")
     )

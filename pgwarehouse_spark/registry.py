@@ -7,9 +7,15 @@ named query here; ``__spark_entry__.py`` re-exports the registry through
 the driver contract (``queries()`` / ``oracle_sql()``).
 
 Queries whose semantics are not ANSI-SQL-expressible (hash-seeded sketches
-like MinHash/SimHash, LSH bucketing) register with ``oracle=None`` — the
-driver then records a weaker rows-only check, which is the honest claim
-for approximate operators.
+like MinHash/SimHash, LSH bucketing, ANN) register a *verdict oracle*
+instead of going oracle-less: the query emits the EXACT result the SQL
+oracle can reproduce hash-exactly, plus the approximation claim (recall
+floor / error bound) computed in Spark as a boolean the oracle pins to
+literal TRUE. Every registered query therefore carries an oracle; see
+``operators/similarity.py::recall_verdict`` and ``agg_approx_distinct``
+for the two canonical shapes. ``oracle=None`` remains legal for a future
+operator with no exact component at all, and falls back to the driver's
+rows-only check.
 """
 
 from __future__ import annotations

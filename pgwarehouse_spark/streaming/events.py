@@ -419,52 +419,81 @@ def stream_join_maintenance(
     A_old⋈B_old is never recomputed, so per-batch cost tracks batch
     size, not view size.
 
-    Apply order per batch: dV first (against pre-batch snapshots), then
-    the deltas append to their base tables — the inductive step that
-    keeps view == A⋈B after every epoch. State lives in tables, not
-    operator memory (the same durability story as
-    stream_rollup_maintenance); exactly-once comes from the streaming
-    checkpoint, since view appends double-count on replay."""
-    import os
-
-    from ..sync.ivm import join_view_delta
-
-    a_path = os.path.join(state_dir, "base_a")
-    b_path = os.path.join(state_dir, "base_b")
-    v_path = os.path.join(state_dir, "view")
-
-    def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            return spark.createDataFrame([], schema)
-
+    Replay safety (foreachBatch is at-least-once): every table write is
+    scoped to an epoch subdirectory (``<table>/e<epoch_id>``) written
+    with mode=overwrite, and the pre-batch snapshot is assembled by
+    reading exactly the subdirectories of EARLIER epochs. A replayed
+    epoch therefore reads the identical pre-batch state (its own
+    partial output is excluded by construction, whether or not the
+    crash happened mid-write) and overwrites its own subdirectories
+    with identical content — idempotent, no markers needed. A missing
+    state directory means "no earlier epochs" (first batch); any other
+    read failure raises instead of being treated as empty state."""
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        da = batch_df.filter(F.col("side") == "A").select(
-            "o_orderkey", "o_custkey"
-        )
-        db = batch_df.filter(F.col("side") == "B").select(
-            "o_orderkey", "l_quantity"
-        )
-        a_old = _read_or_empty(
-            spark, a_path, "o_orderkey bigint, o_custkey bigint"
-        )
-        b_old = _read_or_empty(
-            spark, b_path, "o_orderkey bigint, l_quantity double"
-        )
-        dv = join_view_delta(a_old, da, b_old, db, "o_orderkey")
-        # localCheckpoint pins dv BEFORE the base appends below mutate
-        # the tables it reads — otherwise the lazy plan would see the
-        # post-append bases and double-count.
-        dv = dv.localCheckpoint()
-        dv.write.mode("append").parquet(v_path)
-        da.write.mode("append").parquet(a_path)
-        db.write.mode("append").parquet(b_path)
+        apply_cdc_join_batch(batch_df, epoch_id, state_dir)
 
     writer = tagged.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def _earlier_epochs(path: str, epoch_id: int) -> list[str]:
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return [
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("e") and d[1:].isdigit() and int(d[1:]) < epoch_id
+    ]
+
+
+def _read_state(
+    spark: SparkSession, path: str, epoch_id: int, schema: str
+) -> DataFrame:
+    paths = _earlier_epochs(path, epoch_id)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def apply_cdc_join_batch(
+    batch_df: DataFrame, epoch_id: int, state_dir: str
+) -> None:
+    """One epoch of join-view maintenance (see stream_join_maintenance
+    for the replay-idempotence argument). Module-level so replay
+    behavior is directly testable."""
+    import os
+
+    from ..sync.ivm import join_view_delta
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    a_path = os.path.join(state_dir, "base_a")
+    b_path = os.path.join(state_dir, "base_b")
+    v_path = os.path.join(state_dir, "view")
+    da = batch_df.filter(F.col("side") == "A").select("o_orderkey", "o_custkey")
+    db = batch_df.filter(F.col("side") == "B").select("o_orderkey", "l_quantity")
+    a_old = _read_state(
+        spark, a_path, epoch_id, "o_orderkey bigint, o_custkey bigint"
+    )
+    b_old = _read_state(
+        spark, b_path, epoch_id, "o_orderkey bigint, l_quantity double"
+    )
+    dv = join_view_delta(a_old, da, b_old, db, "o_orderkey")
+    sub = f"e{epoch_id}"
+    dv.write.mode("overwrite").parquet(os.path.join(v_path, sub))
+    da.write.mode("overwrite").parquet(os.path.join(a_path, sub))
+    db.write.mode("overwrite").parquet(os.path.join(b_path, sub))
+
+
+def read_cdc_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained view = union of all epoch subdirectories."""
+    import os
+
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(state_dir, "view")
+    )

@@ -142,8 +142,59 @@ def test_stream_join_maintenance_matches_batch(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    view = spark.read.parquet(os.path.join(state, "view"))
+    from pgwarehouse_spark.streaming.events import read_cdc_join_view
+
+    view = read_cdc_join_view(spark, state)
     full = o.join(l, "o_orderkey")
     got = _bag(view.select("o_orderkey", "o_custkey", "l_quantity"))
     want = _bag(full.select("o_orderkey", "o_custkey", "l_quantity"))
     assert got == want
+
+    # Replay idempotence (foreachBatch is at-least-once): re-applying an
+    # already-committed epoch must leave the view EXACTLY unchanged —
+    # the epoch overwrites its own subdirectories with identical content
+    # because pre-batch state excludes the epoch's own output.
+    from pgwarehouse_spark.streaming.events import apply_cdc_join_batch
+
+    # reconstruct epoch 1's exact batch from its own committed deltas
+    ra = spark.read.parquet(os.path.join(state, "base_a", "e1")).select(
+        F.lit("A").alias("side"),
+        "o_orderkey",
+        "o_custkey",
+        F.lit(None).cast("double").alias("l_quantity"),
+    )
+    rb = spark.read.parquet(os.path.join(state, "base_b", "e1")).select(
+        F.lit("B").alias("side"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        "l_quantity",
+    )
+    apply_cdc_join_batch(ra.unionByName(rb).localCheckpoint(), 1, state)
+    got_replay = _bag(
+        read_cdc_join_view(spark, state).select(
+            "o_orderkey", "o_custkey", "l_quantity"
+        )
+    )
+    assert got_replay == want
+
+
+def test_stream_join_maintenance_state_read_failure_raises(spark, tmp_path):
+    """A corrupt (non-path-missing) state read must RAISE, never silently
+    degrade to empty state and drop delta terms."""
+    import os
+
+    import pytest
+
+    from pgwarehouse_spark.streaming.events import apply_cdc_join_batch
+
+    state = str(tmp_path / "state")
+    bad = os.path.join(state, "base_a", "e0")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    batch = spark.createDataFrame(
+        [("A", 1, 10, None), ("B", 1, None, 2.0)],
+        "side string, o_orderkey bigint, o_custkey bigint, l_quantity double",
+    )
+    with pytest.raises(Exception):
+        apply_cdc_join_batch(batch, 1, state)

@@ -31,10 +31,17 @@ def test_oracle_match(spark, sf_dir, con, name):
     assert report["ok"], f"{name}: {report}"
 
 
+def test_every_query_has_an_oracle():
+    """Since the verdict-oracle conversion, the whole surface is
+    oracle-checked; a new oracle-less registration should be a
+    deliberate, visible decision (this test starts failing)."""
+    assert NO_ORACLE == []
+
+
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_rows_only_runs(spark, sf_dir, name):
-    """Queries without an oracle (sketch/LSH-based) must at least run and
-    return a stable schema with ≥0 rows."""
+    """Fallback for any future oracle-less query: must at least run and
+    return a stable schema with ≥0 rows. (Currently an empty set.)"""
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     assert df.columns, name
