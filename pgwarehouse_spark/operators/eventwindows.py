@@ -1142,3 +1142,115 @@ def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("week_start", "n_days", "n_users")
         .orderBy("week_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis and audience overlap
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3  # first N event types of each user journey
+_PATH_TOP = 25
+
+
+@register(
+    "events_top_paths",
+    category="eventwindow",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+    doc="Top user journeys: the first 3 event types of every user's "
+    "ordered stream, concatenated into a path string and ranked by "
+    "frequency — the funnel-discovery / Sankey-source query.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis without per-user state explosion: one window ranks
+    each user's stream (hash shuffle on user_id, the series sort every
+    per-user operator shares), the head-N rows aggregate into an
+    ordered path string via sort_array over (rn, type) structs —
+    deterministic regardless of partitioning — and the path histogram
+    partial-aggregates map-side. Path cardinality is bounded by
+    |event_types|^N, not user count, so the final rank is TakeOrdered
+    over a small relation."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    heads = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = heads.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+@register(
+    "events_audience_overlap",
+    category="eventwindow",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+    doc="Audience overlap matrix: distinct users shared by every pair of "
+    "event types — the segment-intersection query behind campaign "
+    "overlap and cohort Venn reports.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap from the DISTINCT (user, type) relation, never raw
+    events: the distinct collapse is the only event-sized shuffle; the
+    self-join then pairs each user's type set with itself — per-user
+    fan-out is bounded by |event_types|² (constant), so the join output
+    is O(users · types²), independent of event volume. The same shape
+    scales to bitmap/sketch intersections when the pair matrix itself
+    gets large."""
+    e = t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .orderBy("type_a", "type_b")
+    )
