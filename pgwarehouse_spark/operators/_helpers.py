@@ -31,7 +31,17 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 def dsum(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent (exact) sum of a double expression, as double."""
+    """Order-independent (exact) sum of a double expression, as double.
+
+    Cross-engine caveat (found via embedding_covariance): the per-value
+    double->DECIMAL cast breaks ties differently — Spark rounds HALF_UP,
+    DuckDB HALF_EVEN — so a dyadic double landing EXACTLY on a .5 decimal
+    boundary at `scale` (e.g. 0.1983642578125 at scale 12) diverges by
+    one unit. Safe here because the summed columns are decimal-valued
+    business numbers (prices at scale ≤ 2) or floats whose products
+    don't terminate at the boundary at the gate SF; for raw float32
+    moments use the FLOOR-to-BIGINT fixed-point pattern
+    (operators/similarity.py::embedding_covariance) instead."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 

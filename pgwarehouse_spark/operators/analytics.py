@@ -1402,3 +1402,100 @@ def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rk", "l_suppkey", "revenue", "cum_share", "in_top80")
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules
+# ---------------------------------------------------------------------------
+
+_ASSOC_MIN_PAIR = 3  # sf0.01 keeps ~63 rules; scale raises counts, not the floor
+_ASSOC_TOP = 50
+
+
+@register(
+    "basket_association_rules",
+    category="analytics",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets
+    ),
+    items AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY item_a, item_b
+    )
+    SELECT item_a, item_b, c_ab,
+           CAST(c_ab AS DOUBLE) / n.n AS support,
+           CAST(c_ab AS DOUBLE) / ia.c AS confidence_ab,
+           (CAST(c_ab AS DOUBLE) * n.n)
+             / (CAST(ia.c AS DOUBLE) * ib.c) AS lift
+    FROM pairs
+    JOIN items ia ON item_a = ia.l_partkey
+    JOIN items ib ON item_b = ib.l_partkey
+    CROSS JOIN n_orders n
+    WHERE c_ab >= {_ASSOC_MIN_PAIR}
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT {_ASSOC_TOP}
+    """,
+    doc="Market-basket association rules over order baskets: support, "
+    "confidence and lift per co-purchased part pair with a pair-count "
+    "floor — the recommendation/affinity primitive. All ratios divide "
+    "exact integer counts (every product < 2^53, so the doubles are "
+    "exact and the single division rounds identically cross-engine).",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distinct collapse to basket membership, one self-join on the
+    basket key for pair counts (bounded per basket by items², like the
+    co-purchase graph), then two broadcast joins of the Zipf-bounded
+    item-count table plus a 1-row total. The pair count floor prunes
+    before ranking; top-N is TakeOrdered on lift."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    items = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _ASSOC_MIN_PAIR)
+    )
+    ia = items.select(F.col("l_partkey").alias("item_a"), F.col("c").alias("c_a"))
+    ib = items.select(F.col("l_partkey").alias("item_b"), F.col("c").alias("c_b"))
+    lift = (F.col("c_ab").cast("double") * F.col("n")) / (
+        F.col("c_a").cast("double") * F.col("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("n")).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias("confidence_ab"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(_ASSOC_TOP)
+    )

@@ -1254,3 +1254,65 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_both"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "events_mad_outliers",
+    category="eventwindow",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.d / (1.4826 * m.mad) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           md.med, m.mad
+    FROM dev d
+    JOIN mad m USING (event_type)
+    JOIN med md USING (event_type)
+    GROUP BY d.event_type, md.med, m.mad
+    ORDER BY d.event_type
+    """,
+    doc="Robust (median/MAD) outlier detection per event-type series — "
+    "the heavy-tail-safe companion to events_zscore_anomaly: median and "
+    "MAD are immune to the very outliers being hunted, where mean/std "
+    "are dragged by them.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact-percentile aggregations (median, then median absolute
+    deviation) with the per-group scalars broadcast back onto the
+    stream — the same enrich shape as winsorize/z-score, so the fact
+    side never shuffles; robust_z = dev/(1.4826*mad) is evaluated with
+    the identical expression order in both engines (Spark percentile ≡
+    DuckDB quantile_cont bit-for-bit, see events_winsorize_clip)."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    outlier = F.col("d") / (F.lit(1.4826) * F.col("mad")) > 3.0
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(outlier, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select("event_type", "n", "n_outliers", "med", "mad")
+        .orderBy("event_type")
+    )

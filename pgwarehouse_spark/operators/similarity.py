@@ -1175,3 +1175,105 @@ def sim_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.neg_id")).alias("centroid_id"),
         F.col("best.sim").alias("sim"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (PCA/whitening prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_covariance",
+    category="vector",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS i
+      FROM embeddings
+    ),
+    n_vec AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    means AS (
+      SELECT i,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 / COUNT(*) AS mu
+      FROM ex GROUP BY i
+    ),
+    prods AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(FLOOR(a.x * b.x * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, p.sxy / n.n - ma.mu * mb.mu AS cov
+    FROM prods p
+    JOIN means ma ON p.i = ma.i
+    JOIN means mb ON p.j = mb.i
+    CROSS JOIN n_vec n
+    ORDER BY p.i, p.j
+    """,
+    doc="Embedding covariance matrix (upper triangle): E[xy] - E[x]E[y] "
+    "per dimension pair — the one-pass moment computation feeding PCA / "
+    "whitening / Mahalanobis pipelines. Moments sum 1e-12-quantized "
+    "fixed-point units (FLOOR of one double multiply into BIGINT): every "
+    "step is an IEEE double op or exact integer arithmetic, so the "
+    "matrix is bit-identical cross-engine and partition-independent — "
+    "unlike double->DECIMAL casts, whose half-up (Spark) vs half-even "
+    "(DuckDB) tie-breaking diverges on dyadic float32 values that land "
+    "exactly on a .5 decimal boundary.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments, not centering: covariance from raw product sums (one
+    groupBy over d²/2 dimension pairs) plus the d means — no centered
+    copy of the data is ever materialized. The pair expansion is per-row
+    array work (d²/2 struct rows per vector via nested transform +
+    explode); the shuffle moves decimal partials for d(d+1)/2 keys —
+    constant in row count, so at 100 TB this is a pure map-side-combine
+    pattern. For d large enough that d² rows per vector hurt, block the
+    matrix (compute P×P dimension tiles per pass) — same plan per
+    tile."""
+    e = t(spark, sf_dir, "embeddings")
+    n_vec = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    units = lambda c: F.floor(c * F.lit(1e12)).cast("bigint")  # noqa: E731
+    means = ex.groupBy("i").agg(
+        (
+            F.sum(units(F.col("x"))).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    prods = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            (
+                F.sum(units(F.col("a.x") * F.col("b.x"))).cast("double")
+                / F.lit(1e12)
+            ).alias("sxy")
+        )
+    )
+    ma = means.select(F.col("i"), F.col("mu").alias("mu_i"))
+    mb = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        prods.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n_vec))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy") / F.col("n") - F.col("mu_i") * F.col("mu_j")
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
