@@ -144,6 +144,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = adj.select(F.col("src").alias("part"), "out_deg").localCheckpoint()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (empty feed / filtered slice): 1/n_nodes would
+        # constant-fold into an ANSI divide-by-zero before any row runs
+        return spark.createDataFrame(
+            [], "part bigint, score double, out_deg bigint"
+        )
 
     scores = nodes.select(
         "part", (F.lit(1.0) / n_nodes).alias("score"), "out_deg"
