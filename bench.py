@@ -81,6 +81,14 @@ HEADLINE = [
     "events_rolling_median",
     "events_bitmap_distinct_rollup",
     "sync_ivm_join_delta",
+    "basket_association_rules",
+    "events_mad_outliers",
+    "join_fuzzy_levenshtein",
+    "orders_seasonality",
+    "events_top_paths",
+    "events_audience_overlap",
+    "embedding_covariance",
+    "sim_ivf_index_delta",
 ]
 
 

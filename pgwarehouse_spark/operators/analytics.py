@@ -1499,3 +1499,52 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "item_a", "item_b")
         .limit(_ASSOC_TOP)
     )
+
+
+@register(
+    "orders_seasonality",
+    category="analytics",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           AVG(revenue) OVER (
+             ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW
+           ) AS trailing_12m_avg,
+           revenue / AVG(revenue) OVER (
+             ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW
+           ) AS seasonal_index
+    FROM monthly ORDER BY month
+    """,
+    doc="Seasonality decomposition: monthly revenue, trailing-12-month "
+    "moving average, and the seasonal index (month over trend) — the BI "
+    "trend/seasonality splitter. The window runs over the MONTH grain "
+    "(dozens of rows after the collapse, constant in data size), so the "
+    "ordered single-partition frame is safe at any scale; per-month "
+    "revenue is the decimal-exact dsum, whose scale-6 doubles sum "
+    "exactly in any frame-evaluation order (DuckDB's segment-tree "
+    "window and Spark's running frame agree bit-for-bit).",
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = W.orderBy("month").rowsBetween(-11, 0)
+    ma = F.avg("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        ma.alias("trailing_12m_avg"),
+        (F.col("revenue") / ma).alias("seasonal_index"),
+    ).orderBy("month")
