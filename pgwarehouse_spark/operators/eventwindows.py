@@ -1316,3 +1316,83 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "n_outliers", "med", "mad")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_audience_overlap_sketch",
+    category="eventwindow",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS exact_both,
+           TRUE AS within_bounds
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+    doc="Sketch-algebra audience overlap, registered as a bounded-error "
+    "verdict (the agg_approx_distinct pattern): intersection sizes from "
+    "HLL sketches via inclusion-exclusion |A|+|B|-|A∪B| — the form that "
+    "serves segment-Venn queries from a few KB per segment instead of "
+    "re-scanning membership. The exact overlap hash-matches the SQL "
+    "oracle; within_bounds pins the sketch estimate inside the "
+    "triangle-inequality error budget (three 3-sigma HLL terms).",
+)
+def events_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, ONE reusable HLL sketch of its audience; every
+    pair's intersection estimate is |A|+|B|-|A∪B| with the union sketch
+    merged from the two per-type sketches (hll_union — register-max,
+    never re-reading events). The exact branch exists for the verdict
+    only; a production rollup ships just the sketch table. Error
+    budget: each estimate carries ~1.6% rsd (lgK=12), so the
+    inclusion-exclusion error is bounded by 3*rsd*(est_a+est_b+est_u),
+    plus a +5 absolute floor for near-empty intersections."""
+    e = t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sk = ut.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.expr("hll_sketch_estimate(sk_a)")
+    est_b = F.expr("hll_sketch_estimate(sk_b)")
+    est_u = F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    est_both = est_a + est_b - est_u
+    exact = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    rsd = 0.0163  # lgK=12 default: 1.04/sqrt(4096)
+    bound = 3 * rsd * (est_a + est_b + est_u) + 5
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_both",
+            (F.abs(est_both - F.col("exact_both")) <= bound).alias(
+                "within_bounds"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -540,3 +540,116 @@ def sync_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    category="sync",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    transitions AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    intervals AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      FROM transitions
+    ),
+    probes AS (
+      SELECT event_id AS probe_id, user_id, ts AS probe_ts
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT p.probe_id, p.user_id, p.probe_ts,
+           i.event_type AS type_as_of, i.valid_from
+    FROM probes p JOIN intervals i
+      ON p.user_id = i.user_id
+     AND p.probe_ts >= i.valid_from
+     AND (i.valid_to IS NULL OR p.probe_ts < i.valid_to)
+    ORDER BY probe_id
+    """,
+    doc="Point-in-time (temporal) join against the SCD2 history: each "
+    "probe timestamp resolves to the attribute version valid THEN — "
+    "the reproducible-training-snapshot / feature-store lookup that "
+    "plain joins against a mutable dimension get wrong. Intervals are "
+    "half-open [from, to), so a probe exactly on a transition sees the "
+    "new version in both engines.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on the entity key + in-row interval predicate: each
+    probe meets only ITS user's few intervals (per-entity version count,
+    not history size), so the join is hash-partitioned on user_id with
+    a cheap range filter — never a time-banded blowup. At 100 TB the
+    SCD2 table is this engine's bucketed layout on the same key, making
+    the probe join bucket-local."""
+
+    e = t(spark, sf_dir, "events")
+    intervals = scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("type_as_of"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = e.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.col("ts").alias("probe_ts"),
+    )
+    return (
+        probes.join(intervals, "user_id")
+        .filter(
+            (F.col("probe_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+        )
+        .select("probe_id", "user_id", "probe_ts", "type_as_of", "valid_from")
+        .orderBy("probe_id")
+    )
+
+
+@register(
+    "sync_early_arriving_facts",
+    category="sync",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 7
+    )
+    SELECT CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS is_placeholder,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    GROUP BY 1 ORDER BY is_placeholder
+    """,
+    doc="Early-arriving facts: orders referencing dimension keys that "
+    "have not arrived yet (a tenth of customers withheld) LEFT-join the "
+    "dim and fall back to a placeholder member instead of being dropped "
+    "or failing — the standard late-dimension warehouse pattern. The "
+    "backfill step is exactly sync/merge.py::merge_upsert once the dim "
+    "row lands: placeholder rows resolve by key, no fact rewrite.",
+)
+def sync_early_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_custkey") % 10 != 7).select("c_custkey", "c_name")
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey, "left")
+        .groupBy(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias(
+                "is_placeholder"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("is_placeholder")
+    )
