@@ -1548,3 +1548,74 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ma.alias("trailing_12m_avg"),
         (F.col("revenue") / ma).alias("seasonal_index"),
     ).orderBy("month")
+
+
+@register(
+    "orders_open_backlog_daily",
+    category="analytics",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS open_d,
+             CAST(MAX(l.l_shipdate) AS DATE) AS close_d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT open_d AS d, CAST(1 AS BIGINT) AS delta FROM spans
+      UNION ALL
+      SELECT close_d + 1, CAST(-1 AS BIGINT) FROM spans
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d)
+    SELECT d, CAST(net AS BIGINT) AS net,
+           CAST(SUM(net) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM daily ORDER BY d
+    """,
+    doc="Open-order backlog over time (interval concurrency): each order "
+    "is open from orderdate through its last shipment; +1/-1 boundary "
+    "deltas collapse per day, and the running sum over the day spine is "
+    "the concurrent-open count — the sweep-line rewrite that replaces a "
+    "per-day interval-containment join (O(days*orders)) with one "
+    "aggregation plus a prefix sum over O(days) rows.",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-grain frame after the delta collapse is O(distinct days)
+    — thousands of rows at any corpus size — so its running sum uses
+    the distributed two-pass prefix sum (global_rank_cumsum: range
+    partition + per-partition window + broadcast offsets, no
+    single-partition Exchange), same as the RFM/Pareto analytics."""
+    from ._helpers import global_rank_cumsum
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(o.o_orderkey, "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_d"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("open_d"),
+            F.col("close_d").cast("date").alias("close_d"),
+        )
+    )
+    deltas = spans.select(
+        F.col("open_d").alias("d"), F.lit(1).cast("bigint").alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("close_d", 1).alias("d"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    ranked, _, _ = global_rank_cumsum(
+        daily, [F.col("d")], value_col=F.col("net"), cum_name="open_orders"
+    )
+    return (
+        ranked.select(
+            "d",
+            F.col("net").cast("bigint").alias("net"),
+            F.col("open_orders").cast("bigint").alias("open_orders"),
+        )
+        .orderBy("d")
+    )

@@ -1277,3 +1277,131 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via unrolled power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+_SQL_COV_CTES = """
+    ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS i
+      FROM embeddings
+    ),
+    n_vec AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    means AS (
+      SELECT i,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 / COUNT(*) AS mu
+      FROM ex GROUP BY i
+    ),
+    prods AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(FLOOR(a.x * b.x * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT p.i, p.j, p.sxy / n.n - ma.mu * mb.mu AS c
+      FROM prods p
+      JOIN means ma ON p.i = ma.i
+      JOIN means mb ON p.j = mb.i
+      CROSS JOIN n_vec n
+    ),
+    sym AS (
+      SELECT i, j, c FROM cov
+      UNION ALL
+      SELECT j, i, c FROM cov WHERE i <> j
+    )
+"""
+
+
+def _sql_power_iter(prev: str, k: int) -> str:
+    return f"""
+    w{k} AS (
+      SELECT s.i,
+             CAST(SUM(CAST(FLOOR(s.c * v.v * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS w
+      FROM sym s JOIN {prev} v ON s.j = v.i
+      GROUP BY s.i
+    ),
+    n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(FLOOR(w * w * 1e12) AS BIGINT)) AS DOUBLE)
+                  / 1e12) AS nrm
+      FROM w{k}
+    ),
+    v{k} AS (SELECT i, w / nrm AS v FROM w{k} CROSS JOIN n{k})"""
+
+
+_SQL_PCA = (
+    "WITH "
+    + _SQL_COV_CTES
+    + ", v0 AS (SELECT DISTINCT i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v"
+    "   FROM cov)"
+    + ","
+    + ",".join(_sql_power_iter(f"v{k - 1}", k) for k in range(1, _PCA_ITERS + 1))
+    + f"""
+    SELECT v.i, v.v AS loading, n.nrm AS eigenvalue_est
+    FROM v{_PCA_ITERS} v CROSS JOIN n{_PCA_ITERS} n
+    ORDER BY v.i
+    """
+)
+
+
+@register(
+    "embedding_pca_top_component",
+    category="vector",
+    oracle=_SQL_PCA,
+    doc="Top principal component of the embedding cloud via 3 unrolled "
+    "power iterations over the covariance matrix (the PCA/whitening "
+    "front door). Every matrix-vector product sums 1e-12 fixed-point "
+    "units (FLOOR into BIGINT), so the iteration trajectory — including "
+    "the sign, pinned by the deterministic e_0 start — is bit-identical "
+    "cross-engine; the oracle replays the recurrence as chained CTEs "
+    "(the graph_pagerank pattern).",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed part: the covariance moments (one corpus pass, see
+    embedding_covariance). The iteration itself runs on the d²-row
+    matrix frame — constant-size, so each step is a broadcast-scale
+    join; at d where this matters, the same recurrence runs on d²
+    partials just as well. ||w_k|| converges to the top eigenvalue;
+    3 iterations are unrolled so the whole thing stays one lazy plan."""
+    cov = embedding_covariance(spark, sf_dir)
+    sym = cov.select("i", "j", F.col("cov").alias("c")).unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov").alias("c")
+        )
+    )
+    v = cov.select("i").distinct().select(
+        "i", F.when(F.col("i") == 0, 1.0).otherwise(0.0).alias("v")
+    )
+    units = lambda c: F.floor(c * F.lit(1e12)).cast("bigint")  # noqa: E731
+    nrm_col = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            sym.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                (F.sum(units(F.col("c") * F.col("v"))).cast("double") / F.lit(1e12)).alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(units(F.col("w") * F.col("w"))).cast("double") / F.lit(1e12)
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+        nrm_col = nrm
+    return (
+        v.crossJoin(F.broadcast(nrm_col))
+        .select("i", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue_est"))
+        .orderBy("i")
+    )
