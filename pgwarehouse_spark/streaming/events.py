@@ -497,3 +497,138 @@ def read_cdc_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(
         os.path.join(state_dir, "view")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance
+# ---------------------------------------------------------------------------
+
+
+def _scd2_state_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "scd2")
+
+
+def read_scd2_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current SCD2 table: the epoch log compacted on read — latest
+    version per (user_id, valid_from) wins (an interval is rewritten by
+    a later epoch only to close it)."""
+    from pyspark.sql import Window as W
+
+    path = _scd2_state_path(state_dir)
+    raw = spark.read.option("recursiveFileLookup", "true").schema(
+        "user_id bigint, event_type string, valid_from timestamp, "
+        "valid_to timestamp, epoch bigint"
+    ).parquet(path)
+    w = W.partitionBy("user_id", "valid_from").orderBy(F.col("epoch").desc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "epoch")
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+    )
+
+
+def apply_scd2_batch(batch_df: DataFrame, epoch_id: int, state_dir: str) -> None:
+    """One epoch of streaming SCD2 maintenance over an in-order (per
+    entity) change feed: the batch's events merge with each affected
+    entity's OPEN interval, transitions are re-derived over that tiny
+    union, and the epoch emits only rewritten/new intervals for the
+    affected entities — work is O(batch + open intervals touched), never
+    O(history).
+
+    Replay safety: the epoch's rows land in an epoch subdirectory
+    (overwrite), state reads use only earlier epochs (see
+    stream_join_maintenance), and the compaction key (user_id,
+    valid_from, max epoch) makes re-applied epochs overwrite themselves.
+    Ordering contract: events arrive watermark-ordered per entity
+    (batch N's events all follow batch N-1's) — the same contract the
+    watermark incremental sync relies on."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    path = _scd2_state_path(state_dir)
+
+    paths = _earlier_epochs(path, epoch_id)
+    if paths:
+        raw = spark.read.schema(
+            "user_id bigint, event_type string, valid_from timestamp, "
+            "valid_to timestamp, epoch bigint"
+        ).parquet(*paths)
+        w_latest = W.partitionBy("user_id", "valid_from").orderBy(
+            F.col("epoch").desc()
+        )
+        state = (
+            raw.withColumn("_rn", F.row_number().over(w_latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "epoch")
+        )
+    else:
+        state = spark.createDataFrame(
+            [],
+            "user_id bigint, event_type string, valid_from timestamp, "
+            "valid_to timestamp",
+        )
+
+    users = batch_df.select("user_id").distinct()
+    open_iv = state.join(users, "user_id", "left_semi").filter(
+        F.col("valid_to").isNull()
+    )
+    # pseudo-events: each open interval re-enters the transition derive
+    # at its own valid_from with its type, so a batch whose first event
+    # repeats the open type extends it (no spurious rewrite), and a
+    # different type closes it at the new event's timestamp.
+    pseudo = open_iv.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("bigint").alias("event_id"),
+    )
+    evs = batch_df.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).unionByName(pseudo)
+    w_ev = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        evs.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lag("event_type").over(w_ev).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w_tr = W.partitionBy("user_id").orderBy("valid_from")
+    rewritten = transitions.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_tr).alias("valid_to"),
+    )
+    out = rewritten.withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+    out.write.mode("overwrite").parquet(os.path.join(path, f"e{epoch_id}"))
+
+
+def stream_scd2_maintenance(
+    events: DataFrame, state_dir: str, checkpoint: str | None = None
+):
+    """Continuously-maintained SCD2 dimension from the event stream —
+    the streaming form of operators/syncshapes.py::scd2_intervals."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_scd2_batch(batch_df, epoch_id, state_dir)
+
+    writer = events.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -402,3 +402,63 @@ def test_stream_dedup_within_watermark_collapses_restamped(spark, tmp_path):
     got = spark.sql("select event_id from dedup_wm").collect()
     ids = sorted(r.event_id for r in got)
     assert ids == [1, 2, 3], ids
+
+
+def test_stream_scd2_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming SCD2: drain a time-ordered event feed through per-batch
+    interval maintenance; the compacted state must equal the one-shot
+    scd2_intervals history."""
+    import os
+    import time as _time
+
+    from pgwarehouse_spark.operators.syncshapes import scd2_intervals
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        read_scd2_state,
+        stream_scd2_maintenance,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # 4 time-ordered chunks (the in-order-per-entity contract); explicit
+    # mtimes pin the FileStreamSource processing order
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    tq = [r[0] for r in e.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
+    ).selectExpr("explode(q)").collect()]
+    um = F.unix_micros(F.col("ts"))
+    chunks = [
+        e.filter(um <= tq[0]),
+        e.filter((um > tq[0]) & (um <= tq[1])),
+        e.filter((um > tq[1]) & (um <= tq[2])),
+        e.filter(um > tq[2]),
+    ]
+    for i, c in enumerate(chunks):
+        p = os.path.join(feed, f"chunk_{i}")
+        c.coalesce(1).write.parquet(p)
+        # move the part file up with an increasing mtime
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"{i:03d}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        import shutil
+
+        shutil.rmtree(p)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, feed, max_files_per_trigger=1)
+    q = stream_scd2_maintenance(stream, state, checkpoint=ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.valid_from): (r.event_type, r.valid_to, r.is_current)
+        for r in read_scd2_state(spark, state).collect()
+    }
+    want = {
+        (r.user_id, r.valid_from): (r.event_type, r.valid_to, r.is_current)
+        for r in scd2_intervals(spark, sf_dir).collect()
+    }
+    assert got == want
