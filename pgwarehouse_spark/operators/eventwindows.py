@@ -1396,3 +1396,74 @@ def events_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "events_pattern_reversals",
+    category="eventwindow",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, event_id, value,
+             LAG(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS prev_v,
+             LEAD(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS next_v
+      FROM events
+    ),
+    bottoms AS (
+      SELECT event_type, event_id, value,
+             (prev_v - value) + (next_v - value) AS depth
+      FROM seq
+      WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+        AND value < prev_v AND value < next_v
+    )
+    SELECT event_type,
+           COUNT(*) AS n_reversals,
+           CAST(MIN(event_id) AS BIGINT) AS first_reversal_id,
+           MAX(depth) AS max_depth
+    FROM bottoms GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Row-pattern matching (MATCH_RECOGNIZE's DOWN+ UP+ shape, "
+    "rewritten as lag/lead predicates): V-shaped reversals — strict "
+    "local minima — per event-type series, with count and deepest "
+    "reversal. The rewrite runs in one windowed pass per series instead "
+    "of an NFA, which is how row-pattern queries compile onto engines "
+    "without MATCH_RECOGNIZE.",
+)
+def events_pattern_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (event_type, time) sort serves both navigation functions;
+    depth arithmetic ((prev-v)+(next-v)) is the same expression order in
+    both engines, and MAX over it is order-independent. Pattern spans
+    never cross partition keys, so the shuffle is the series hash
+    partition every per-series operator shares."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    bottoms = seq.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("value") < F.col("prev_v"))
+        & (F.col("value") < F.col("next_v"))
+    ).select(
+        "event_type",
+        "event_id",
+        (
+            (F.col("prev_v") - F.col("value"))
+            + (F.col("next_v") - F.col("value"))
+        ).alias("depth"),
+    )
+    return (
+        bottoms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_reversals"),
+            F.min("event_id").alias("first_reversal_id"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("event_type")
+    )

@@ -415,7 +415,14 @@ def test_rfm_and_pareto_have_no_single_partition_exchange(spark, sf_dir):
     )
     from pgwarehouse_spark.operators.windows import window_ntile_cumedist
 
-    for q in (customer_rfm_segments, supplier_pareto_revenue, window_ntile_cumedist):
+    from pgwarehouse_spark.operators.analytics import orders_open_backlog_daily
+
+    for q in (
+        customer_rfm_segments,
+        supplier_pareto_revenue,
+        window_ntile_cumedist,
+        orders_open_backlog_daily,
+    ):
         plan = physical_plan(q(spark, sf_dir))
         assert "SinglePartition" not in plan, q.__name__
         assert "rangepartitioning" in plan, q.__name__
