@@ -1619,3 +1619,59 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "orders_yoy_growth",
+    category="analytics",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           LAG(revenue, 12) OVER (ORDER BY month) AS revenue_prev_year,
+           CASE WHEN LAG(revenue, 12) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE CAST(ROUND(
+                  CAST((revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                       / LAG(revenue, 12) OVER (ORDER BY month) * 100
+                       AS DECIMAL(28,12)), 6) AS DOUBLE)
+           END AS yoy_pct
+    FROM monthly ORDER BY month
+    """,
+    doc="Year-over-year growth: monthly revenue vs the same month last "
+    "year (LAG 12 over the month grain) with percentage growth — the "
+    "standard BI comparison query. Like orders_seasonality, the window "
+    "runs AFTER the collapse to month grain (dozens of rows, constant in "
+    "data size), so the single-partition ordered frame is safe at any "
+    "scale; the scan-side aggregation is the only data-sized work and it "
+    "is a plain partial/final groupBy. Revenue is the decimal-exact "
+    "dsum; the growth ratio is rounded through DECIMAL(28,12) so both "
+    "engines round the same double.",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    yoy = F.when(
+        prev.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            ((F.col("revenue") - prev) / prev * 100).cast("decimal(28,12)"), 6
+        ).cast("double")
+    )
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        yoy.alias("yoy_pct"),
+    ).orderBy("month")

@@ -653,3 +653,96 @@ def sync_early_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_placeholder")
     )
+
+
+@register(
+    "sync_cdc_apply_opcodes",
+    category="sync",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    log AS (
+      SELECT l_orderkey AS o_orderkey,
+             l_linenumber AS seq,
+             CASE WHEN l_quantity < 3 THEN 'D'
+                  WHEN l_orderkey % 2 = 0 THEN 'U'
+                  ELSE 'I' END AS op,
+             l_extendedprice AS new_price
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    net AS (
+      SELECT o_orderkey, op, new_price FROM (
+        SELECT o_orderkey, op, new_price,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC, new_price DESC, op DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS o_totalprice
+    FROM (
+      SELECT t.o_orderkey, t.o_totalprice FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT n.o_orderkey, n.new_price AS o_totalprice
+      FROM net n WHERE n.op <> 'D'
+    )
+    ORDER BY o_orderkey
+    """,
+    doc="CDC opcode-log apply: the warehouse-side APPLY step for a "
+    "Debezium/wal2json-style change feed carrying explicit I/U/D opcodes "
+    "per key — the fourth sync strategy the reference cannot express "
+    "(its watermark strategies never delete; README.md:150-176 documents "
+    "the gap, sync_snapshot_cdc detects deletes by diffing, this one "
+    "APPLIES them from a log). Semantics: per key, only the LAST opcode "
+    "in sequence order matters (net-effect collapse); D removes the key "
+    "even if earlier ops inserted it, I/U upsert the newest value, "
+    "untouched target rows survive. The net-effect collapse is one "
+    "shuffle on the key with a group-limit pushed below the exchange; "
+    "the apply is the engine's merge primitive (left-anti + union) plus "
+    "an opcode filter — identical plan shape to sync_merge_upsert, so a "
+    "billion-row log costs one shuffle + one co-partitioned join.",
+)
+def sync_cdc_apply_opcodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    log = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_linenumber").alias("seq"),
+            F.when(F.col("l_quantity") < 3, "D")
+            .when(F.col("l_orderkey") % 2 == 0, "U")
+            .otherwise("I")
+            .alias("op"),
+            F.col("l_extendedprice").alias("new_price"),
+        )
+    )
+    # (seq, new_price, op) — the testdata carries duplicate
+    # (orderkey, linenumber) pairs, so seq alone is not a total order;
+    # the value tiebreaks make last-writer-wins deterministic cross-engine.
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("seq").desc(), F.col("new_price").desc(), F.col("op").desc()
+    )
+    net = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "op", "new_price")
+    )
+    survivors = target.join(net, "o_orderkey", "left_anti")
+    applied = net.filter(F.col("op") != "D").select(
+        "o_orderkey", F.col("new_price").alias("o_totalprice")
+    )
+    return (
+        survivors.unionByName(applied)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
