@@ -1248,3 +1248,79 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 semdedup_centroid.__doc__ = semdedup_centroid.__doc__.replace(
     "{tau}", str(_SEMDEDUP_TAU)
 ).replace("{max_cell}", str(_SEMDEDUP_MAX_CELL))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (subset/quotation detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_SQL_CONTAINMENT = f"""
+    WITH {_SQL_SHINGLES},
+    upairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    directed AS (
+      SELECT id1 AS src_id, id2 AS dst_id, n_shared FROM upairs
+      UNION ALL
+      SELECT id2 AS src_id, id1 AS dst_id, n_shared FROM upairs
+    )
+    SELECT src_id, dst_id, n_shared,
+           CAST(n_shared AS DOUBLE) / s.n AS containment
+    FROM directed d JOIN sizes s ON d.src_id = s.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / s.n >= {CONTAINMENT_THRESHOLD}
+    ORDER BY src_id, dst_id
+"""
+
+
+@register(
+    "dedup_containment",
+    category="dedup",
+    oracle=_SQL_CONTAINMENT,
+    doc="Asymmetric shingle containment C(src→dst) = |src∩dst| / |src|: "
+    "detects documents CONTAINED in a larger one (quotation, boilerplate "
+    "superset, truncated re-crawl) that symmetric Jaccard misses — a "
+    "short doc fully quoted inside a long one has Jaccard ≈ |A|/|B| "
+    "(tiny) but containment 1.0. Same inverted shingle index and "
+    "undirected shared-count join as dedup_ngram_jaccard (one shuffle "
+    "on the shingle, one on the pair), then each undirected pair emits "
+    "both directions against its own denominator — the directed "
+    "expansion is O(pairs), free. Production corpora pass "
+    "max_shingle_freq (the hot-shingle cap) exactly as the Jaccard "
+    "baseline does.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    upairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    directed = upairs.select(
+        F.col("id1").alias("src_id"), F.col("id2").alias("dst_id"), "n_shared"
+    ).unionByName(
+        upairs.select(
+            F.col("id2").alias("src_id"),
+            F.col("id1").alias("dst_id"),
+            "n_shared",
+        )
+    )
+    s = sizes.alias("s")
+    containment = F.col("n_shared").cast("double") / F.col("s.n")
+    return (
+        directed.join(s, F.col("src_id") == F.col("s.doc_id"))
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select("src_id", "dst_id", "n_shared", containment.alias("containment"))
+        .orderBy("src_id", "dst_id")
+    )

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot_exact as _dot
-from ..functions.vector import sql_cosine, sql_dot
+from ..functions.vector import dot_fixed, sql_cosine, sql_cosine_fixed, sql_dot
 from ..registry import register
 from ._helpers import t
 
@@ -1404,4 +1404,93 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.crossJoin(F.broadcast(nrm_col))
         .select("i", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue_est"))
         .orderBy("i")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN graph (semdedup / graph-clustering front-end)
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 3
+
+_SQL_KNN_MUTUAL = f"""
+    WITH ranked AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             {sql_cosine_fixed('a.embedding', 'b.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_cosine_fixed('a.embedding', 'b.embedding')} DESC,
+                        b.vec_id ASC
+             ) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    knn AS (SELECT * FROM ranked WHERE rank <= {KNN_GRAPH_K})
+    SELECT k.src_id, k.dst_id, k.cosine, k.rank,
+           EXISTS (SELECT 1 FROM knn r
+                   WHERE r.src_id = k.dst_id AND r.dst_id = k.src_id) AS mutual
+    FROM knn k ORDER BY src_id, rank
+"""
+
+
+@register(
+    "sim_knn_graph_mutual",
+    category="similarity",
+    oracle=_SQL_KNN_MUTUAL,
+    doc="Exact mutual k-NN graph over the embedding corpus: every "
+    "vector's top-k cosine neighbors, with edges flagged MUTUAL when "
+    "both endpoints rank each other — the standard front-end for "
+    "semantic-dedup clustering (mutual edges are the high-precision "
+    "ones fed to connected components / dedup_clusters). The N×N "
+    "compare is the labeled exact baseline, same contract as "
+    "sim_topk_bruteforce; at 100 TB you build candidate edges from the "
+    "LSH/IVF buckets (sim_topk_lsh / sim_topk_ivf share the bucketing) "
+    "and only score within buckets. The mutual flag itself costs one "
+    "extra shuffle of the N·k edge list (tiny) — a self-join on the "
+    "reversed edge, no second pass over the vectors.",
+)
+def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    # fixed-point (FLOOR) dot, not the decimal-rounded one: across 500×500
+    # pairs one product lands exactly on a .5 boundary at scale 12 and the
+    # engines' rounding modes split — FLOOR has no tie to break.
+    c = e.withColumn(
+        "norm", F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
+    )
+    left = c.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    right = c.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    cos = dot_fixed(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    w = W.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("dst_id").asc()
+    )
+    knn = (
+        left.join(right, F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+    rev = knn.select(
+        F.col("dst_id").alias("src_id"),
+        F.col("src_id").alias("dst_id"),
+        F.lit(1).alias("m"),
+    )
+    return (
+        knn.join(rev, ["src_id", "dst_id"], "left")
+        .select(
+            "src_id",
+            "dst_id",
+            "cosine",
+            "rank",
+            F.col("m").isNotNull().alias("mutual"),
+        )
+        .orderBy("src_id", "rank")
     )
