@@ -417,3 +417,62 @@ def multimodal_feature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         # a self-duplicate pair's dot can land slightly above 1.
         (F.abs(F.col("cosine")) <= 1.0 + 1e-5).alias("cosine_bounded"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_exact_dedup",
+    category="multimodal",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS modality,
+             md5(text) AS payload_md5
+      FROM documents
+    ),
+    media AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT doc_id + 10000000, modality, payload_md5
+      FROM base WHERE doc_id % 17 = 0
+    )
+    SELECT modality, payload_md5,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM media
+    GROUP BY modality, payload_md5
+    HAVING COUNT(*) > 1
+    ORDER BY modality, payload_md5
+    """,
+    doc="Exact byte-identical media dedup: group by md5 of the raw "
+    "payload bytes per modality, keep the lowest doc_id as canonical — "
+    "the first pass of every media-lake dedup (identical re-uploads, "
+    "mirrored files) before any perceptual hashing. The fixture unions "
+    "a deterministic mirror slice (every 17th asset re-uploaded under a "
+    "new id) so the dup groups are non-empty and pinned. Runs entirely "
+    "JVM-side on the binary column (md5 of bytes — no decode, no "
+    "Python hop): one map-side-combinable groupBy on a 16-byte digest, "
+    "the same single-shuffle shape as dedup_exact on text. At 100 TB "
+    "the digest groupBy shuffles ~48 bytes/row regardless of payload "
+    "size; computing the digest is the scan itself. The oracle mirrors "
+    "md5 over the identical utf-8 bytes.",
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "modality", F.md5(F.col("payload")).alias("payload_md5")
+    )
+    mirrored = m.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "modality",
+        "payload_md5",
+    )
+    return (
+        m.unionByName(mirrored)
+        .groupBy("modality", "payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("modality", "payload_md5")
+    )

@@ -982,3 +982,118 @@ def sample_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection for language models)
+# ---------------------------------------------------------------------------
+
+_SQL_DSIR = r"""
+    WITH dw AS (
+      SELECT doc_id, w, COUNT(*) AS n_dw
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    doc_lang AS (SELECT doc_id, lang FROM documents),
+    raw_cnt AS (
+      SELECT w, CAST(SUM(n_dw) AS BIGINT) AS c_r FROM dw GROUP BY w
+    ),
+    tgt_cnt AS (
+      SELECT w, CAST(SUM(n_dw) AS BIGINT) AS c_t
+      FROM dw JOIN doc_lang USING (doc_id) WHERE lang = 'en' GROUP BY w
+    ),
+    totals AS (
+      SELECT (SELECT SUM(c_r) FROM raw_cnt) AS n_r,
+             (SELECT COALESCE(SUM(c_t), 0) FROM tgt_cnt) AS n_t,
+             (SELECT COUNT(*) FROM raw_cnt) AS v
+    ),
+    ratios AS (
+      SELECT r.w,
+             LN( ((COALESCE(t.c_t, 0) + 1.0) / (totals.n_t + totals.v))
+               / ((r.c_r + 1.0) / (totals.n_r + totals.v)) ) AS logratio
+      FROM raw_cnt r LEFT JOIN tgt_cnt t USING (w), totals
+    )
+    SELECT dw.doc_id, dl.lang,
+           CAST(SUM(dw.n_dw) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(dw.n_dw * ratios.logratio * 1e9) AS BIGINT))
+                AS DOUBLE) / 1e9 AS dsir_logweight
+    FROM dw JOIN ratios USING (w) JOIN doc_lang dl USING (doc_id)
+    GROUP BY dw.doc_id, dl.lang
+    ORDER BY dw.doc_id
+"""
+
+
+@register(
+    "sample_importance_dsir",
+    category="pipeline",
+    oracle=_SQL_DSIR,
+    doc="DSIR-style importance weight per document (Xie et al. 2023, "
+    "Data Selection via Importance Resampling): score every raw doc by "
+    "the log-likelihood ratio of its unigrams under the TARGET "
+    "distribution (here: the lang='en' slice) vs the RAW distribution, "
+    "add-1 smoothed over the raw vocabulary. Docs whose token mix "
+    "matches the target get high weight; sampling Gumbel-top-k on "
+    "(weight + noise) — or thresholding, as filter_pipeline_gates does "
+    "— yields the DSIR selection. Plan: one corpus-wide doc×word count "
+    "(map-side combinable), two vocabulary-sized aggregates, the "
+    "per-word log-ratio table joined back BROADCAST (vocab ≪ corpus), "
+    "and one per-doc sum — two data-sized shuffles total (word, then "
+    "doc). The per-doc fold is FLOOR fixed-point at 1e-9 so the sum is "
+    "order-independent and bit-identical cross-engine (log terms are "
+    "irrational doubles; a decimal cast could land on a rounding tie).",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_dw"))
+    )
+    doc_lang = d.select("doc_id", "lang")
+    raw_cnt = dw.groupBy("w").agg(F.sum("n_dw").alias("c_r"))
+    tgt_cnt = (
+        dw.join(doc_lang, "doc_id")
+        .filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.sum("n_dw").alias("c_t"))
+    )
+    totals = raw_cnt.agg(
+        F.sum("c_r").alias("n_r"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(tgt_cnt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t")))
+    ratios = (
+        raw_cnt.join(tgt_cnt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            F.log(
+                (
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_t") + F.col("v"))
+                )
+                / ((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.col("v")))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        dw.join(ratios, "w")
+        .join(doc_lang, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n_dw").alias("n_tokens"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("n_dw") * F.col("logratio") * F.lit(1e9)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )

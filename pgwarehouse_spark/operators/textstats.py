@@ -791,3 +791,72 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("c").desc(), "w")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training step: corpus-wide adjacent-symbol pair counts
+# ---------------------------------------------------------------------------
+
+_BPE_TOPN = 50
+
+_SQL_BPE_PAIRS = f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wfreq AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    chars AS (
+      SELECT w, freq, string_split(w, '') AS cs FROM wfreq
+    ),
+    pairs AS (
+      SELECT x[1] AS left_sym, x[2] AS right_sym, freq
+      FROM chars, unnest(list_zip(cs, cs[2:])) AS u(x)
+      WHERE x[2] IS NOT NULL
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {_BPE_TOPN}
+"""
+
+
+@register(
+    "tokenizer_bpe_pair_counts",
+    category="text",
+    oracle=_SQL_BPE_PAIRS,
+    doc="One BPE-training merge step at corpus scale: the frequency of "
+    "every adjacent character pair, weighted by word frequency — the op "
+    "a distributed BPE/WordPiece trainer runs once per merge. The "
+    "corpus first collapses to its word-frequency table (the classic "
+    "BPE preprocessing step: pair counting is then O(vocab · word_len), "
+    "not O(corpus)), so the expensive explode runs over the TINY "
+    "distinct-word frame and the only data-sized work is the word "
+    "count — a map-side-combinable groupBy. Adjacent pairs come from a "
+    "zip of the char array with its shift (JVM-side, no UDF); the "
+    "final top-N is a TakeOrderedAndProject, no global sort.",
+)
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cs = F.split(F.col("w"), "")
+    n = F.size(cs)
+    zipped = F.arrays_zip(
+        F.slice(cs, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+        F.slice(cs, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+    )
+    pairs = wfreq.select(
+        F.explode(zipped).alias("p"), "freq"
+    ).select(
+        F.col("p.l").alias("left_sym"),
+        F.col("p.r").alias("right_sym"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(_BPE_TOPN)
+    )
