@@ -89,6 +89,14 @@ HEADLINE = [
     "events_audience_overlap",
     "embedding_covariance",
     "sim_ivf_index_delta",
+    "sync_cdc_apply_opcodes",
+    "orders_yoy_growth",
+    "orders_cohort_ltv",
+    "sim_knn_graph_mutual",
+    "dedup_containment",
+    "tokenizer_bpe_pair_counts",
+    "sample_importance_dsir",
+    "multimodal_exact_dedup",
 ]
 
 

@@ -77,7 +77,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "compact", "publish", "verify", "query", "queries", "audit"],
+                 "compact", "publish", "verify", "query", "queries", "audit",
+                 "explain"],
     )
     p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
     p.add_argument("--config", default="pgwarehouse.yaml")
@@ -175,6 +176,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 row = (name, spec.category, "-", "-", "-", "-", f"error: {exc}")
             print("| " + " | ".join(str(x) for x in row) + " |")
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        return 0
+
+    if args.command == "explain":
+        # Print the formatted physical plan of one registered query —
+        # the per-query drill-down of `audit` (which sweeps all plans):
+        # shows WholeStageCodegen spans, Exchange count, PushedFilters
+        # and ReadSchema so a pipeline author can check pushdown and
+        # shuffle shape before running at scale.
+        from .registry import all_queries
+        from .session import get_spark
+
+        specs = all_queries()
+        if not args.table or args.table not in specs:
+            print(
+                f"unknown query {args.table!r}; run `queries` to list",
+                file=sys.stderr,
+            )
+            return 1
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
+        df = specs[args.table].fn(spark, sf_dir)
+        df.explain(mode="formatted")
         return 0
 
     if args.command == "query":

@@ -1675,3 +1675,74 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("revenue_prev_year"),
         yoy.alias("yoy_pct"),
     ).orderBy("month")
+
+
+@register(
+    "orders_cohort_ltv",
+    category="analytics",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort_month,
+             CAST(date_diff('month', f.cohort_month,
+                            CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                  AS INT) AS months_since,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_month, months_since, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                  OVER (PARTITION BY cohort_month ORDER BY months_since)
+                AS DOUBLE) AS cum_revenue
+    FROM monthly ORDER BY cohort_month, months_since
+    """,
+    doc="Customer-cohort lifetime value: customers grouped by first-order "
+    "month, revenue bucketed by months-since-acquisition, cumulative LTV "
+    "per cohort — the acquisition-payback curve every subscription/"
+    "commerce warehouse reports. Plan: the firsts aggregate is one "
+    "map-side-combinable groupBy on custkey; the fact join shuffles on "
+    "custkey ONCE against that pre-collapsed (one row per customer) "
+    "frame — never against raw orders; the cohort×month matrix is "
+    "months² rows (constant in data size) so the cumulative window "
+    "runs post-collapse, partitioned by cohort. Revenue is the "
+    "decimal-exact dsum, so the running cumulative sums agree "
+    "bit-for-bit in any frame-evaluation order.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                F.months_between(
+                    F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+                    F.col("cohort_month"),
+                )
+            )
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("cohort_month").orderBy("months_since")
+    return monthly.select(
+        "cohort_month",
+        "months_since",
+        "revenue",
+        # cumulative through DECIMAL: a double running sum differs in the
+        # last ulp between Spark's streaming frame and DuckDB's segment
+        # tree; the scale-6 decimal re-cast is exact for scale-2 money.
+        F.sum(F.col("revenue").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    ).orderBy("cohort_month", "months_since")

@@ -202,3 +202,19 @@ def test_interactive_init_backend_choice(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys.stdin, "isatty", lambda: False, raising=False)
     assert cli.main(["init", "--config", str(cfg2)]) == 0
     assert "\n  type: parquet\n" in cfg2.read_text()
+
+
+def test_explain_command(spark, capsys):
+    """`explain <query>` prints the formatted physical plan (pushdown /
+    shuffle drill-down for one registered query)."""
+    from pgwarehouse_spark import cli
+
+    rc = cli.main(
+        ["explain", "agg_basic", "--sf-dir", "/root/testdata/sf0.001"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "ReadSchema" in out
+    assert cli.main(["explain", "nope_not_a_query"], spark=spark) == 1
