@@ -104,15 +104,17 @@ HEADLINE = [
 # derived sf1 so the driver's bench record carries a scaling SLOPE, not a
 # single point (VERDICT r01 item 9).
 HEAVY10 = [
+    "graph_pagerank",
+    "graph_triangle_count",
+    "sim_topk_pq",
     "dedup_clusters",
     "dedup_minhash_lsh",
-    "dedup_exact",
+    "text_pmi_collocations",
     "q21_waiting_suppliers",
     "join_star_broadcast",
     "q18_large_volume_customer",
     "text_tfidf_top_terms",
     "sim_topk_bruteforce",
-    "topk_per_group",
     "q1_pricing_summary",
 ]
 
