@@ -1746,3 +1746,169 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_revenue"),
     ).orderBy("cohort_month", "months_since")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 100  # depth of each ranked list entering the fusion
+_RRF_TOP = 20
+
+
+def _rrf_oracle() -> str:
+    from ..functions.vector import sql_cosine_fixed
+    from .textstats import _sql_count_token
+
+    tf_cols = ",\n             ".join(
+        f"CAST({_sql_count_token('text', w)} AS INT) AS tf_{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = "\n           + ".join(
+        f"LN(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({_BM25_K1} + 1)) / (tf_{i} + {_BM25_K1}"
+        f" * (1 - {_BM25_B} + {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM base
+    ),
+    bm AS (
+      SELECT doc_id, CAST(ROUND({score}, 8) AS DOUBLE) AS bm25
+      FROM base CROSS JOIN stats
+      ORDER BY bm25 DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    bm_ranked AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_text
+      FROM bm
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             {sql_cosine_fixed('e.embedding', 'q.embedding')} AS cosine
+      FROM embeddings e CROSS JOIN q
+      ORDER BY cosine DESC, e.vec_id LIMIT {_RRF_POOL}
+    ),
+    cs_ranked AS (
+      SELECT doc_id, cosine,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_dense
+      FROM cs
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           b.r_text, c.r_dense,
+           COALESCE(1.0 / ({_RRF_K} + b.r_text), 0)
+             + COALESCE(1.0 / ({_RRF_K} + c.r_dense), 0) AS rrf_score
+    FROM bm_ranked b FULL OUTER JOIN cs_ranked c ON b.doc_id = c.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    category="similarity",
+    oracle=_rrf_oracle(),
+    doc="Hybrid retrieval: BM25 lexical ranking and dense cosine ranking "
+    "fused by reciprocal-rank fusion (score = Σ 1/(60+rank)) — the "
+    "standard RAG retrieval stack (sparse ⊕ dense, rank-level fusion "
+    "needs no score calibration). Each arm produces its top-100 as a "
+    "TakeOrderedAndProject (per-partition heaps, no global sort of the "
+    "corpus); ranks are then assigned inside the 100-row pool (constant "
+    "size — the single-partition window is data-independent), and the "
+    "fusion is a full-outer join of two 100-row lists. At 100 TB the "
+    "dense arm swaps brute-force for the IVF/LSH probes (sim_topk_*) "
+    "and the lexical arm keeps its one broadcast-stats pass — fusion "
+    "cost never changes. doc_id ≡ vec_id for embedded documents.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot_fixed
+    from .textstats import _count_token, token_count
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("dl"),
+        *[
+            _count_token(F.col("text"), w).cast("int").alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        part = idf * (tf * (_BM25_K1 + 1)) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    bm = (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 8).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_text = W.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w_text).cast("bigint").alias("r_text")
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cs = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot_fixed(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot_fixed(F.col("q_emb"), F.col("q_emb")))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_dense = W.orderBy(F.col("cosine").desc(), "doc_id")
+    cs_ranked = cs.select(
+        "doc_id", F.row_number().over(w_dense).cast("bigint").alias("r_dense")
+    )
+
+    fused = (
+        bm_ranked.join(cs_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_text",
+            "r_dense",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("r_text")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    return fused

@@ -1494,3 +1494,64 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval (MRL truncation)
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 32  # prefix dims used by the cheap first-pass ranker
+MRL_POOL = 50  # shortlist size re-ranked with full dimensionality
+MRL_MIN_RECALL = 0.5
+
+
+@register(
+    "sim_topk_matryoshka",
+    category="similarity",
+    oracle=_SQL_RECALL_VERDICT,
+    doc="Matryoshka-truncation retrieval (MRL): shortlist with the "
+    "cosine of the FIRST 32 of 64 dimensions (half the scan bytes and "
+    "FLOPs — the cheap pass when embeddings are Matryoshka-trained), "
+    "then re-rank only the 50-deep shortlist with full vectors — the "
+    "same shortlist+rerank shape as PQ-ADC. Reported as a recall "
+    "verdict (exact top-k rows hash-matched, recall_ok pinned TRUE by "
+    "the oracle; the floor is deliberately loose because the synthetic "
+    "vectors are random — MRL-trained embeddings concentrate signal in "
+    "the prefix). Same broadcast-queries/no-corpus-shuffle plan as "
+    "sim_topk_bruteforce; at 100 TB the prefix pass composes with IVF "
+    "(probe cells in 32-d, re-rank survivors in 64-d) and reads only "
+    "the prefix when embeddings are stored dimension-sharded.",
+)
+def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    truncated = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_DIM).alias("embedding")
+    )
+    queries = truncated.filter(F.col("vec_id") < N_QUERIES)
+    shortlist = brute_force_topk(queries, truncated, k=MRL_POOL).select(
+        "query_id", "neighbor_id"
+    )
+    qn = with_norm(e.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        shortlist.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOPK)
+    )
+    return recall_verdict(ann, exact_topk(spark, sf_dir), MRL_MIN_RECALL)
