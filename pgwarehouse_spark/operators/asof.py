@@ -216,3 +216,136 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "asof_join_nearest",
+    category="asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), unioned AS (
+      SELECT user_id, ts, 0 AS side, event_id AS view_event_id, ts AS view_ts,
+             NULL::BIGINT AS purchase_event_id
+      FROM views
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, NULL, event_id FROM purchases
+    ), carried AS (
+      SELECT *,
+             LAST_VALUE(view_event_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, view_event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS back_id,
+             LAST_VALUE(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, view_event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS back_ts,
+             FIRST_VALUE(view_event_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, view_event_id DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS fwd_id,
+             FIRST_VALUE(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, view_event_id DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS fwd_ts
+      FROM unioned
+    )
+    SELECT purchase_event_id AS event_id, user_id, ts,
+           CASE
+             WHEN back_id IS NULL AND fwd_id IS NULL THEN NULL
+             WHEN fwd_id IS NULL THEN back_id
+             WHEN back_id IS NULL THEN fwd_id
+             WHEN date_diff('microsecond', back_ts, ts)
+                  <= date_diff('microsecond', ts, fwd_ts) THEN back_id
+             ELSE fwd_id
+           END AS nearest_view_id,
+           CASE
+             WHEN back_id IS NULL AND fwd_id IS NULL THEN NULL
+             WHEN fwd_id IS NULL
+               THEN -date_diff('microsecond', back_ts, ts)
+             WHEN back_id IS NULL
+               THEN date_diff('microsecond', ts, fwd_ts)
+             WHEN date_diff('microsecond', back_ts, ts)
+                  <= date_diff('microsecond', ts, fwd_ts)
+               THEN -date_diff('microsecond', back_ts, ts)
+             ELSE date_diff('microsecond', ts, fwd_ts)
+           END AS nearest_delta_us
+    FROM carried WHERE side = 1
+    ORDER BY event_id
+    """,
+    doc="Nearest-in-time as-of join (direction-free): for each purchase, "
+    "the closest 'view' by the same user in EITHER direction — backward "
+    "candidate via the carry-forward window, forward candidate via the "
+    "mirrored carry-backward window, then an arithmetic pick of the "
+    "smaller |Δt| (ties → backward, matching pd.merge_asof "
+    "direction='nearest'). Completes the as-of family (backward / "
+    "forward+tolerance / nearest). Both windows share ONE (key, time) "
+    "sort — a single shuffle, no range probe, no candidate expansion; "
+    "deltas are integer microseconds so the pick is exact cross-engine. "
+    "At equal timestamps a view counts as backward (side orders it "
+    "before the purchase), so the tie rule is total.",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    r = views.select(
+        F.col("user_id").alias("__key"),
+        F.col("ts").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("purchase_event_id"),
+    )
+    l = purchases.select(
+        F.col("user_id").alias("__key"),
+        F.col("ts").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("bigint").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    unioned = r.unionByName(l)
+    order = [F.col("__t"), F.col("__side"), F.col("view_event_id").desc()]
+    w_back = (
+        W.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("view_event_id", ignorenulls=True).over(w_back).alias("back_id"),
+        F.last("view_ts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first("view_event_id", ignorenulls=True).over(w_fwd).alias("fwd_id"),
+        F.first("view_ts", ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    ).filter(F.col("__side") == 1)
+    d_back = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("back_ts"))
+    d_fwd = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("__t"))
+    both_null = F.col("back_id").isNull() & F.col("fwd_id").isNull()
+    pick_back = F.col("fwd_id").isNull() | (
+        F.col("back_id").isNotNull() & (d_back <= d_fwd)
+    )
+    return carried.select(
+        F.col("purchase_event_id").alias("event_id"),
+        F.col("__key").alias("user_id"),
+        F.col("__t").alias("ts"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(pick_back, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+        .alias("nearest_view_id"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(pick_back, -d_back)
+        .otherwise(d_fwd)
+        .alias("nearest_delta_us"),
+    ).orderBy("event_id")

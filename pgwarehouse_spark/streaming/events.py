@@ -632,3 +632,56 @@ def stream_scd2_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_cdc_apply(
+    changes: DataFrame,
+    warehouse_path: str,
+    keys: list[str],
+    num_buckets: int = 16,
+    op_col: str = "op",
+    seq_col: str | None = "seq",
+    checkpoint: str | None = None,
+):
+    """Streaming CDC APPLY: a Debezium/wal2json-style opcode feed
+    (I/U/D + per-key sequence) continuously maintains the bucketed
+    warehouse table — the streaming form of `sync_cdc_apply_opcodes`
+    and the fourth sync strategy the reference lacks (deletes applied,
+    not just detected). Per micro-batch: collapse the batch to its net
+    effect per key (last opcode by `seq_col` wins), then one
+    bucket-pruned rewrite via sync/merge.py::apply_cdc_bucketed —
+    deletes drop the key, upserts replace it, untouched buckets are
+    never read. The stream checkpoint gives exactly-once epochs; work
+    per batch is O(batch × bucket-width), so a trickle of changes
+    against a 100 TB table touches only the buckets it names."""
+    import os
+
+    from ..sync.merge import apply_cdc_bucketed, write_bucketed
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(warehouse_path):
+            from ..sync.merge import dedup_latest
+
+            net = dedup_latest(batch_df, keys, seq_col)
+            initial = net.filter(F.col(op_col) != "D").drop(op_col)
+            if initial.isEmpty():
+                return
+            write_bucketed(initial, warehouse_path, keys, num_buckets)
+        else:
+            apply_cdc_bucketed(
+                spark,
+                warehouse_path,
+                batch_df,
+                keys,
+                num_buckets,
+                op_col=op_col,
+                order_col=seq_col,
+            )
+
+    writer = changes.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

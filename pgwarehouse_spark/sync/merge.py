@@ -125,3 +125,50 @@ def write_bucketed(
         .partitionBy(BUCKET_COL)
         .parquet(path)
     )
+
+
+def apply_cdc_bucketed(
+    spark: SparkSession,
+    path: str,
+    net: DataFrame,
+    keys: list[str],
+    num_buckets: int,
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> int:
+    """Bucket-pruned CDC APPLY: upserts AND deletes in one rewrite.
+
+    `net` is an opcode-carrying change set (one or more rows per key;
+    collapsed here to last-writer-wins by `order_col`). Rows whose final
+    opcode is 'D' remove the key from the target; anything else
+    ('I'/'U') replaces it — the batch engine under the streaming CDC
+    sink and the registered `sync_cdc_apply_opcodes` query, extended to
+    physical deletes. Same partition-pruned plan as merge_into_bucketed:
+    only buckets containing changed keys are read and rewritten
+    (dynamic partition overwrite), so work is O(changes × bucket-width),
+    not O(table). The reference cannot express this at all — its
+    watermark strategies never delete (README.md:150-176).
+    """
+    net = dedup_latest(net, keys, order_col)
+    net = net.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
+    affected = [r[BUCKET_COL] for r in net.select(BUCKET_COL).distinct().collect()]
+    if not affected:
+        return 0
+    target = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .filter(F.col(BUCKET_COL).isin(affected))
+    )
+    upserts = net.filter(F.col(op_col) != "D").drop(op_col)
+    # every changed key leaves the target once; non-delete finals re-enter
+    kept = target.join(net.select(*keys).distinct(), keys, "left_anti")
+    kept = _widen(kept, upserts)
+    upserts = _widen(upserts, kept).select(*kept.columns)
+    merged = kept.unionByName(upserts).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(affected)

@@ -462,3 +462,75 @@ def test_stream_scd2_maintenance_matches_batch(spark, sf_dir, tmp_path):
         for r in scd2_intervals(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_cdc_apply_opcodes(spark, sf_dir, tmp_path):
+    """Streaming CDC APPLY: I/U/D opcode feed maintains the bucketed
+    warehouse — updates replace, deletes physically remove, and a key
+    whose batch-net opcode is D (insert then delete within one batch)
+    never lands."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import stream_cdc_apply
+
+    src = str(tmp_path / "cdc_feed")
+    wh = str(tmp_path / "wh_cdc")
+    ckpt = str(tmp_path / "ckpt_cdc")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+    wave1 = events.filter(F.col("event_id") < 500).select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    wave1.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    q = stream_cdc_apply(
+        stream, wh, keys=["event_id"], num_buckets=4, checkpoint=ckpt
+    ).start()
+    q.processAllAvailable()
+    assert spark.read.parquet(wh).count() == 500
+
+    updates = (
+        events.filter(F.col("event_id") < 100)
+        .withColumn("value", F.lit(777.0))
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    deletes = (
+        events.filter((F.col("event_id") >= 400) & (F.col("event_id") < 450))
+        .select("*", F.lit("D").alias("op"), F.lit(2).alias("seq"))
+    )
+    inserts = (
+        events.filter((F.col("event_id") >= 500) & (F.col("event_id") < 600))
+        .select("*", F.lit("I").alias("op"), F.lit(2).alias("seq"))
+    )
+    # same-batch insert-then-delete: net effect is D, must never land
+    ephemeral = (
+        events.filter(F.col("event_id") == 700)
+        .select("*", F.lit("I").alias("op"), F.lit(3).alias("seq"))
+        .unionByName(
+            events.filter(F.col("event_id") == 700).select(
+                "*", F.lit("D").alias("op"), F.lit(4).alias("seq")
+            )
+        )
+    )
+    updates.unionByName(deletes).unionByName(inserts).unionByName(
+        ephemeral
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    final = spark.read.parquet(wh)
+    assert final.count() == 550  # 500 - 50 deleted + 100 inserted
+    assert final.filter(F.col("event_id") == 700).count() == 0
+    assert (
+        final.filter((F.col("event_id") < 100) & (F.col("value") == 777.0)).count()
+        == 100
+    )
+    assert final.filter(
+        (F.col("event_id") >= 400) & (F.col("event_id") < 450)
+    ).count() == 0
