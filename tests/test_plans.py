@@ -515,3 +515,42 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path
     joined = f.join(m, "o_month").groupBy("o_month").count()
     plan = physical_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_rrf_arms_use_takeordered_pools(spark, sf_dir):
+    """Both retrieval arms must produce their top-100 pools via
+    TakeOrderedAndProject (per-partition heaps) — never a global sort of
+    the corpus; the single-partition window runs only on the constant
+    100-row pools."""
+    from pgwarehouse_spark.operators.analytics import retrieval_hybrid_rrf
+
+    plan = physical_plan(retrieval_hybrid_rrf(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [rrf_score" not in plan.replace("sort [rrf_score", "Sort [rrf_score")
+
+
+def test_bpe_explodes_vocab_not_corpus(spark, sf_dir):
+    """The char-pair explode must sit ABOVE the word-frequency aggregate
+    (vocab grain), so the only corpus-sized operator is the word count:
+    the plan's generator (explode) appears after the partial/final
+    HashAggregate pair on words."""
+    from pgwarehouse_spark.operators.textstats import tokenizer_bpe_pair_counts
+
+    df = tokenizer_bpe_pair_counts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pair_explodes = [
+        seg for seg in plan.split("Generate explode(arrays_zip") if "[freq#" in seg[:400]
+    ]
+    # the char-pair generator carries the aggregated freq column — it runs
+    # over the post-collapse vocab frame, not the corpus
+    assert pair_explodes, plan[:2000]
+
+
+def test_cohort_ltv_joins_precollapsed_firsts(spark, sf_dir):
+    """The fact side must join against the ONE-ROW-PER-CUSTOMER firsts
+    aggregate, not raw orders on both sides: exactly one scan-sized join
+    key exchange pair on o_custkey and no SinglePartition exchange."""
+    from pgwarehouse_spark.operators.analytics import orders_cohort_ltv
+
+    plan = physical_plan(orders_cohort_ltv(spark, sf_dir))
+    assert "SinglePartition" not in plan
