@@ -1203,3 +1203,85 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name1", "name2")
     )
+
+
+@register(
+    "agg_percentile_weighted",
+    category="aggregate",
+    oracle="""
+    WITH grouped AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+      SELECT l_returnflag, price, w,
+             CAST(SUM(CAST(w AS DECIMAL(18,6))) OVER (
+               PARTITION BY l_returnflag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cw,
+             CAST(SUM(CAST(w AS DECIMAL(18,6))) OVER (
+               PARTITION BY l_returnflag
+             ) AS DOUBLE) AS total_w
+      FROM grouped
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cw >= 0.25 * total_w THEN price END) AS p25_weighted,
+           MIN(CASE WHEN cw >= 0.50 * total_w THEN price END) AS median_weighted,
+           MIN(CASE WHEN cw >= 0.90 * total_w THEN price END) AS p90_weighted
+    FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact weighted percentiles (price weighted by quantity) per "
+    "group — the inventory-weighted distribution cut every pricing/"
+    "capacity report needs and percentile_approx cannot answer exactly. "
+    "Values pre-aggregate to (group, price) grain FIRST (removing "
+    "duplicate order-keys entirely — the running frame is then over a "
+    "unique-keyed sequence, so no tie-order ambiguity cross-engine), "
+    "then one per-group ordered window computes decimal-exact "
+    "cumulative weights and each percentile is a conditional MIN over "
+    "the threshold — three percentiles from ONE sort, no re-scan. "
+    "Scale: the pre-aggregation is map-side combinable and typically "
+    "collapses 1000×; the per-group window shuffles the collapsed "
+    "frame once on the group key.",
+)
+def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("w")
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("l_returnflag")
+    cum = grouped.select(
+        "l_returnflag",
+        "price",
+        F.sum(F.col("w").cast("decimal(18,6)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cw"),
+        F.sum(F.col("w").cast("decimal(18,6)"))
+        .over(w_tot)
+        .cast("double")
+        .alias("total_w"),
+    )
+    def cut(p: float, name: str):
+        return F.min(
+            F.when(F.col("cw") >= p * F.col("total_w"), F.col("price"))
+        ).alias(name)
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            cut(0.25, "p25_weighted"),
+            cut(0.50, "median_weighted"),
+            cut(0.90, "p90_weighted"),
+        )
+        .orderBy("l_returnflag")
+    )

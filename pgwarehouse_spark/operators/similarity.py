@@ -1555,3 +1555,101 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
     )
     return recall_verdict(ann, exact_topk(spark, sf_dir), MRL_MIN_RECALL)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization: 64-bit sign signature + hamming shortlist
+# ---------------------------------------------------------------------------
+
+BQ_POOL = 50
+BQ_MIN_RECALL = 0.5
+
+
+def _pack_signs(vec_slice: Column) -> Column:
+    """Fold a float slice into a bigint of sign bits (acc*2 + bit —
+    shift-free, ANSI-overflow-safe for slices ≤ 62 bits)."""
+    return F.aggregate(
+        vec_slice,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * 2
+        + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+    )
+
+
+def sign_signature_halves(vec: Column) -> tuple[Column, Column]:
+    """Sign bits of a 64-d vector packed as two 32-bit bigint halves
+    (two halves instead of one 64-bit word so the arithmetic fold never
+    touches the sign bit under ANSI overflow checking). Pure JVM fold —
+    no UDF, no array retained; hamming(a, b) = bit_count(hi⊕hi′) +
+    bit_count(lo⊕lo′)."""
+    n = F.size(vec)
+    half = (n / 2).cast("int")
+    return (
+        _pack_signs(F.slice(vec, 1, half)),
+        _pack_signs(F.slice(vec, half + 1, n - half)),
+    )
+
+
+@register(
+    "sim_topk_binary_hamming",
+    category="similarity",
+    oracle=_SQL_RECALL_VERDICT,
+    doc="Binary-quantized retrieval (the vector-DB 'BQ' mode): each "
+    "64-d vector compresses 256× to ONE bigint of sign bits; candidate "
+    "distance is bit_count(xor) — a register-width hamming op — and "
+    "only the 50-deep shortlist touches raw vectors for the exact "
+    "cosine re-rank. Same verdict contract as the other ANN paths "
+    "(exact top-k hash-matched, recall_ok pinned TRUE; floor loose "
+    "because the synthetic vectors are random — real embeddings are "
+    "angularly clustered and BQ recall rises sharply). Scale: the "
+    "signature scan reads 8 bytes/vector instead of 256, the hamming "
+    "compare is a broadcast of 10 query longs — no corpus shuffle "
+    "at all until the tiny shortlist join.",
+)
+def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    hi, lo = sign_signature_halves(F.col("embedding"))
+    sigs = e.select("vec_id", hi.alias("sig_hi"), lo.alias("sig_lo"))
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_hi").alias("q_hi"),
+        F.col("sig_lo").alias("q_lo"),
+    )
+    hamming = F.bit_count(
+        F.col("sig_hi").bitwiseXOR(F.col("q_hi"))
+    ) + F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+    w_short = W.partitionBy("query_id").orderBy(
+        F.col("hd").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", hamming.alias("hd"))
+        .withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= BQ_POOL)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qn = with_norm(e.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        shortlist.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOPK)
+    )
+    return recall_verdict(ann, exact_topk(spark, sf_dir), BQ_MIN_RECALL)

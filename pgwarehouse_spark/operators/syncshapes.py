@@ -746,3 +746,73 @@ def sync_cdc_apply_opcodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "audit_order_line_totals",
+    category="audit",
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS line_total,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice / ls.line_total * 10) AS BIGINT)
+               AS ratio_bucket
+      FROM orders o JOIN line_sums ls ON o.o_orderkey = ls.l_orderkey
+    ),
+    orphan_orders AS (
+      SELECT COUNT(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)
+    )
+    SELECT CAST(ratio_bucket AS BIGINT) AS ratio_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM joined GROUP BY ratio_bucket
+    UNION ALL
+    SELECT -999, n FROM orphan_orders
+    ORDER BY ratio_bucket
+    """,
+    doc="Header/detail consistency audit: per order, the ratio of the "
+    "header total to the decimal-exact sum of its line prices, bucketed "
+    "at 0.1 grain (FLOOR fixed-point — no rounding tie), plus a "
+    "sentinel row (-999) counting header rows with NO detail rows — "
+    "the reconciliation report every finance warehouse runs after a "
+    "sync, and a direct consumer of the engine's own A18 row-count "
+    "audits. Plan: line sums are one map-side-combinable groupBy; the "
+    "header join is key-to-key against the pre-collapsed frame (never "
+    "raw lineitem); the orphan check is a broadcast-able anti-join "
+    "count. One data-sized shuffle each side.",
+)
+def audit_order_line_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("line_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = o.join(
+        line_sums, o.o_orderkey == line_sums.l_orderkey
+    ).select(
+        F.floor(F.col("o_totalprice") / F.col("line_total") * 10)
+        .cast("bigint")
+        .alias("ratio_bucket")
+    )
+    buckets = joined.groupBy("ratio_bucket").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    orphans = (
+        o.join(li.select("l_orderkey").distinct(),
+               o.o_orderkey == F.col("l_orderkey"), "left_anti")
+        .agg(
+            F.lit(-999).cast("bigint").alias("ratio_bucket"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return buckets.unionByName(orphans).orderBy("ratio_bucket")
