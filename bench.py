@@ -97,6 +97,12 @@ HEADLINE = [
     "tokenizer_bpe_pair_counts",
     "sample_importance_dsir",
     "multimodal_exact_dedup",
+    "agg_percentile_weighted",
+    "retrieval_hybrid_rrf",
+    "sim_topk_binary_hamming",
+    "sim_topk_matryoshka",
+    "asof_join_nearest",
+    "audit_order_line_totals",
 ]
 
 

@@ -95,3 +95,32 @@ def sql_cosine_fixed(u: str, v: str) -> str:
         f"({sql_dot_fixed(u, v)} / "
         f"(SQRT({sql_dot_fixed(u, u)}) * SQRT({sql_dot_fixed(v, v)})))"
     )
+
+
+def l2sq_fixed(u: Column, v: Column) -> Column:
+    """Order-independent fixed-point squared L2 distance (scale 1e-12)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                u,
+                v,
+                lambda x, y: F.floor(
+                    (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double"))
+                    * F.lit(1e12)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, z: acc + z,
+        ).cast("double")
+        / F.lit(1e12)
+    )
+
+
+def sql_l2sq_fixed(u: str, v: str) -> str:
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({u}, {v}), "
+        "x -> CAST(FLOOR((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * 1e12) AS BIGINT))) "
+        "AS DOUBLE) / 1e12)"
+    )

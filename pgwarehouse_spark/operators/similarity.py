@@ -1653,3 +1653,113 @@ def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
     )
     return recall_verdict(ann, exact_topk(spark, sf_dir), BQ_MIN_RECALL)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    from ..functions.vector import sql_l2sq_fixed
+
+    dist = sql_l2sq_fixed("e.embedding", "c.embedding")
+    steps = []
+    prev_sel = "s0"
+    prev_d = "d0"
+    steps.append(f"""
+    s0 AS (
+      SELECT 0 AS center_rank, vec_id, CAST(0.0 AS DOUBLE) AS dist_at_selection
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    d0 AS (
+      SELECT e.vec_id, {sql_l2sq_fixed('e.embedding',
+        '(SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)')} AS md
+      FROM embeddings e
+    )""")
+    for i in range(1, KCENTER_K):
+        steps.append(f"""
+    s{i} AS (
+      SELECT {i} AS center_rank, vec_id, md AS dist_at_selection
+      FROM {prev_d} ORDER BY md DESC, vec_id ASC LIMIT 1
+    ),
+    d{i} AS (
+      SELECT e.vec_id, LEAST({prev_d}.md, {dist}) AS md
+      FROM embeddings e
+      JOIN {prev_d} ON e.vec_id = {prev_d}.vec_id
+      CROSS JOIN (SELECT embedding FROM embeddings
+                  WHERE vec_id = (SELECT vec_id FROM s{i})) c
+    )""")
+        prev_sel, prev_d = f"s{i}", f"d{i}"
+    unions = "\n      UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(KCENTER_K))
+    return f"""
+    WITH {','.join(steps)}
+    SELECT CAST(center_rank AS BIGINT) AS center_rank, vec_id,
+           dist_at_selection
+    FROM ({unions})
+    ORDER BY center_rank
+    """
+
+
+@register(
+    "sample_coreset_kcenter",
+    category="similarity",
+    oracle=_kcenter_oracle(),
+    doc="Greedy k-center coreset (farthest-point traversal, the 2-"
+    "approximation of Gonzalez 1985): seed with the lowest id, then "
+    "7× pick the point FARTHEST from the selected set — the classic "
+    "diversity-maximizing coreset for active learning / eval-set "
+    "selection, and the seeding step of k-center clustering. Each "
+    "round is one broadcast of the single new center + a running "
+    "per-point min-distance column + one TakeOrdered(1) argmax — "
+    "O(k·N) distance evaluations total, never O(N²); the min-dist "
+    "frame is localCheckpointed so lineage stays flat. Distances are "
+    "FLOOR fixed-point squared-L2 (no rounding tie), ties broken by "
+    "vec_id, so selections are bit-reproducible — the oracle replays "
+    "the identical traversal as unrolled CTEs.",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import l2sq_fixed
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(1)
+    seed_row = seed.collect()
+    if not seed_row:
+        return spark.createDataFrame(
+            [], "center_rank bigint, vec_id bigint, dist_at_selection double"
+        )
+    centers = [(0, seed_row[0]["vec_id"], 0.0)]
+    seed_emb = seed.select(F.col("embedding").alias("c_emb"))
+    dists = (
+        e.crossJoin(F.broadcast(seed_emb))
+        .select(
+            "vec_id",
+            "embedding",
+            l2sq_fixed(F.col("embedding"), F.col("c_emb")).alias("md"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, KCENTER_K):
+        far = dists.orderBy(F.col("md").desc(), F.col("vec_id").asc()).limit(1)
+        far_row = far.collect()[0]
+        centers.append((i, far_row["vec_id"], float(far_row["md"])))
+        c_emb = (
+            e.filter(F.col("vec_id") == far_row["vec_id"])
+            .select(F.col("embedding").alias("c_emb"))
+        )
+        dists = (
+            dists.crossJoin(F.broadcast(c_emb))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("md"), l2sq_fixed(F.col("embedding"), F.col("c_emb"))
+                ).alias("md"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        centers, "center_rank bigint, vec_id bigint, dist_at_selection double"
+    ).orderBy("center_rank")
