@@ -18,7 +18,7 @@ expressions — no shuffle at all until an aggregation is requested.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -859,4 +859,96 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("pair_count"))
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(_BPE_TOPN)
+    )
+
+
+_LANGID_PRED_SQL = """
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
+                  AND score_en > 0 THEN 'en'
+             WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+             WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+             WHEN score_es > 0 THEN 'es'
+             ELSE 'unknown'
+           END
+"""
+
+
+@register(
+    "text_langid_confusion",
+    category="text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_actual, {_LANGID_SCORES_SQL}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang_actual, {_LANGID_PRED_SQL} AS lang_predicted FROM scored
+    ),
+    cells AS (
+      SELECT lang_actual, lang_predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_actual, lang_predicted
+    ),
+    actual_totals AS (
+      SELECT lang_actual, SUM(n) AS row_total FROM cells GROUP BY lang_actual
+    )
+    SELECT c.lang_actual, c.lang_predicted, c.n,
+           CAST(c.n AS DOUBLE) / a.row_total AS recall_share,
+           CASE WHEN c.lang_actual = c.lang_predicted THEN 1 ELSE 0 END
+             AS is_correct
+    FROM cells c JOIN actual_totals a USING (lang_actual)
+    ORDER BY lang_actual, lang_predicted
+    """,
+    doc="Classifier-evaluation confusion matrix for the language-ID "
+    "heuristic against the labeled lang column: per (actual, predicted) "
+    "cell the count, its share of the actual-language row (per-class "
+    "recall on the diagonal), and a correctness flag — the model-eval "
+    "aggregation every labeled-data pipeline runs, here entirely "
+    "JVM-side over the same marker scores text_langid emits. Plan: one "
+    "scan computing the scores, one combinable groupBy to cells "
+    "(≤ |langs|² rows), and the row-total join runs on that constant-"
+    "size frame — a single data-sized shuffle.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = {
+        lang: sum(
+            (_count_token(text, w) for w in words), F.lit(0)
+        ).cast("int")
+        for lang, words in _LANG_MARKERS.items()
+    }
+    scored = d.select(
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+    )
+    en, de, fr, es = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+    )
+    cells = (
+        scored.select("lang_actual", pred.alias("lang_predicted"))
+        .groupBy("lang_actual", "lang_predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_actual = W.partitionBy("lang_actual")
+    return (
+        cells.select(
+            "lang_actual",
+            "lang_predicted",
+            "n",
+            (
+                F.col("n").cast("double") / F.sum("n").over(w_actual)
+            ).alias("recall_share"),
+            F.when(
+                F.col("lang_actual") == F.col("lang_predicted"), 1
+            )
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+        .orderBy("lang_actual", "lang_predicted")
     )
