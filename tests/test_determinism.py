@@ -95,3 +95,31 @@ def test_sketch_rollup_merge_equals_direct_and_near_exact(spark, sf_dir):
     assert merged == direct
     for k, ex in exact.items():
         assert abs(merged[k] - ex) <= max(1, 0.02 * ex)
+
+
+@pytest.mark.parametrize("nparts", [1, 7, 32])
+def test_fixed_point_dot_bit_identical_across_partitionings(spark, sf_dir, nparts):
+    """dot_fixed / l2sq_fixed (FLOOR fixed-point folds) must aggregate
+    bit-identically at any partition count — the property the kNN-graph,
+    BQ, MRL and k-center selections rely on for reproducible ranking."""
+    from pgwarehouse_spark.functions.vector import dot_fixed, l2sq_fixed
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q_emb"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        dot_fixed(F.col("embedding"), F.col("q_emb")).alias("d"),
+        l2sq_fixed(F.col("embedding"), F.col("q_emb")).alias("l2"),
+    )
+    got = (
+        scored.repartition(nparts)
+        .agg(
+            F.sum(F.col("d").cast("decimal(28,12)")).alias("sd"),
+            F.sum(F.col("l2").cast("decimal(28,12)")).alias("sl"),
+        )
+        .collect()[0]
+    )
+    want = scored.coalesce(1).agg(
+        F.sum(F.col("d").cast("decimal(28,12)")).alias("sd"),
+        F.sum(F.col("l2").cast("decimal(28,12)")).alias("sl"),
+    ).collect()[0]
+    assert got.sd == want.sd and got.sl == want.sl

@@ -534,3 +534,49 @@ def test_stream_cdc_apply_opcodes(spark, sf_dir, tmp_path):
     assert final.filter(
         (F.col("event_id") >= 400) & (F.col("event_id") < 450)
     ).count() == 0
+
+
+def test_stream_cdc_apply_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once CDC apply across restarts: stop after wave 1 (inserts),
+    restart a NEW query on the same checkpoint with wave 2 (deletes) —
+    wave 1 is not replayed, deletes land exactly once."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import stream_cdc_apply
+
+    src = str(tmp_path / "cdc_feed")
+    wh = str(tmp_path / "wh_cdc")
+    ckpt = str(tmp_path / "ckpt_cdc")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    wave1 = events.filter(F.col("event_id") < 300).select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    wave1.write.parquet(src)
+
+    def new_query():
+        stream = (
+            spark.readStream.schema(wave1.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+        )
+        return stream_cdc_apply(
+            stream, wh, keys=["event_id"], num_buckets=4, checkpoint=ckpt
+        ).start()
+
+    h1 = new_query()
+    h1.processAllAvailable()
+    h1.stop()
+    assert spark.read.parquet(wh).count() == 300
+
+    # deletes land while no query runs
+    events.filter(F.col("event_id") < 40).select(
+        "*", F.lit("D").alias("op"), F.lit(2).alias("seq")
+    ).write.mode("append").parquet(src)
+
+    h2 = new_query()
+    h2.processAllAvailable()
+    h2.stop()
+    final = spark.read.parquet(wh)
+    assert final.count() == 260
+    assert final.filter(F.col("event_id") < 40).count() == 0
