@@ -31,6 +31,7 @@ class TableSpec:
     reload: bool | str | int = False  # True | weekday name | day-of-month
     skip: bool = False
     max_records: int | None = None
+    transactional: bool = False  # versioned TxTable layout (snapshot isolation)
 
     @property
     def strategy(self) -> str:
@@ -69,6 +70,7 @@ class TableSpec:
             reload=opts.get("reload", False),
             skip=bool(opts.get("skip", False)),
             max_records=opts.get("max_records"),
+            transactional=bool(opts.get("transactional", False)),
         )
 
 
@@ -144,6 +146,7 @@ tables:
   orders:
     primary_key: o_orderkey
     last_modified: o_orderdate   # enables upsert strategy
+    # transactional: true        # versioned snapshots + time travel
   customer:
     primary_key: c_custkey       # append strategy
   # region:

@@ -478,7 +478,22 @@ class SyncEngine:
             if os.path.isdir(os.path.join(self.warehouse_path, d))
         )
 
-    def read_table(self, table: str) -> DataFrame:
+    def _tx(self, table: str):
+        from .txlog import TxTable
+
+        spec = self.spec(table)
+        return TxTable(self.table_path(table), spec.primary_key, self.num_buckets)
+
+    def _is_tx(self, table: str) -> bool:
+        return os.path.isdir(os.path.join(self.table_path(table), "manifest"))
+
+    def read_table(self, table: str, version: int | None = None) -> DataFrame:
+        # Transactional tables resolve a manifest snapshot (optionally a
+        # historical version); plain tables read the bucketed directory.
+        if self._is_tx(table):
+            return self._tx(table).read(self.spark, version=version)
+        if version is not None:
+            raise ValueError(f"{table} is not transactional; no time travel")
         # mergeSchema: after schema evolution (source grew a column
         # mid-history) files carry different schemas; the union schema is
         # the table's schema, with nulls where old files lack the column.
@@ -573,7 +588,14 @@ class SyncEngine:
     def _write_full(self, table: str, df: DataFrame) -> int:
         spec = self.spec(table)
         rows = df.count()
-        if spec.primary_key:
+        if spec.transactional and spec.primary_key:
+            from .txlog import TxTable
+
+            self.drop_table(table)  # reload = fresh version history
+            TxTable.create(
+                df, self.table_path(table), spec.primary_key, self.num_buckets
+            )
+        elif spec.primary_key:
             write_bucketed(
                 df, self.table_path(table), spec.primary_key, self.num_buckets
             )
@@ -587,6 +609,10 @@ class SyncEngine:
         if rows == 0:
             return 0
         delta = self._reconcile_schema(table, delta)
+        if spec.transactional and spec.primary_key:
+            # insert-only merge: new keys commit a new version
+            self._tx(table).merge(self.spark, delta)
+            return rows
         if spec.primary_key:
             from .merge import bucket_expr
 
@@ -731,14 +757,17 @@ class SyncEngine:
             return SyncResult(table, "noop", 0)
         rows = delta.count()
         delta = self._reconcile_schema(table, delta)
-        merge_into_bucketed(
-            self.spark,
-            self.table_path(table),
-            delta,
-            spec.primary_key,
-            self.num_buckets,
-            order_col=lm,
-        )
+        if spec.transactional:
+            self._tx(table).merge(self.spark, delta, order_col=lm)
+        else:
+            merge_into_bucketed(
+                self.spark,
+                self.table_path(table),
+                delta,
+                spec.primary_key,
+                self.num_buckets,
+                order_col=lm,
+            )
         return SyncResult(table, "merged", rows)
 
     def sync_all(self, today=None) -> list[SyncResult]:

