@@ -78,9 +78,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
                  "compact", "publish", "verify", "query", "queries", "audit",
-                 "explain"],
+                 "explain", "sql", "history", "vacuum"],
     )
-    p.add_argument("table", nargs="?", help="table name or 'all'; query name for `query`")
+    p.add_argument("table", nargs="?",
+                   help="table name or 'all'; query name for `query`; "
+                        "SQL text for `sql`")
+    p.add_argument("--keep-last", dest="keep_last", type=int, default=2,
+                   help="versions to retain for `vacuum`")
     p.add_argument("--config", default="pgwarehouse.yaml")
     p.add_argument("--data", default=None, help="staging dir for extract/load")
     p.add_argument("--last-modified", dest="last_modified", default=None)
@@ -178,6 +182,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         return 0
 
+    if args.command == "sql":
+        # Ad-hoc ANSI SQL over the warehouse tables — the §2-B promise
+        # made concrete: every testdata table is registered as a temp
+        # view and the statement runs through Spark SQL / Catalyst.
+        from .session import get_spark
+        from .sources.tables import TABLES, load_table
+
+        if not args.table:
+            print("usage: sql '<SELECT ...>'", file=sys.stderr)
+            return 1
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
+        for tbl in TABLES:
+            try:
+                load_table(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+            except Exception:
+                continue  # missing table files: view simply absent
+        spark.sql(args.table).show(args.limit, truncate=False)
+        return 0
+
     if args.command == "explain":
         # Print the formatted physical plan of one registered query —
         # the per-query drill-down of `audit` (which sweeps all plans):
@@ -225,6 +251,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     eng, config = _engine(args, spark=spark)
+
+    if args.command == "history":
+        # Version log of a transactional table (snapshot isolation /
+        # time travel — sync/txlog.py).
+        if not args.table or not eng._is_tx(args.table):
+            print(f"{args.table!r} is not a transactional table", file=sys.stderr)
+            return 1
+        tx = eng._tx(args.table)
+        for v in tx.versions():
+            n = tx.read(eng.spark, version=v).count()
+            print(f"v{v}\t{n} rows")
+        return 0
+
+    if args.command == "vacuum":
+        if not args.table or not eng._is_tx(args.table):
+            print(f"{args.table!r} is not a transactional table", file=sys.stderr)
+            return 1
+        removed = eng._tx(args.table).vacuum(keep_last=args.keep_last)
+        print(f"removed {len(removed)} data version dirs: {removed}")
+        return 0
 
     if args.command == "list":
         # A19: source tables with row counts, size-descending.

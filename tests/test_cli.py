@@ -218,3 +218,72 @@ def test_explain_command(spark, capsys):
     assert "Physical Plan" in out
     assert "ReadSchema" in out
     assert cli.main(["explain", "nope_not_a_query"], spark=spark) == 1
+
+
+def test_sql_command(spark, capsys):
+    """`sql '<stmt>'` registers the warehouse tables as views and runs
+    arbitrary ANSI SQL through Catalyst."""
+    from pgwarehouse_spark import cli
+
+    rc = cli.main(
+        [
+            "sql",
+            "SELECT r_name FROM region ORDER BY r_name LIMIT 2",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r_name" in out
+    assert cli.main(["sql"], spark=spark) == 1
+
+
+def test_history_and_vacuum_commands(spark, tmp_path, capsys):
+    """`history` lists committed versions of a transactional table;
+    `vacuum` trims old ones."""
+    import yaml
+
+    from pgwarehouse_spark import cli
+    from pgwarehouse_spark.sources.tables import load_table
+
+    src_dir = tmp_path / "src"
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    o.limit(300).write.parquet(str(src_dir / "orders"))
+    cfg = tmp_path / "pgw.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "source": {"type": "parquet", "path": str(src_dir)},
+                "warehouse": {"path": str(tmp_path / "wh")},
+                "tables": {
+                    "orders": {
+                        "primary_key": "o_orderkey",
+                        "last_modified": "o_orderdate",
+                        "transactional": True,
+                    }
+                },
+            }
+        )
+    )
+    assert cli.main(["sync", "orders", "--config", str(cfg)], spark=spark) == 0
+    # second sync commits another version (idempotent re-merge at the
+    # boundary watermark)
+    assert cli.main(["sync", "orders", "--config", str(cfg)], spark=spark) == 0
+    capsys.readouterr()
+    assert cli.main(["history", "orders", "--config", str(cfg)], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("v0\t")
+    assert cli.main(
+        ["vacuum", "orders", "--config", str(cfg), "--keep-last", "1"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["history", "orders", "--config", str(cfg)], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "300 rows" in out
+    # non-transactional / unknown table errors cleanly
+    assert cli.main(["history", "nope", "--config", str(cfg)], spark=spark) == 1
