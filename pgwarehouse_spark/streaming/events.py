@@ -150,6 +150,7 @@ def stream_sync(
     num_buckets: int = 16,
     order_col: str | None = "ts",
     checkpoint: str | None = None,
+    transactional: bool = False,
 ):
     """Continuous warehouse sync: each micro-batch MERGEs into the
     bucketed parquet target via foreachBatch — the streaming
@@ -159,12 +160,22 @@ def stream_sync(
     import os
 
     from ..sync.merge import merge_into_bucketed, write_bucketed
+    from ..sync.txlog import TxTable
 
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not os.path.exists(warehouse_path):
+        if transactional:
+            # each micro-batch commits one snapshot version: concurrent
+            # readers keep their pinned manifest mid-commit
+            if not os.path.exists(os.path.join(warehouse_path, "manifest")):
+                TxTable.create(batch_df, warehouse_path, keys, num_buckets)
+            else:
+                TxTable(warehouse_path, keys, num_buckets).merge(
+                    spark, batch_df, order_col=order_col
+                )
+        elif not os.path.exists(warehouse_path):
             write_bucketed(batch_df, warehouse_path, keys, num_buckets)
         else:
             merge_into_bucketed(

@@ -116,15 +116,16 @@ class TxTable:
             .parquet(data_dir)
         )
         buckets = {}
-        for name in os.listdir(data_dir):
-            if name.startswith(f"{BUCKET_COL}="):
-                b = name.split("=", 1)[1]
-                buckets[b] = os.path.join(_DATA_DIR, "v0", name)
+        if os.path.isdir(data_dir):
+            for name in os.listdir(data_dir):
+                if name.startswith(f"{BUCKET_COL}="):
+                    b = name.split("=", 1)[1]
+                    buckets[b] = os.path.join(_DATA_DIR, "v0", name)
         _write_manifest(
             root,
             0,
             {"version": 0, "keys": keys, "num_buckets": num_buckets,
-             "buckets": buckets},
+             "buckets": buckets, "schema": df.schema.json()},
         )
         return t
 
@@ -137,7 +138,12 @@ class TxTable:
         v = self.latest_version() if version is None else version
         m = _read_manifest(self.root, v)
         if not m["buckets"]:
-            raise FileNotFoundError(f"version {v} is empty")
+            # empty snapshot (zero-row create / every key deleted): the
+            # manifest's recorded schema keeps it queryable
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            return spark.createDataFrame([], schema)
         frames = []
         for b, rel in sorted(m["buckets"].items()):
             frames.append(
@@ -173,6 +179,7 @@ class TxTable:
             .parquet(data_dir)
         )
         buckets = dict(prev["buckets"])
+        schema_json = prev.get("schema")
         written = set()
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
@@ -189,7 +196,8 @@ class TxTable:
             self.root,
             v,
             {"version": v, "keys": self.keys, "num_buckets": self.num_buckets,
-             "buckets": buckets},
+             "buckets": buckets,
+             "schema": schema_json or new_per_bucket.drop(BUCKET_COL).schema.json()},
         )
         return v
 

@@ -580,3 +580,37 @@ def test_stream_cdc_apply_restart_resumes_from_checkpoint(spark, sf_dir, tmp_pat
     final = spark.read.parquet(wh)
     assert final.count() == 260
     assert final.filter(F.col("event_id") < 40).count() == 0
+
+
+def test_stream_sync_transactional_versions(spark, sf_dir, tmp_path):
+    """stream_sync(transactional=True): each micro-batch wave commits a
+    snapshot version; history time-travels."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import read_event_stream, stream_sync
+    from pgwarehouse_spark.sync.txlog import TxTable
+
+    src = str(tmp_path / "incoming")
+    wh = str(tmp_path / "wh_tx")
+    ckpt = str(tmp_path / "ckpt_tx")
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_id") < 200).write.parquet(src)
+
+    q = stream_sync(
+        read_event_stream(spark, src, max_files_per_trigger=100),
+        wh,
+        keys=["event_id"],
+        num_buckets=4,
+        checkpoint=ckpt,
+        transactional=True,
+    ).start()
+    q.processAllAvailable()
+    events.filter(
+        (F.col("event_id") >= 200) & (F.col("event_id") < 260)
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    t = TxTable(wh, ["event_id"], 4)
+    assert len(t.versions()) >= 2
+    assert t.read(spark).count() == 260
+    assert t.read(spark, version=0).count() == 200

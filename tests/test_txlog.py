@@ -148,3 +148,23 @@ def test_sync_engine_transactional_table(spark, sf_dir, tmp_path):
     assert eng.read_table("orders", version=0).count() == t0
     versions = eng._tx("orders").versions()
     assert versions[0] == 0 and len(versions) >= 2
+
+
+def test_empty_snapshots_stay_readable(spark, sf_dir, tmp_path):
+    """Zero-row create and delete-everything commits keep a readable
+    (empty, schema-correct) snapshot — the manifest records the schema."""
+    o = _orders(spark, sf_dir).limit(30)
+    # zero-row create
+    t0 = TxTable.create(
+        o.limit(0), str(tmp_path / "tx0"), ["o_orderkey"], num_buckets=4
+    )
+    empty = t0.read(spark)
+    assert empty.count() == 0
+    assert sorted(empty.columns) == sorted(o.columns)
+    # delete-everything commit
+    t1 = TxTable.create(o, str(tmp_path / "tx1"), ["o_orderkey"], num_buckets=4)
+    dels = o.select("*", F.lit("D").alias("op"))
+    t1.apply_cdc(spark, dels)
+    latest = t1.read(spark)
+    assert latest.count() == 0
+    assert t1.read(spark, version=0).count() == 30
