@@ -1912,3 +1912,84 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_TOP)
     )
     return fused
+
+
+_DID_CUT = "1998-01-01"
+
+
+@register(
+    "promo_lift_did",
+    category="analytics",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END
+               AS period_after,
+             {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND period_after = 0 THEN revenue END) AS t_before,
+        MAX(CASE WHEN treated = 1 AND period_after = 1 THEN revenue END) AS t_after,
+        MAX(CASE WHEN treated = 0 AND period_after = 0 THEN revenue END) AS c_before,
+        MAX(CASE WHEN treated = 0 AND period_after = 1 THEN revenue END) AS c_after
+      FROM cells
+    )
+    SELECT treated, period_after, revenue, n_lines,
+           (SELECT (t_after - t_before) - (c_after - c_before) FROM wide)
+             AS did_estimate
+    FROM cells
+    ORDER BY treated, period_after
+    """,
+    doc="Difference-in-differences promo lift: revenue in the four "
+    "(treated=PROMO part, period=before/after the cut) cells, plus the "
+    "DiD estimate (ΔT − ΔC) — the standard quasi-experimental uplift "
+    "read when there is no randomized holdout. One fact scan, the part "
+    "flag joined in (broadcast-eligible dim), a 4-row conditional "
+    "aggregate, and the estimate as arithmetic over the broadcast "
+    "4-row frame. Decimal-exact revenue makes the estimate "
+    "bit-stable cross-engine. At scale this is exactly a q14-shaped "
+    "plan — the heavy operator is the one map-side-combinable groupBy.",
+)
+def promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("treated"),
+    )
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "treated",
+            F.when(
+                F.col("l_shipdate") >= F.lit(_DID_CUT).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("period_after"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("period_after") == 0), F.col("revenue"))).alias("t_before"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("period_after") == 1), F.col("revenue"))).alias("t_after"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("period_after") == 0), F.col("revenue"))).alias("c_before"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("period_after") == 1), F.col("revenue"))).alias("c_after"),
+    ).select(
+        (
+            (F.col("t_after") - F.col("t_before"))
+            - (F.col("c_after") - F.col("c_before"))
+        ).alias("did_estimate")
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide))
+        .select("treated", "period_after", "revenue", "n_lines", "did_estimate")
+        .orderBy("treated", "period_after")
+    )

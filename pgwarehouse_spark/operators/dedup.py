@@ -1324,3 +1324,53 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "dst_id", "n_shared", containment.alias("containment"))
         .orderBy("src_id", "dst_id")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    category="text",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    firsts AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_ratio
+    FROM sh JOIN firsts f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    doc="N-gram novelty score per document: the fraction of a doc's "
+    "distinct trigrams whose FIRST corpus appearance (lowest doc_id) is "
+    "this document — the dataset-curation diversity metric (a doc of "
+    "recycled n-grams scores ~0, fresh material ~1; ingestion order "
+    "stands in for time). Plan: one gram→first-doc aggregate (map-side "
+    "combinable on the gram key), one join back to the exploded grams "
+    "on the same key — the same inverted index the dedup family builds, "
+    "then a per-doc count. Lives beside that index (docs with <3 words "
+    "have no grams and drop out, matching the Jaccard convention). "
+    "Integer counts and one exact division keep it hash-identical "
+    "cross-engine.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

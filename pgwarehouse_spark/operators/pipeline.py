@@ -1097,3 +1097,66 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MIX_EPOCH = 100_000  # documents drawn per training epoch
+
+
+@register(
+    "sample_temperature_mixture",
+    category="pipeline",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    keyed AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1e9) AS BIGINT)
+               AS weight_fixed
+      FROM counts
+    )
+    SELECT lang, n_docs, weight_fixed,
+           CAST(weight_fixed AS DOUBLE)
+             / (SELECT SUM(weight_fixed) FROM keyed) AS mixture_share,
+           CAST(weight_fixed AS DOUBLE)
+             / (SELECT SUM(weight_fixed) FROM keyed) * {_MIX_EPOCH}
+             AS expected_docs_per_epoch
+    FROM keyed ORDER BY lang
+    """,
+    doc="Temperature-scaled language mixture (the multilingual-LM "
+    "upsampling rule: p_i ∝ n_i^α, here α = 1/2): low-resource "
+    "languages are upweighted relative to their raw share so an epoch "
+    "doesn't collapse onto the head language. α = 1/2 uses SQRT — "
+    "correctly rounded by IEEE 754, so unlike POW (libm-dependent, "
+    "±1 ulp across engines) the weights are bit-identical everywhere; "
+    "the fixed-point FLOOR then makes the normalizing SUM an exact "
+    "integer sum (no float accumulation-order hazard). Plan: one "
+    "map-side-combinable count per language, then constant-size "
+    "(|langs| rows) arithmetic — the data-sized work is exactly one "
+    "combinable groupBy at any corpus size. The per-doc sampler "
+    "consuming these shares is sample_mixture_weighted.",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    keyed = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e9))
+        .cast("bigint")
+        .alias("weight_fixed"),
+    )
+    total = keyed.agg(F.sum("weight_fixed").alias("tw"))
+    share = F.col("weight_fixed").cast("double") / F.col("tw")
+    return (
+        keyed.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "weight_fixed",
+            share.alias("mixture_share"),
+            (share * _MIX_EPOCH).alias("expected_docs_per_epoch"),
+        )
+        .orderBy("lang")
+    )
