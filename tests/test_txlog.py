@@ -168,3 +168,23 @@ def test_empty_snapshots_stay_readable(spark, sf_dir, tmp_path):
     latest = t1.read(spark)
     assert latest.count() == 0
     assert t1.read(spark, version=0).count() == 30
+
+
+def test_torn_write_without_manifest_is_invisible(spark, sf_dir, tmp_path):
+    """Crash safety: a writer that died after writing data files but
+    BEFORE publishing the manifest leaves the table exactly at the
+    previous version — orphan data dirs are invisible to readers and
+    reclaimed by vacuum."""
+    o = _orders(spark, sf_dir).limit(100)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=4)
+    # simulate a torn commit: data for v1 lands, manifest never does
+    torn = os.path.join(root, "data", "v1", "__bucket=0")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert t.versions() == [0]
+    assert t.read(spark).count() == 100  # reads only manifest-listed paths
+    removed = t.vacuum(keep_last=1)
+    assert "v1" in removed  # orphan reclaimed
+    assert t.read(spark).count() == 100
