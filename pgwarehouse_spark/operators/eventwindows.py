@@ -1467,3 +1467,53 @@ def events_pattern_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    category="events",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour_of_day, n_events, n_users,
+           CAST(n_events AS DOUBLE)
+             / (SELECT SUM(n_events) FROM cells) AS activity_share
+    FROM cells ORDER BY dow, hour_of_day
+    """,
+    doc="Day-of-week × hour-of-day activity heatmap with distinct users "
+    "and each cell's share of total traffic — the load-profile / "
+    "engagement matrix behind every ops dashboard. DuckDB's dayofweek "
+    "is 0=Sunday-based like Spark's dayofweek-1; both sides emit "
+    "Spark's convention via the explicit CAST arithmetic below. One "
+    "combinable groupBy to ≤168 cells; the share join runs on that "
+    "constant-size frame — a single data-sized shuffle (the distinct "
+    "expands to the standard two-phase plan).",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    total = cells.agg(F.sum("n_events").alias("tot"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour_of_day",
+            "n_events",
+            "n_users",
+            (F.col("n_events").cast("double") / F.col("tot")).alias(
+                "activity_share"
+            ),
+        )
+        .orderBy("dow", "hour_of_day")
+    )

@@ -1763,3 +1763,57 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         centers, "center_rank bigint, vec_id bigint, dist_at_selection double"
     ).orderBy("center_rank")
+
+
+RANGE_TAU = 0.25  # cosine radius for range search
+
+
+_SQL_RANGE_SEARCH = f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {sql_cosine_fixed('q.embedding', 'c.embedding')} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND {sql_cosine_fixed('q.embedding', 'c.embedding')} >= {RANGE_TAU}
+    ORDER BY query_id, cosine DESC, neighbor_id
+"""
+
+
+@register(
+    "sim_range_search",
+    category="similarity",
+    oracle=_SQL_RANGE_SEARCH,
+    doc="Radius (range) similarity search: ALL neighbors with cosine ≥ τ "
+    "per query — the epsilon-ball complement to top-k (dedup thresholds, "
+    "recall-oriented retrieval, near-duplicate audit all want 'everything "
+    "this similar', not a fixed k). Exact baseline with the same "
+    "broadcast-queries/no-corpus-shuffle plan as sim_topk_bruteforce; "
+    "the radius predicate is applied in the join, so only in-ball pairs "
+    "survive to the output. At 100 TB the LSH band buckets serve as the "
+    "candidate generator (a radius in cosine maps to a band-collision "
+    "probability), identical to the dedup-threshold pipeline.",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    c = e.withColumn(
+        "norm", F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
+    )
+    left = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    right = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = dot_fixed(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    return (
+        F.broadcast(left)
+        .join(right, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
+    )
