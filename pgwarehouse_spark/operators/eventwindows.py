@@ -1517,3 +1517,86 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    category="events",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    converted AS (
+      SELECT user_id,
+             CAST(FLOOR(date_diff('microsecond', first_view, first_purchase)
+                        / 1000000) AS BIGINT) AS secs_to_convert
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(secs_to_convert) AS BIGINT) AS min_secs,
+           CAST(quantile_disc(secs_to_convert, 0.5) AS BIGINT) AS median_secs,
+           CAST(quantile_disc(secs_to_convert, 0.9) AS BIGINT) AS p90_secs,
+           CAST(MAX(secs_to_convert) AS BIGINT) AS max_secs
+    FROM converted
+    """,
+    doc="Funnel latency: per user, seconds from FIRST view to FIRST "
+    "subsequent purchase; reported as exact discrete quantiles "
+    "(min / median / p90 / max) over converting users — the "
+    "time-to-convert read every funnel dashboard pairs with the "
+    "conversion-rate read (events_funnel). Elapsed seconds are "
+    "FLOOR(Δmicroseconds/1e6) on both engines — DuckDB's "
+    "date_diff('second') counts boundary CROSSINGS, not elapsed time, "
+    "and diverges on sub-second components. Plan: one conditional-MIN "
+    "groupBy collapses events to a row per user (map-side "
+    "combinable), the latency arithmetic is exact integer seconds, "
+    "and the quantiles run over the converted-user frame with "
+    "percentile_approx's EXACT sibling (sort-based percentile on "
+    "integers — both engines pick the lower discrete value, no "
+    "interpolation ambiguity).",
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (
+                F.unix_micros(F.col("first_purchase"))
+                - F.unix_micros(F.col("first_view"))
+            )
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("secs_to_convert")
+    )
+    # discrete (type-1) quantiles: sort-based exact percentile over the
+    # collapsed converted-user frame
+    q = F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY secs_to_convert)"
+    )
+    q90 = F.expr(
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY secs_to_convert)"
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("secs_to_convert").alias("min_secs"),
+        q.cast("bigint").alias("median_secs"),
+        q90.cast("bigint").alias("p90_secs"),
+        F.max("secs_to_convert").alias("max_secs"),
+    )
