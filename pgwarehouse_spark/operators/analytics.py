@@ -1993,3 +1993,98 @@ def promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("treated", "period_after", "revenue", "n_lines", "did_estimate")
         .orderBy("treated", "period_after")
     )
+
+
+_MIGRATION_CUT = "1998-01-01"
+
+
+def _period_quintiles(o: DataFrame, before: bool):
+    """Per-customer monetary quintile within one period, computed with the
+    distributed prefix-sum rank (no single-partition NTILE)."""
+    from ._helpers import global_rank_cumsum, ntile_from_rank
+
+    cond = (
+        F.col("o_orderdate") < F.lit(_MIGRATION_CUT).cast("timestamp")
+        if before
+        else F.col("o_orderdate") >= F.lit(_MIGRATION_CUT).cast("timestamp")
+    )
+    per_cust = (
+        o.filter(cond)
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("monetary"))
+    )
+    ranked, n, _ = global_rank_cumsum(
+        per_cust,
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        rank_name="_grk",
+    )
+    return ranked.select(
+        "o_custkey", ntile_from_rank(F.col("_grk"), n).alias("segment")
+    )
+
+
+@register(
+    "customer_value_migration",
+    category="analytics",
+    oracle=f"""
+    WITH before_m AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS monetary
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_MIGRATION_CUT}'
+      GROUP BY o_custkey
+    ),
+    after_m AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS monetary
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_MIGRATION_CUT}'
+      GROUP BY o_custkey
+    ),
+    seg_b AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS segment
+      FROM before_m
+    ),
+    seg_a AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS segment
+      FROM after_m
+    )
+    SELECT COALESCE(CAST(b.segment AS BIGINT), 0) AS segment_before,
+           COALESCE(CAST(a.segment AS BIGINT), 0) AS segment_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM seg_b b FULL OUTER JOIN seg_a a USING (o_custkey)
+    GROUP BY 1, 2
+    ORDER BY segment_before, segment_after
+    """,
+    doc="Customer value-segment migration matrix: monetary quintile "
+    "before vs after the period cut, with 0 standing for "
+    "absent-in-period (new / churned customers) — the retention-"
+    "movement read behind every customer-value program. Quintiles come "
+    "from the distributed prefix-sum rank + closed-form NTILE "
+    "arithmetic (ntile_from_rank, tie-broken by customer key — "
+    "engine-reproducible and plan-pinned single-partition-free for its "
+    "other consumers); the matrix is a full-outer join of two "
+    "one-row-per-customer frames then a ≤36-cell combinable "
+    "aggregate. Both period collapses are map-side partial "
+    "aggregations of the fact scan.",
+)
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    seg_b = _period_quintiles(o, before=True).withColumnRenamed(
+        "segment", "segment_before"
+    )
+    seg_a = _period_quintiles(o, before=False).withColumnRenamed(
+        "segment", "segment_after"
+    )
+    return (
+        seg_b.join(seg_a, "o_custkey", "full_outer")
+        .select(
+            F.coalesce(F.col("segment_before").cast("bigint"), F.lit(0)).alias(
+                "segment_before"
+            ),
+            F.coalesce(F.col("segment_after").cast("bigint"), F.lit(0)).alias(
+                "segment_after"
+            ),
+        )
+        .groupBy("segment_before", "segment_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment_before", "segment_after")
+    )
