@@ -2088,3 +2088,81 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("segment_before", "segment_after")
     )
+
+
+@register(
+    "part_chi2_independence",
+    category="analytics",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM part GROUP BY p_brand, p_type
+    ),
+    rows_t AS (SELECT p_brand, SUM(obs) AS row_n FROM cells GROUP BY p_brand),
+    cols_t AS (SELECT p_type, SUM(obs) AS col_n FROM cells GROUP BY p_type),
+    tot AS (SELECT SUM(obs) AS n FROM cells),
+    terms AS (
+      SELECT c.obs,
+             CAST(r.row_n AS DOUBLE) * c2.col_n / t.n AS expected,
+             CAST(FLOOR(
+               (c.obs - CAST(r.row_n AS DOUBLE) * c2.col_n / t.n)
+               * (c.obs - CAST(r.row_n AS DOUBLE) * c2.col_n / t.n)
+               / (CAST(r.row_n AS DOUBLE) * c2.col_n / t.n) * 1e9
+             ) AS BIGINT) AS term_fixed
+      FROM cells c
+      JOIN rows_t r USING (p_brand)
+      JOIN cols_t c2 USING (p_type)
+      CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rows_t) - 1 AS BIGINT)
+             * ((SELECT COUNT(*) FROM cols_t) - 1) AS dof,
+           CAST(SUM(term_fixed) AS DOUBLE) / 1e9 AS chi2,
+           SQRT( (CAST(SUM(term_fixed) AS DOUBLE) / 1e9)
+                 / ((SELECT n FROM tot)
+                    * LEAST((SELECT COUNT(*) FROM rows_t) - 1,
+                            (SELECT COUNT(*) FROM cols_t) - 1)) )
+             AS cramers_v
+    FROM terms
+    """,
+    doc="Chi-square independence test between two categorical columns "
+    "(brand × type) with Cramér's V effect size — the "
+    "feature-association screen every profiling/feature-selection "
+    "pass runs. Observed counts are ONE combinable groupBy; expected "
+    "counts come from broadcast row/column marginals (constant-size "
+    "frames); per-cell (O−E)²/E terms are FLOOR fixed-point so the "
+    "sum over cells is order-independent and bit-identical "
+    "cross-engine (plain double summation over hundreds of cells "
+    "would differ in the last ulp per accumulation order). V's SQRT "
+    "is IEEE-correctly-rounded.",
+)
+def part_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    cells = p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rows_t = cells.groupBy("p_brand").agg(F.sum("obs").alias("row_n"))
+    cols_t = cells.groupBy("p_type").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    term_fixed = F.floor(
+        (F.col("obs") - expected) * (F.col("obs") - expected) / expected
+        * F.lit(1e9)
+    ).cast("bigint")
+    terms = (
+        cells.join(F.broadcast(rows_t), "p_brand")
+        .join(F.broadcast(cols_t), "p_type")
+        .crossJoin(F.broadcast(tot))
+        .select("obs", term_fixed.alias("term_fixed"), "n")
+    )
+    n_rows = rows_t.count()
+    n_cols = cols_t.count()
+    chi2 = F.sum("term_fixed").cast("double") / F.lit(1e9)
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2 / (F.max("n") * F.lit(min(n_rows - 1, n_cols - 1)))
+        ).alias("cramers_v"),
+    )

@@ -1600,3 +1600,67 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         q90.cast("bigint").alias("p90_secs"),
         F.max("secs_to_convert").alias("max_secs"),
     )
+
+
+@register(
+    "events_npath_sequence",
+    category="events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next1,
+             LEAD(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next2
+      FROM events
+    ),
+    matches AS (
+      SELECT user_id, event_id AS start_event_id, ts AS start_ts
+      FROM ordered
+      WHERE event_type = 'view' AND next1 = 'click' AND next2 = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(start_event_id) AS first_match_event_id
+    FROM matches
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="nPath/MATCH_RECOGNIZE-style sequence matching: occurrences of "
+    "the exact consecutive pattern view → click → purchase per user "
+    "(no intervening events — the strict-adjacency semantics of "
+    "Teradata nPath / SQL MATCH_RECOGNIZE with no quantifiers), via "
+    "LEAD windows over the per-user event order — the pattern becomes "
+    "a row-local predicate after ONE (user, time) sort, so any "
+    "fixed-length pattern costs exactly one shuffle regardless of "
+    "pattern width. Tie order (ts, event_id) is total, so matches are "
+    "engine-reproducible. For variable-length patterns (A B* C) the "
+    "same sort feeds the gaps-islands machinery "
+    "(events_gaps_islands) instead.",
+)
+def events_npath_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("next1"),
+        F.lead("event_type", 2).over(w).alias("next2"),
+    )
+    matches = ordered.filter(
+        (F.col("event_type") == "view")
+        & (F.col("next1") == "click")
+        & (F.col("next2") == "purchase")
+    )
+    return (
+        matches.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("event_id").alias("first_match_event_id"),
+        )
+        .orderBy("user_id")
+    )
