@@ -1664,3 +1664,99 @@ def events_npath_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    category="events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, s.n_days,
+             CAST(FLOOR((d.x - s.mu) * 1e6) AS BIGINT) AS dev_fixed
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    cusum AS (
+      SELECT event_type, day, n_days,
+             SUM(dev_fixed) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS s_fixed
+      FROM dev
+    )
+    SELECT event_type, day AS changepoint_day,
+           CAST(ABS(s_fixed) AS DOUBLE) / 1e6 AS max_abs_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY ABS(s_fixed) DESC, day ASC
+      ) AS rk
+      FROM cusum
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+    doc="CUSUM changepoint detection per event-type series: cumulative "
+    "sum of (daily value − series mean), with the |CUSUM| peak marking "
+    "the most likely level-shift day (Page's classic statistic; the "
+    "peak splits the series into before/after means at maximum "
+    "contrast). Deviations are FLOOR fixed-point so the running sum is "
+    "an exact integer cumulative — bit-identical cross-engine and "
+    "immune to window-accumulation order. Plan: one combinable "
+    "(type, day) collapse of the raw stream, broadcast per-type means, "
+    "one window over the DAY-grain frame (constant per type, never "
+    "data-sized), argmax via group-limit.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    stats = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.floor((F.col("x") - F.col("mu")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("dev_fixed"),
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = dev.withColumn("s_fixed", F.sum("dev_fixed").over(w_cum))
+    w_peak = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_fixed")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(w_peak))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            (F.abs(F.col("s_fixed")).cast("double") / F.lit(1e6)).alias(
+                "max_abs_cusum"
+            ),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -1817,3 +1817,116 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= RANGE_TAU)
         .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out kNN classification eval (labeled embeddings)
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_K = 5
+
+_SQL_KNN_EVAL = f"""
+    WITH ranked AS (
+      SELECT a.vec_id, a.label AS true_label, b.label AS nbr_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_cosine_fixed('a.embedding', 'b.embedding')} DESC,
+                        b.vec_id ASC
+             ) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    votes AS (
+      SELECT vec_id, true_label, nbr_label, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= {KNN_EVAL_K}
+      GROUP BY vec_id, true_label, nbr_label
+    ),
+    pred AS (
+      SELECT vec_id, true_label, nbr_label AS predicted_label
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id
+          ORDER BY n_votes DESC, nbr_label ASC
+        ) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN predicted_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted_label = true_label
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS accuracy
+    FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
+@register(
+    "sim_knn_classifier_eval",
+    category="similarity",
+    oracle=_SQL_KNN_EVAL,
+    doc="Leave-one-out k-NN classification accuracy per label over the "
+    "labeled embedding corpus (k = 5, majority vote, ties → lowest "
+    "label) — the standard embedding-quality probe (a good embedding "
+    "space separates labels; accuracy ≈ chance means the space carries "
+    "no signal). Exact all-pairs baseline sharing "
+    "sim_knn_graph_mutual's contract and fixed-point cosine; at scale "
+    "the vote runs over ANN candidates instead (sim_topk_lsh/ivf) — "
+    "identical vote/eval plan over a cheaper edge list. The vote and "
+    "the accuracy rollup are combinable aggregates over the N·k edge "
+    "frame; per-vector argmax is a WindowGroupLimit.",
+)
+def sim_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    c = e.withColumn(
+        "norm", F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
+    )
+    left = c.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    right = c.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    cos = dot_fixed(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    w_rank = W.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id").asc()
+    )
+    knn = (
+        left.join(right, F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "true_label", "nbr_label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= KNN_EVAL_K)
+    )
+    votes = knn.groupBy("a_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = W.partitionBy("a_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("a_id", "true_label", F.col("nbr_label").alias("predicted_label"))
+    )
+    correct = F.when(
+        F.col("predicted_label") == F.col("true_label"), 1
+    ).otherwise(0)
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(correct).alias("n_correct"),
+            (F.sum(correct).cast("double") / F.count(F.lit(1))).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )
