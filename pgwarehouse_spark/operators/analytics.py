@@ -2166,3 +2166,79 @@ def part_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             chi2 / (F.max("n") * F.lit(min(n_rows - 1, n_cols - 1)))
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "supplier_abc_classification",
+    category="analytics",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, revenue,
+             SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+               ORDER BY revenue DESC, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+             SUM(CAST(revenue AS DECIMAL(18,6))) OVER () AS tot_dec
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_suppkey, revenue,
+             CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.8
+                    THEN 'A'
+                  WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="ABC classification (the operations-management standard on top "
+    "of the Pareto curve): suppliers carrying the first 80% of revenue "
+    "are class A, the next 15% B, the tail C — reported as class sizes "
+    "and revenue. Same machinery as supplier_pareto_revenue: collapse "
+    "to one row per supplier, distributed two-pass prefix sum for the "
+    "decimal-exact cumulative (no single-partition Exchange), then a "
+    "3-row combinable rollup. Class boundaries compare the same exact "
+    "ratios both engines compute, so membership never flips on float "
+    "noise.",
+)
+def supplier_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import global_rank_cumsum
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    ranked, _, tot = global_rank_cumsum(
+        rev,
+        [F.col("revenue").desc(), F.col("l_suppkey")],
+        value_col=F.col("revenue").cast("decimal(18,6)"),
+        rank_name="rk",
+        cum_name="_cum",
+    )
+    share = F.col("_cum").cast("double") / F.lit(
+        float(tot) if tot is not None else 1.0
+    )
+    abc = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("revenue").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
