@@ -2242,3 +2242,63 @@ def supplier_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "orders_priority_mix_shift",
+    category="analytics",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    shared AS (
+      SELECT quarter, o_orderpriority, n_orders,
+             CAST(n_orders AS DOUBLE)
+               / SUM(n_orders) OVER (PARTITION BY quarter) AS share
+      FROM cells
+    )
+    SELECT quarter, o_orderpriority, n_orders, share,
+           share - LAG(share) OVER (
+             PARTITION BY o_orderpriority ORDER BY quarter
+           ) AS share_delta
+    FROM shared
+    ORDER BY quarter, o_orderpriority
+    """,
+    doc="Mix-shift monitor: each order priority's share of its quarter "
+    "and the delta vs the previous quarter — the composition-drift "
+    "read that separates volume changes from mix changes (the same "
+    "shape monitors language mix or source mix in a data pipeline; "
+    "corpus_drift_kl is its information-theoretic sibling). Shares "
+    "are single divisions of exact integers and the LAG difference "
+    "subtracts two such doubles — no accumulation, bit-stable. The "
+    "data-sized work is one combinable groupBy; both windows run on "
+    "the quarter×priority grid (constant size).",
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias(
+            "quarter"
+        ),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w_q = W.partitionBy("quarter")
+    shared = cells.select(
+        "quarter",
+        "o_orderpriority",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w_q)
+        ).alias("share"),
+    )
+    w_lag = W.partitionBy("o_orderpriority").orderBy("quarter")
+    return shared.select(
+        "quarter",
+        "o_orderpriority",
+        "n_orders",
+        "share",
+        (F.col("share") - F.lag("share").over(w_lag)).alias("share_delta"),
+    ).orderBy("quarter", "o_orderpriority")

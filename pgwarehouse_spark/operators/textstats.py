@@ -952,3 +952,67 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_actual", "lang_predicted")
     )
+
+
+@register(
+    "text_length_histogram_log2",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT CAST(FLOOR(LN(GREATEST(n_tokens, 1)) / LN(2)) AS BIGINT)
+               AS log2_bucket,
+             n_tokens
+      FROM toks
+    )
+    SELECT log2_bucket,
+           CAST(POW(2, log2_bucket) AS BIGINT) AS bucket_min_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM toks) AS doc_share
+    FROM bucketed GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+    doc="Log2-bucketed document-length histogram (token counts): the "
+    "length profile every pretraining-data report leads with — bucket "
+    "[2^k, 2^(k+1)) doc counts, token mass, and share. LN(x)/LN(2) on "
+    "integer inputs is the same double on both engines (single "
+    "libm-identical op on an exact integer; FLOOR only flips at exact "
+    "powers of two, where ln(2^k)/ln(2) is computed identically), and "
+    "everything after is integer-exact. One scan + one combinable "
+    "groupBy to ~20 buckets; the share join runs on the constant-size "
+    "bucket frame.",
+)
+def text_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(token_count(F.col("text")).alias("n_tokens"))
+    bucket = F.floor(
+        F.log(F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+        / F.log(F.lit(2.0))
+    ).cast("bigint")
+    bucketed = toks.select(bucket.alias("log2_bucket"), "n_tokens")
+    total = bucketed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        bucketed.groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket")).cast("bigint").alias(
+                "bucket_min_tokens"
+            ),
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("log2_bucket")
+    )
