@@ -8,6 +8,14 @@ a warm-up pass of the session. Timings use a foreachPartition-free
 ``df.count()``-style action via ``df.write.format("noop")`` semantics —
 here simply ``collect()`` on aggregated results (small) or ``count()``
 on row-returning results, so driver transfer doesn't dominate.
+
+Output contract (VERDICT r02 item 1): the driver records only the last
+2000 bytes of stdout, so the single stdout JSON line is kept compact —
+summary fields first, per-query timings at 2dp limited to the heaviest
+queries, sf1 slopes but not sf1 raw timings. The COMPLETE payload
+(all timings at 4dp, sf1 detail) goes to ``BENCH_FULL.json`` next to
+this script and, human-readably, to stderr. A test pins the stdout
+line under the budget (tests/test_cli.py::test_bench_stdout_budget).
 """
 
 from __future__ import annotations
@@ -106,13 +114,18 @@ HEADLINE = [
 ]
 
 
-# The 10 heaviest headline queries (by BENCH_r01 wall time) re-run at a
+# The heaviest headline queries (by BENCH_r02 wall time) re-run at a
 # derived sf1 so the driver's bench record carries a scaling SLOPE, not a
-# single point (VERDICT r01 item 9).
-HEAVY10 = [
+# single point (VERDICT r01 item 9; widened per VERDICT r02 item 7 with
+# round 2's heavy additions).
+HEAVY = [
     "graph_pagerank",
     "graph_triangle_count",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sample_quality_buckets",
+    "sim_knn_graph_mutual",
+    "dedup_containment",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "text_pmi_collocations",
@@ -123,6 +136,10 @@ HEAVY10 = [
     "sim_topk_bruteforce",
     "q1_pricing_summary",
 ]
+# stdout-line budget: the driver tail-captures 2000 bytes of stdout, so
+# the one-line JSON must stay under this (full detail goes to the file)
+STDOUT_BUDGET = 1900
+TOP_N_STDOUT = 24
 
 # key families shifted per replica so FK joins stay valid across copies
 _SF1_SHIFTS = {
@@ -243,7 +260,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    payload = {
+    full_payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -258,7 +275,7 @@ def main() -> None:
         sf1_dir = _ensure_sf1(spark, sf_dir)
         if sf1_dir:
             sf1_timings: dict[str, float] = {}
-            for name in [n for n in HEAVY10 if n in specs]:
+            for name in [n for n in HEAVY if n in specs]:
                 fn = specs[name].fn
                 start = time.perf_counter()
                 n = fn(spark, sf1_dir).count()
@@ -267,7 +284,7 @@ def main() -> None:
                     f"# sf1 {name}: {sf1_timings[name]:.3f}s ({n} rows)",
                     file=sys.stderr,
                 )
-            payload["sf1"] = {
+            full_payload["sf1"] = {
                 "sf": sf * 10,
                 "queries": sf1_timings,
                 "total": round(sum(sf1_timings.values()), 4),
@@ -278,7 +295,55 @@ def main() -> None:
                 },
             }
 
-    print(json.dumps(payload))
+    emit(full_payload)
+
+
+def compact_line(full_payload: dict) -> str:
+    """One stdout JSON line under STDOUT_BUDGET bytes: summary fields
+    first, then the TOP_N_STDOUT heaviest per-query timings at 2dp; the
+    sf1 section keeps total + slopes and drops raw sf1 timings. If the
+    line still exceeds budget, per-query entries are trimmed from the
+    lightest end until it fits (n_queries/value always carry the full
+    picture; BENCH_FULL.json has every number)."""
+    timings = full_payload["queries"]
+    heaviest = sorted(timings, key=timings.get, reverse=True)
+    top = heaviest[:TOP_N_STDOUT]
+    payload = {
+        "metric": full_payload["metric"],
+        "value": full_payload["value"],
+        "unit": full_payload["unit"],
+        "sf": full_payload["sf"],
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+        "queries": {n: round(timings[n], 2) for n in top},
+    }
+    if "sf1" in full_payload:
+        s = full_payload["sf1"]
+        payload["sf1"] = {
+            "sf": s["sf"],
+            "total": s["total"],
+            "n_queries": len(s["queries"]),
+            "slope_vs_base": {
+                n: round(v, 2) for n, v in s["slope_vs_base"].items()
+            },
+        }
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > STDOUT_BUDGET and payload["queries"]:
+        lightest = min(payload["queries"], key=payload["queries"].get)
+        del payload["queries"][lightest]
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
+def emit(full_payload: dict) -> None:
+    full = json.dumps(full_payload, sort_keys=True)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(full + "\n")
+    print(f"# full payload: {full}", file=sys.stderr)
+    print(compact_line(full_payload))
 
 
 if __name__ == "__main__":

@@ -287,3 +287,35 @@ def test_history_and_vacuum_commands(spark, tmp_path, capsys):
     assert "300 rows" in out
     # non-transactional / unknown table errors cleanly
     assert cli.main(["history", "nope", "--config", str(cfg)], spark=spark) == 1
+
+
+def test_bench_stdout_budget():
+    """VERDICT r02 item 1: the driver tail-captures 2000 bytes of stdout,
+    so bench.py's one JSON line must fit even at worst-case payload size
+    (every headline query present with a long name and a large timing)."""
+    import json as _json
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    timings = {n: 123.4567 for n in bench.HEADLINE}
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "sf1": {
+            "sf": 1.0,
+            "queries": {n: 999.9999 for n in bench.HEAVY},
+            "total": 12345.6789,
+            "slope_vs_base": {n: 10.25 for n in bench.HEAVY},
+        },
+    }
+    line = bench.compact_line(payload)
+    assert len(line) <= bench.STDOUT_BUDGET, len(line)
+    parsed = _json.loads(line)
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert parsed["value"] == payload["value"]
+    assert parsed["sf1"]["slope_vs_base"]
+    assert len(parsed["queries"]) > 0
