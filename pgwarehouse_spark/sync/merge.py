@@ -171,4 +171,40 @@ def apply_cdc_bucketed(
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite only rewrites partitions PRESENT in the written
+    # data — an affected bucket whose rows were ALL deleted (and got no
+    # upserts) writes nothing and would silently keep its old files.
+    # Drop those partition directories explicitly (the mirror of
+    # TxTable._commit_buckets removing emptied buckets from its
+    # manifest). Driver-side: one distinct over the checkpointed merged
+    # frame plus O(emptied) filesystem deletes.
+    survivors = {
+        r[BUCKET_COL] for r in merged.select(BUCKET_COL).distinct().collect()
+    }
+    emptied = [b for b in affected if b not in survivors]
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}={b}")
+            p.getFileSystem(hconf).delete(p, True)
+        if not survivors:
+            # the delete emptied EVERY affected bucket; if no other
+            # bucket survives, leave one zero-row schema-carrying file so
+            # the table stays readable (plain parquet cannot represent a
+            # file-less table)
+            root = jvm.org.apache.hadoop.fs.Path(path)
+            fs = root.getFileSystem(hconf)
+            has_bucket = any(
+                s.getPath().getName().startswith(f"{BUCKET_COL}=")
+                for s in fs.listStatus(root)
+            )
+            if not has_bucket:
+                (
+                    merged.limit(0)
+                    .drop(BUCKET_COL)
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{path}/{BUCKET_COL}={emptied[0]}")
+                )
     return len(affected)

@@ -611,3 +611,76 @@ def test_canon_digest_null_safe_vs_duckdb(spark, tmp_path):
         canon_row_digest(F.col("s")).alias("d")
     ).collect()[0]["d"]
     assert d4 != d3
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r02 (high): apply_cdc_bucketed must physically drop buckets whose
+# merged result is empty — dynamic partition overwrite alone never rewrites
+# a partition absent from the written data.
+# ---------------------------------------------------------------------------
+
+
+def _mk_bucketed(spark, tmp_path, n=40, buckets=4):
+    from pgwarehouse_spark.sync.merge import write_bucketed
+
+    path = str(tmp_path / "cdc_tbl")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_bucketed(df, path, ["k"], buckets)
+    return path
+
+
+def test_cdc_delete_all_empties_table(spark, tmp_path):
+    """Delete-everything: every bucket empties; the table must read back
+    as zero rows (the exact repro from ADVICE r02)."""
+    from pgwarehouse_spark.sync.merge import apply_cdc_bucketed
+
+    path = _mk_bucketed(spark, tmp_path)
+    deletes = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit("D").alias("op"),
+    )
+    touched = apply_cdc_bucketed(spark, path, deletes, ["k"], 4)
+    assert touched == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    # schema survives (zero-row marker file)
+    assert "k" in back.columns and "v" in back.columns
+
+
+def test_cdc_delete_empties_one_bucket_keeps_others(spark, tmp_path):
+    """Delete every key of ONE bucket plus upsert another: the emptied
+    bucket's directory must be gone, the upsert visible, untouched
+    buckets intact."""
+    from pgwarehouse_spark.sync.merge import (
+        BUCKET_COL,
+        apply_cdc_bucketed,
+        bucket_expr,
+    )
+
+    path = _mk_bucketed(spark, tmp_path)
+    keyed = spark.range(40).select(
+        F.col("id").alias("k"), bucket_expr(["k"], 4).alias("b")
+    )
+    by_bucket = {
+        r["b"]: [x["k"] for x in keyed.filter(F.col("b") == r["b"]).collect()]
+        for r in keyed.select("b").distinct().collect()
+    }
+    victim = sorted(by_bucket)[0]
+    other = sorted(by_bucket)[1]
+    del_keys = by_bucket[victim]
+    up_key = by_bucket[other][0]
+    changes = spark.createDataFrame(
+        [(k, None, "D") for k in del_keys] + [(up_key, 9999, "U")],
+        "k long, v long, op string",
+    )
+    apply_cdc_bucketed(spark, path, changes, ["k"], 4)
+    back = spark.read.parquet(path)
+    assert back.count() == 40 - len(del_keys)
+    assert back.filter(F.col("k") == up_key).collect()[0]["v"] == 9999
+    assert not os.path.isdir(os.path.join(path, f"{BUCKET_COL}={victim}"))
+    # untouched bucket directories still present
+    for b in sorted(by_bucket)[2:]:
+        assert os.path.isdir(os.path.join(path, f"{BUCKET_COL}={b}"))
