@@ -10,8 +10,13 @@ exactly how you'd do it on a 1000-executor cluster (compare
 `pd.merge_asof`, which the per-group applyInPandas fallback would use).
 
 The DuckDB oracle uses the same ANSI window construction, so the exact
-semantics (ties: right rows at ts == left ts match; among equal-ts right
-rows the highest event_id wins) are pinned cross-engine.
+semantics are pinned cross-engine. Ties: right rows at ts == left ts DO
+match (side=0 sorts before side=1); among multiple right rows sharing
+one timestamp, the LAST row in `__payload DESC` order wins — i.e. the
+row with the LOWEST payload struct (for the events query: the lowest
+event_id), because `last_value` keeps the final row of the sorted
+frame, not the first. Both engines use the identical ORDER BY, so
+cross-engine parity holds regardless of which extreme is kept.
 """
 
 from __future__ import annotations

@@ -487,6 +487,26 @@ class SyncEngine:
     def _is_tx(self, table: str) -> bool:
         return os.path.isdir(os.path.join(self.table_path(table), "manifest"))
 
+    def _route_tx(self, table: str, spec) -> bool:
+        """Layout routing for an EXISTING table: the on-disk layout is
+        the truth. Reads already route on it; incremental writes must
+        too, or flipping `transactional:` in config against an existing
+        table sends a merge into the wrong layout and dies with a
+        confusing FileNotFoundError / corrupt-parquet error deep in the
+        stack (ADVICE r02 medium). A spec that disagrees with the disk
+        gets a clear migration message instead; `reload` migrates
+        (it drops and re-creates in the spec's layout)."""
+        on_disk = self._is_tx(table)
+        if bool(spec.transactional) != on_disk:
+            want = "transactional" if spec.transactional else "plain"
+            have = "transactional" if on_disk else "plain"
+            raise ValueError(
+                f"{table}: config requests the {want} layout but the "
+                f"existing table on disk is {have}; run `reload {table}` "
+                f"to migrate it to the configured layout"
+            )
+        return on_disk
+
     def read_table(self, table: str, version: int | None = None) -> DataFrame:
         # Transactional tables resolve a manifest snapshot (optionally a
         # historical version); plain tables read the bucketed directory.
@@ -609,7 +629,7 @@ class SyncEngine:
         if rows == 0:
             return 0
         delta = self._reconcile_schema(table, delta)
-        if spec.transactional and spec.primary_key:
+        if self._route_tx(table, spec) and spec.primary_key:
             # insert-only merge: new keys commit a new version
             self._tx(table).merge(self.spark, delta)
             return rows
@@ -757,7 +777,7 @@ class SyncEngine:
             return SyncResult(table, "noop", 0)
         rows = delta.count()
         delta = self._reconcile_schema(table, delta)
-        if spec.transactional:
+        if self._route_tx(table, spec):
             self._tx(table).merge(self.spark, delta, order_col=lm)
         else:
             merge_into_bucketed(

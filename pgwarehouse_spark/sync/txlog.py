@@ -1,5 +1,6 @@
 """Minimal transaction log over the bucketed parquet layout — snapshot
-isolation, time travel, and safe vacuum for the sync engine's tables.
+isolation, time travel, multi-writer commits, and safe vacuum for the
+sync engine's tables.
 
 `sync/merge.py` documents the plain-parquet caveat: a bucket-pruned MERGE
 rewrites partition directories in place, so a concurrent reader can see a
@@ -7,27 +8,48 @@ half-written table (exactly what Delta/Iceberg transaction logs solve).
 This module is the engine's own minimal log, reference-free and
 idiomatic-Spark:
 
-- Data files are IMMUTABLE: version ``n`` writes its changed buckets
-  under ``data/v{n}/__bucket=K/``; unchanged buckets keep pointing at the
-  directory of the version that last wrote them.
+- Data files are IMMUTABLE and commit-private: version ``n`` stages its
+  changed buckets under ``data/v{n}-{token}/__bucket=K/`` where
+  ``token`` is a per-commit random suffix, so a torn commit (crash after
+  the data write, before the manifest publish) leaves an orphan
+  directory that never collides with any later writer — the next commit
+  proceeds normally and ``vacuum`` reclaims the orphan. Unchanged
+  buckets keep pointing at the directory of the version that last wrote
+  them.
 - A manifest ``manifest/v{n}.json`` maps every bucket to the directory
-  holding its current files. Commits are atomic: manifest written to a
-  temp name then ``os.replace``d (POSIX-atomic), and the latest version
-  is simply the highest ``v{n}.json`` present — no mutable pointer file
-  to tear.
+  holding its current files. Publishing is ATOMIC AND EXCLUSIVE: the
+  manifest is written to a temp name and ``os.link``ed to its final
+  name — the hard link both appears atomically (readers never see a
+  torn manifest) and fails with ``FileExistsError`` if another writer
+  already committed that version, which surfaces as
+  :class:`CommitConflict`. ``merge``/``apply_cdc`` catch the conflict
+  and REBASE: re-read the new latest snapshot, recompute the merge, and
+  retry — so under concurrent writers exactly one commit per version
+  survives and no update is lost (optimistic concurrency, the same
+  protocol Delta's log store uses).
 - Readers resolve a manifest ONCE and read only immutable paths, so a
   reader pinned at version ``n`` is untouched by later merges
   (snapshot isolation) and any historical version remains queryable
-  until vacuumed (time travel).
+  until vacuumed (time travel). A snapshot read groups bucket pointers
+  by version directory and issues ONE parquet scan per referenced
+  version (``basePath`` recovers ``__bucket`` from the directory
+  names) — the plan holds O(referenced versions) scan nodes, not
+  O(buckets), so thousand-bucket tables stay driver-trivial.
+- Every ``CHECKPOINT_INTERVAL`` commits, ``manifest/checkpoint.json``
+  records the latest version, making resolution O(1)+O(gap): read the
+  checkpoint, probe forward for newer manifests — no full directory
+  listing. ``vacuum`` refreshes the checkpoint to the oldest retained
+  version so probing always walks a contiguous range.
 - ``vacuum(keep_last)`` deletes data directories no surviving manifest
-  references — never anything a retained snapshot can still read.
+  references — never anything a retained snapshot can still read — and
+  prunes manifests (and torn-commit orphans) past the checkpoint.
 
-At 100 TB this is the same layout Delta uses (immutable files + log),
-minus compaction of the log itself; a manifest holds one entry per
-bucket (thousands, not millions — it stays driver-trivial). Multi-writer
-coordination is out of scope (single-writer, many-reader — the sync
-engine's actual topology; reference parity: the reference's loaders are
-single-writer too, pgwarehouse.py:96-110).
+At 100 TB this is the same layout Delta uses (immutable files + log +
+periodic checkpoint). A manifest holds one entry per bucket (thousands,
+not millions — it stays driver-trivial). Reference parity note: the
+reference's loaders are single-writer with no isolation at all
+(pgwarehouse.py:96-110); this module exists because a 1000-executor
+deployment cannot assume that.
 """
 
 from __future__ import annotations
@@ -36,12 +58,22 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .merge import BUCKET_COL, bucket_expr, dedup_latest, merge_upsert
 
 _MANIFEST_DIR = "manifest"
 _DATA_DIR = "data"
+_CKPT = "checkpoint.json"
+
+#: a checkpoint manifest is refreshed every this-many commits
+CHECKPOINT_INTERVAL = 20
+
+#: rebase attempts before a concurrent-writer conflict propagates
+MAX_COMMIT_RETRIES = 5
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first; rebase and retry."""
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -62,13 +94,28 @@ def _list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _write_manifest(root: str, version: int, manifest: dict) -> None:
+def _publish_manifest(root: str, version: int, manifest: dict) -> None:
+    """Atomic, EXCLUSIVE publish: hard-link a private temp file to the
+    final name. The link appears atomically (no reader sees partial
+    JSON) and raises if the version was already committed — the
+    mutual-exclusion primitive for multi-writer safety. POSIX-local by
+    design; an object-store port would swap in a put-if-absent."""
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     final = _manifest_path(root, version)
-    tmp = final + ".tmp"
+    tmp = final + f".tmp-{os.urandom(4).hex()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, final)  # atomic publish
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed under {root}; rebase"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -76,8 +123,35 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _checkpoint_path(root: str) -> str:
+    return os.path.join(root, _MANIFEST_DIR, _CKPT)
+
+
+def _read_checkpoint(root: str) -> int | None:
+    try:
+        with open(_checkpoint_path(root)) as f:
+            return int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+
+
+def _write_checkpoint(root: str, version: int) -> None:
+    """Monotone best-effort checkpoint: losing a concurrent-writer race
+    can only leave an OLDER checkpoint behind, which makes resolution
+    probe a few extra versions — never wrong, because probing always
+    walks forward from the checkpoint."""
+    current = _read_checkpoint(root)
+    if current is not None and current >= version:
+        return
+    path = _checkpoint_path(root)
+    tmp = path + f".tmp-{os.urandom(4).hex()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, path)
+
+
 class TxTable:
-    """Single-writer, many-reader versioned bucketed table."""
+    """Multi-writer, many-reader versioned bucketed table."""
 
     def __init__(self, root: str, keys: list[str], num_buckets: int):
         self.root = root
@@ -90,10 +164,18 @@ class TxTable:
         return _list_versions(self.root)
 
     def latest_version(self) -> int:
-        vs = self.versions()
-        if not vs:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        return vs[-1]
+        """O(1)+O(gap): checkpoint + forward probe. Falls back to a full
+        listing when no checkpoint exists yet (young table)."""
+        ck = _read_checkpoint(self.root)
+        if ck is None or not os.path.exists(_manifest_path(self.root, ck)):
+            vs = self.versions()
+            if not vs:
+                raise FileNotFoundError(f"no committed version under {self.root}")
+            return vs[-1]
+        v = ck
+        while os.path.exists(_manifest_path(self.root, v + 1)):
+            v += 1
+        return v
 
     # -- create --------------------------------------------------------
 
@@ -106,7 +188,8 @@ class TxTable:
         num_buckets: int = 16,
     ) -> "TxTable":
         t = cls(root, keys, num_buckets)
-        data_dir = os.path.join(root, _DATA_DIR, "v0")
+        dirname = f"v0-{os.urandom(4).hex()}"
+        data_dir = os.path.join(root, _DATA_DIR, dirname)
         (
             df.withColumn(BUCKET_COL, bucket_expr(keys, num_buckets))
             .repartition(BUCKET_COL)
@@ -120,8 +203,8 @@ class TxTable:
             for name in os.listdir(data_dir):
                 if name.startswith(f"{BUCKET_COL}="):
                     b = name.split("=", 1)[1]
-                    buckets[b] = os.path.join(_DATA_DIR, "v0", name)
-        _write_manifest(
+                    buckets[b] = os.path.join(_DATA_DIR, dirname, name)
+        _publish_manifest(
             root,
             0,
             {"version": 0, "keys": keys, "num_buckets": num_buckets,
@@ -131,30 +214,56 @@ class TxTable:
 
     # -- read ----------------------------------------------------------
 
+    def _snapshot_frame(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        wanted: set[int] | None = None,
+    ) -> DataFrame | None:
+        """Union of the manifest's bucket files (optionally restricted to
+        `wanted` buckets), BUCKET_COL retained. ONE scan per referenced
+        version directory: pointers are grouped by dirname and passed as
+        multiple paths to a single reader with basePath set to the
+        version dir, so partition discovery re-derives __bucket — the
+        plan stays O(versions), not O(buckets) (ADVICE r02)."""
+        pointers = {
+            b: rel
+            for b, rel in manifest["buckets"].items()
+            if wanted is None or int(b) in wanted
+        }
+        if not pointers:
+            return None
+        groups: dict[str, list[str]] = {}
+        for rel in pointers.values():
+            groups.setdefault(os.path.dirname(rel), []).append(rel)
+        frames = []
+        for vdir, rels in sorted(groups.items()):
+            reader = spark.read.option(
+                "basePath", os.path.join(self.root, vdir)
+            )
+            frames.append(
+                reader.parquet(*[os.path.join(self.root, r) for r in sorted(rels)])
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: resolves the manifest once; the returned frame
         only references immutable per-version directories, so later
         commits never change (or break) it."""
         v = self.latest_version() if version is None else version
         m = _read_manifest(self.root, v)
-        if not m["buckets"]:
+        snap = self._snapshot_frame(spark, m)
+        if snap is None:
             # empty snapshot (zero-row create / every key deleted): the
             # manifest's recorded schema keeps it queryable
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(m["schema"]))
             return spark.createDataFrame([], schema)
-        frames = []
-        for b, rel in sorted(m["buckets"].items()):
-            frames.append(
-                spark.read.parquet(os.path.join(self.root, rel)).withColumn(
-                    BUCKET_COL, F.lit(int(b))
-                )
-            )
-        out = frames[0]
-        for fdf in frames[1:]:
-            out = out.unionByName(fdf, allowMissingColumns=True)
-        return out.drop(BUCKET_COL)
+        return snap.drop(BUCKET_COL)
 
     # -- write paths ---------------------------------------------------
 
@@ -163,14 +272,18 @@ class TxTable:
         spark: SparkSession,
         new_per_bucket: DataFrame,
         affected: list[int],
+        base_version: int,
+        base_manifest: dict,
     ) -> int:
         """Write `new_per_bucket` (already carrying BUCKET_COL limited to
-        `affected`) as the next version's files and publish a manifest
-        where untouched buckets keep their old directories."""
-        prev_v = self.latest_version()
-        prev = _read_manifest(self.root, prev_v)
-        v = prev_v + 1
-        data_dir = os.path.join(self.root, _DATA_DIR, f"v{v}")
+        `affected`) into a commit-private staging directory, then
+        exclusively publish a manifest for base_version+1 where
+        untouched buckets keep their old directories. Raises
+        CommitConflict (leaving only an orphan data dir for vacuum) if
+        another writer won the version."""
+        v = base_version + 1
+        dirname = f"v{v}-{os.urandom(4).hex()}"
+        data_dir = os.path.join(self.root, _DATA_DIR, dirname)
         (
             new_per_bucket.repartition(BUCKET_COL)
             .sortWithinPartitions(*self.keys)
@@ -178,27 +291,29 @@ class TxTable:
             .partitionBy(BUCKET_COL)
             .parquet(data_dir)
         )
-        buckets = dict(prev["buckets"])
-        schema_json = prev.get("schema")
+        buckets = dict(base_manifest["buckets"])
+        schema_json = base_manifest.get("schema")
         written = set()
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
                 if name.startswith(f"{BUCKET_COL}="):
                     b = name.split("=", 1)[1]
-                    buckets[b] = os.path.join(_DATA_DIR, f"v{v}", name)
+                    buckets[b] = os.path.join(_DATA_DIR, dirname, name)
                     written.add(int(b))
         # a bucket whose merge result became EMPTY (every key deleted)
         # writes no files — drop it from the manifest entirely
         for b in affected:
             if b not in written and str(b) in buckets:
                 del buckets[str(b)]
-        _write_manifest(
+        _publish_manifest(
             self.root,
             v,
             {"version": v, "keys": self.keys, "num_buckets": self.num_buckets,
              "buckets": buckets,
              "schema": schema_json or new_per_bucket.drop(BUCKET_COL).schema.json()},
         )
+        if v % CHECKPOINT_INTERVAL == 0:
+            _write_checkpoint(self.root, v)
         return v
 
     def merge(
@@ -206,10 +321,12 @@ class TxTable:
         spark: SparkSession,
         delta: DataFrame,
         order_col: str | None = None,
+        max_retries: int = MAX_COMMIT_RETRIES,
     ) -> int:
         """MERGE (upsert) as a new version: only buckets containing delta
         keys get new files; every other bucket's pointer carries over.
-        Returns the committed version number."""
+        On a concurrent-writer conflict the merge REBASES onto the new
+        latest snapshot and retries. Returns the committed version."""
         delta = delta.withColumn(
             BUCKET_COL, bucket_expr(self.keys, self.num_buckets)
         )
@@ -218,24 +335,23 @@ class TxTable:
         ]
         if not affected:
             return self.latest_version()
-        m = _read_manifest(self.root, self.latest_version())
-        old_frames = [
-            spark.read.parquet(os.path.join(self.root, m["buckets"][str(b)]))
-            .withColumn(BUCKET_COL, F.lit(int(b)))
-            for b in affected
-            if str(b) in m["buckets"]
-        ]
-        if old_frames:
-            target = old_frames[0]
-            for fdf in old_frames[1:]:
-                target = fdf.unionByName(target, allowMissingColumns=True)
-            merged = merge_upsert(target, delta, self.keys, order_col)
-        else:
-            merged = dedup_latest(delta, self.keys, order_col)
-        merged = merged.withColumn(
-            BUCKET_COL, bucket_expr(self.keys, self.num_buckets)
-        )
-        return self._commit_buckets(spark, merged, affected)
+        for attempt in range(max_retries + 1):
+            base_v = self.latest_version()
+            m = _read_manifest(self.root, base_v)
+            target = self._snapshot_frame(spark, m, set(affected))
+            if target is not None:
+                merged = merge_upsert(target, delta, self.keys, order_col)
+            else:
+                merged = dedup_latest(delta, self.keys, order_col)
+            merged = merged.withColumn(
+                BUCKET_COL, bucket_expr(self.keys, self.num_buckets)
+            )
+            try:
+                return self._commit_buckets(spark, merged, affected, base_v, m)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def apply_cdc(
         self,
@@ -243,10 +359,14 @@ class TxTable:
         net: DataFrame,
         op_col: str = "op",
         order_col: str | None = None,
+        max_retries: int = MAX_COMMIT_RETRIES,
     ) -> int:
         """CDC APPLY as a new version: last-op-per-key collapse, then 'D'
         removes the key, anything else upserts — the versioned twin of
-        sync/merge.py::apply_cdc_bucketed."""
+        sync/merge.py::apply_cdc_bucketed, with the same rebase-on-
+        conflict protocol as merge()."""
+        from pyspark.sql import functions as F
+
         net = dedup_latest(net, self.keys, order_col)
         net = net.withColumn(BUCKET_COL, bucket_expr(self.keys, self.num_buckets))
         affected = [
@@ -254,39 +374,41 @@ class TxTable:
         ]
         if not affected:
             return self.latest_version()
-        m = _read_manifest(self.root, self.latest_version())
-        old_frames = [
-            spark.read.parquet(os.path.join(self.root, m["buckets"][str(b)]))
-            .withColumn(BUCKET_COL, F.lit(int(b)))
-            for b in affected
-            if str(b) in m["buckets"]
-        ]
         upserts = net.filter(F.col(op_col) != "D").drop(op_col)
-        if old_frames:
-            target = old_frames[0]
-            for fdf in old_frames[1:]:
-                target = fdf.unionByName(target, allowMissingColumns=True)
-            kept = target.join(
-                net.select(*self.keys).distinct(), self.keys, "left_anti"
-            )
-            from .merge import _widen
+        for attempt in range(max_retries + 1):
+            base_v = self.latest_version()
+            m = _read_manifest(self.root, base_v)
+            target = self._snapshot_frame(spark, m, set(affected))
+            if target is not None:
+                kept = target.join(
+                    net.select(*self.keys).distinct(), self.keys, "left_anti"
+                )
+                from .merge import _widen
 
-            kept = _widen(kept, upserts)
-            upserts = _widen(upserts, kept).select(*kept.columns)
-            merged = kept.unionByName(upserts)
-        else:
-            merged = upserts
-        merged = merged.withColumn(
-            BUCKET_COL, bucket_expr(self.keys, self.num_buckets)
-        )
-        return self._commit_buckets(spark, merged, affected)
+                kept = _widen(kept, upserts)
+                aligned = _widen(upserts, kept).select(*kept.columns)
+                merged = kept.unionByName(aligned)
+            else:
+                merged = upserts
+            merged = merged.withColumn(
+                BUCKET_COL, bucket_expr(self.keys, self.num_buckets)
+            )
+            try:
+                return self._commit_buckets(spark, merged, affected, base_v, m)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     # -- vacuum --------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Drop manifests older than the newest `keep_last`, then delete
-        any data directory no surviving manifest references. Never
-        touches directories a retained snapshot can still read."""
+        """Drop manifests older than the newest `keep_last`, refresh the
+        checkpoint to the oldest retained version (so latest_version's
+        forward probe always walks a contiguous range), then delete any
+        data directory no surviving manifest references — torn-commit
+        orphans included. Never touches directories a retained snapshot
+        can still read."""
         import shutil
 
         vs = self.versions()
@@ -295,12 +417,14 @@ class TxTable:
         for v in vs:
             if v not in keep:
                 os.remove(_manifest_path(self.root, v))
+        if keep:
+            _write_checkpoint(self.root, keep[0])
         live: set[str] = set()
         for v in keep:
             m = _read_manifest(self.root, v)
             for rel in m["buckets"].values():
-                # a bucket pointer is data/v{n}/__bucket=K — the live unit
-                # is the whole version directory data/v{n}
+                # a bucket pointer is data/v{n}-{token}/__bucket=K — the
+                # live unit is the whole commit directory
                 live.add(rel.split(os.sep)[1])
         ddir = os.path.join(self.root, _DATA_DIR)
         if os.path.isdir(ddir):

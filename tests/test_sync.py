@@ -684,3 +684,34 @@ def test_cdc_delete_empties_one_bucket_keeps_others(spark, tmp_path):
     # untouched bucket directories still present
     for b in sorted(by_bucket)[2:]:
         assert os.path.isdir(os.path.join(path, f"{BUCKET_COL}={b}"))
+
+
+def test_transactional_flag_flip_raises_clear_migration_error(spark, sf_dir, tmp_path):
+    """ADVICE r02 (medium): flipping `transactional:` against an existing
+    table must fail with a clear migration message in BOTH directions,
+    and `reload` must migrate the layout."""
+    src = ParquetSource(str(sf_dir))
+    wh = str(tmp_path / "wh")
+    spec = TableSpec(
+        name="orders", primary_key=["o_orderkey"], last_modified="o_orderdate"
+    )
+    eng = SyncEngine(spark, src, wh, specs={"orders": spec}, num_buckets=4)
+    eng.sync("orders")  # creates PLAIN layout
+    assert not eng._is_tx("orders")
+
+    # flip to transactional: incremental sync must explain, not crash
+    spec.transactional = True
+    with pytest.raises(ValueError, match="reload"):
+        eng.sync("orders")
+    # reload migrates to the tx layout
+    eng.reload("orders")
+    assert eng._is_tx("orders")
+    assert eng.sync("orders").action in ("merged", "noop")
+
+    # flip back to plain: same clear error, reload migrates back
+    spec.transactional = False
+    with pytest.raises(ValueError, match="reload"):
+        eng.sync("orders")
+    eng.reload("orders")
+    assert not eng._is_tx("orders")
+    assert eng.sync("orders").action in ("merged", "noop")

@@ -188,3 +188,170 @@ def test_torn_write_without_manifest_is_invisible(spark, sf_dir, tmp_path):
     removed = t.vacuum(keep_last=1)
     assert "v1" in removed  # orphan reclaimed
     assert t.read(spark).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Round 3: multi-writer safety, torn-commit recovery, checkpointing,
+# grouped snapshot reads (VERDICT r02 items 5-6; ADVICE r02 medium+low).
+# ---------------------------------------------------------------------------
+
+
+def test_exclusive_publish_one_commit_per_version(tmp_path):
+    from pgwarehouse_spark.sync.txlog import (
+        CommitConflict,
+        _publish_manifest,
+        _read_manifest,
+    )
+
+    root = str(tmp_path / "tx")
+    m = {"version": 1, "keys": ["k"], "num_buckets": 4, "buckets": {},
+         "schema": "{}"}
+    _publish_manifest(root, 1, m)
+    try:
+        _publish_manifest(root, 1, dict(m, keys=["other"]))
+        raise AssertionError("second publish of v1 must conflict")
+    except CommitConflict:
+        pass
+    # the surviving manifest is the winner's, intact
+    assert _read_manifest(root, 1)["keys"] == ["k"]
+    # no temp droppings
+    mdir = os.path.join(root, "manifest")
+    assert [n for n in os.listdir(mdir) if ".tmp-" in n] == []
+
+
+def test_concurrent_writer_conflict_rebases_and_keeps_both(spark, sf_dir, tmp_path):
+    """Two interleaved writers: writer B lands v1 while writer A is
+    computing its own v1. A's publish conflicts, A rebases onto B's
+    snapshot and commits v2 — both updates survive, exactly one commit
+    per version."""
+    from pgwarehouse_spark.sync import txlog as tx
+
+    o = _orders(spark, sf_dir).limit(200)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=4)
+
+    keys = [r["o_orderkey"] for r in o.select("o_orderkey").limit(2).collect()]
+    delta_a = o.filter(F.col("o_orderkey") == keys[0]).withColumn(
+        "o_totalprice", F.lit(111.0)
+    )
+    delta_b = o.filter(F.col("o_orderkey") == keys[1]).withColumn(
+        "o_totalprice", F.lit(222.0)
+    )
+
+    # interleave: first time A tries to publish, B sneaks its commit in
+    real_publish = tx._publish_manifest
+    state = {"injected": False}
+
+    def racing_publish(root_, version, manifest):
+        if not state["injected"]:
+            state["injected"] = True
+            # writer B commits v1 first (through the real path)
+            TxTable(root, ["o_orderkey"], 4).merge(spark, delta_b)
+        return real_publish(root_, version, manifest)
+
+    tx._publish_manifest = racing_publish
+    try:
+        v = t.merge(spark, delta_a)
+    finally:
+        tx._publish_manifest = real_publish
+
+    assert v == 2  # A rebased past B's v1
+    assert t.versions() == [0, 1, 2]
+    final = t.read(spark)
+    assert final.filter(F.col("o_orderkey") == keys[0]).collect()[0][
+        "o_totalprice"
+    ] == 111.0
+    assert final.filter(F.col("o_orderkey") == keys[1]).collect()[0][
+        "o_totalprice"
+    ] == 222.0
+    assert final.count() == 200
+
+
+def test_torn_commit_does_not_wedge_next_writer(spark, sf_dir, tmp_path):
+    """ADVICE r02 (medium): after a crash between the data write and the
+    manifest publish, the NEXT commit must succeed (commit-private data
+    dirs can't collide) and vacuum reclaims the orphan."""
+    o = _orders(spark, sf_dir).limit(100)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=4)
+
+    # simulate the torn commit: stage v1 data exactly like a writer would,
+    # then "crash" before publishing
+    delta = o.limit(5).withColumn("o_totalprice", F.lit(1.0))
+    from pgwarehouse_spark.sync import txlog as tx
+    from pgwarehouse_spark.sync.merge import BUCKET_COL, bucket_expr
+
+    staged = delta.withColumn(BUCKET_COL, bucket_expr(["o_orderkey"], 4))
+    torn_dir = os.path.join(root, "data", "v1-deadbeef")
+    staged.write.partitionBy(BUCKET_COL).parquet(torn_dir)
+
+    # next writer commits v1 without error
+    v = t.merge(spark, delta, order_col=None)
+    assert v == 1
+    assert t.read(spark).filter(F.col("o_totalprice") == 1.0).count() == 5
+    removed = t.vacuum(keep_last=1)
+    assert "v1-deadbeef" in removed
+    assert t.read(spark).count() == 100
+
+
+def test_checkpoint_resolution_and_vacuum_at_100_versions(spark, sf_dir, tmp_path):
+    """VERDICT r02 item 6: 100+ commits; version resolution goes through
+    the checkpoint (O(1)+probe, no full listing), vacuum prunes
+    manifests past the checkpoint, history/time-travel stay correct."""
+    from pgwarehouse_spark.sync import txlog as tx
+
+    o = _orders(spark, sf_dir).limit(50)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=2)
+    key = o.select("o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    one = o.filter(F.col("o_orderkey") == key)
+    n_commits = 2 * tx.CHECKPOINT_INTERVAL + 5  # 45 → crosses 2 checkpoints
+    for i in range(1, n_commits + 1):
+        v = t.merge(spark, one.withColumn("o_totalprice", F.lit(float(i))))
+        assert v == i
+    assert tx._read_checkpoint(root) == 2 * tx.CHECKPOINT_INTERVAL
+    assert t.latest_version() == n_commits
+
+    # resolution must NOT require listing every v*.json: probe path only
+    real_list = tx._list_versions
+    tx._list_versions = lambda root_: (_ for _ in ()).throw(
+        AssertionError("latest_version fell back to a full listing")
+    )
+    try:
+        assert t.latest_version() == n_commits
+    finally:
+        tx._list_versions = real_list
+
+    removed = t.vacuum(keep_last=3)
+    assert removed  # old commit dirs reclaimed
+    # manifest dir is small now: keep_last manifests + checkpoint file
+    mdir = os.path.join(root, "manifest")
+    assert len(os.listdir(mdir)) <= 3 + 1
+    # checkpoint refreshed so the forward probe walks kept versions only
+    assert tx._read_checkpoint(root) == n_commits - 2
+    assert t.latest_version() == n_commits
+    assert t.read(spark).filter(F.col("o_orderkey") == key).collect()[0][
+        "o_totalprice"
+    ] == float(n_commits)
+    # time travel within the kept window
+    prev = t.read(spark, version=n_commits - 1)
+    assert prev.filter(F.col("o_orderkey") == key).collect()[0][
+        "o_totalprice"
+    ] == float(n_commits - 1)
+
+
+def test_snapshot_read_one_scan_per_version_dir(spark, sf_dir, tmp_path):
+    """ADVICE r02 (low): a snapshot read groups bucket pointers by
+    version directory — the plan carries one parquet scan per referenced
+    version, not one per bucket."""
+    o = _orders(spark, sf_dir).limit(400)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=16)
+    # one merge touching a single key → pointers reference 2 version dirs
+    key = o.select("o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    t.merge(spark, o.filter(F.col("o_orderkey") == key))
+    df = t.read(spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation")
+    assert n_scans == 2, plan  # v0 dir + v1 dir, NOT 16 bucket scans
+    assert df.count() == 400
