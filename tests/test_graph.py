@@ -48,3 +48,38 @@ def test_pagerank_favors_high_degree(spark, sf_dir):
     top10 = graph_pagerank(spark, sf_dir).limit(10).collect()
     top_mean = sum(r.out_deg for r in top10) / len(top10)
     assert top_mean > mean_deg
+
+
+def test_grouped_adjacency_caps_hub_rows(spark):
+    from pyspark.sql import functions as F
+
+    """VERDICT r02 item 2: a synthetic hub (one src connected to every
+    other node) must be split across multiple adjacency rows, none
+    exceeding the cap, while total degree and the contribution SET stay
+    identical to the unsplit form."""
+    from pgwarehouse_spark.operators.graph import _grouped_adjacency
+
+    n = 1000
+    hub = spark.range(1, n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    tail = spark.range(1, n + 1).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst")
+    )
+    edges = hub.unionByName(tail)
+    cap = 64
+    adj = _grouped_adjacency(edges, cap=cap)
+    rows = adj.collect()
+
+    hub_rows = [r for r in rows if r["src"] == 0]
+    assert len(hub_rows) > 1  # hub actually split
+    assert max(len(r["dsts"]) for r in rows) <= cap
+    # every row still carries the TOTAL degree
+    assert all(r["out_deg"] == n for r in hub_rows)
+    # no destination lost or duplicated by the scatter
+    got = sorted(d for r in hub_rows for d in r["dsts"])
+    assert got == list(range(1, n + 1))
+    # non-hub nodes (degree 1) stay single-row
+    tail_rows = [r for r in rows if r["src"] != 0]
+    assert len(tail_rows) == n
+    assert all(len(r["dsts"]) == 1 and r["out_deg"] == 1 for r in tail_rows)
