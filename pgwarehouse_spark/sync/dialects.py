@@ -222,6 +222,126 @@ class DuckDBDialect(SinkDialect):
     fallback_type: str = "VARCHAR"
 
 
+# ---------------------------------------------------------------------------
+# Reference-compat DDL (golden parity; VERDICT r02 item 3)
+# ---------------------------------------------------------------------------
+#
+# The dialects above emit DDL from SPARK schemas with this engine's own
+# (tighter) type choices. For byte-parity migration audits we also emit
+# exactly what the reference backends would CREATE for a given *Postgres*
+# schema — including their lossy type degradations and quoting quirks:
+#
+# - clickhouse_backend.py:48-86 type chain, :118-119 space→underscore,
+#   :143-153 Nullable wrap + MergeTree/StripeLog engine;
+# - snowflake_backend.py:78-109 type chain, :111-115 reserved-only
+#   quoting (NOTE: the reference does NOT handle space-bearing columns
+#   for Snowflake — `"park state"` emits unquoted, which its own
+#   fixture local_parks would trip on; reproduced faithfully here, the
+#   non-compat SnowflakeDialect above quotes properly);
+# - duckdb_backend.py:33-67 type chain, :72-76 space→underscore +
+#   per-column PRIMARY KEY suffix.
+#
+# Prefix rules are ORDER-SENSITIVE, mirroring each backend's if-chain.
+
+_REF_CH_RULES = [
+    ("boolean", "Bool"), ("character", "String"), ("jsonb", "String"),
+    ("time ", "String"), ("date", "DateTime"),
+    ("timestamp", "DateTime64(3)"), ("int", "Int64"), ("bigint", "Int64"),
+    ("smallint", "Int32"), ("numeric", "Float64"), ("real", "Float64"),
+    ("double", "Float64"),
+]
+_REF_SF_RULES = [
+    ("boolean", "BOOLEAN"), ("character", "STRING"), ("jsonb", "STRING"),
+    ("time ", "TIME"), ("date", "DATETIME"), ("timestamp", "TIMESTAMP"),
+    ("int", "BIGINT"), ("bigint", "BIGINT"), ("smallint", "SMALLINT"),
+    ("numeric", "NUMERIC"), ("real", "NUMERIC"), ("double", "NUMERIC"),
+]
+_REF_DUCK_RULES = [
+    ("boolean", "BOOLEAN"), ("character", "VARCHAR"), ("jsonb", "VARCHAR"),
+    ("time ", "TIMESTAMP"), ("date", "TIMESTAMP"), ("timestamp", "TIMESTAMP"),
+    ("int", "BIGINT"), ("bigint", "BIGINT"), ("smallint", "INTEGER"),
+    ("numeric", "DOUBLE"), ("real", "DOUBLE"), ("double", "DOUBLE"),
+]
+# exact-match / fallback quirks per backend (ref keeps inconsistent
+# casing for some fallbacks — preserved verbatim)
+_REF_EXACT = {
+    "clickhouse": {"text": "String", "year": "String", "uuid": "String"},
+    "snowflake": {"text": "STRING", "year": "String"},
+    "duckdb": {"text": "VARCHAR", "year": "VARCHAR", "uuid": "UUID"},
+}
+_REF_ENUM = {"clickhouse": "String", "snowflake": "STRING", "duckdb": "String"}
+_REF_ARRAY = {"clickhouse": "String", "snowflake": "String", "duckdb": "VARCHAR"}
+_REF_FALLBACK = {"clickhouse": "String", "snowflake": "String", "duckdb": "VARCHAR"}
+_REF_RULES = {
+    "clickhouse": _REF_CH_RULES,
+    "snowflake": _REF_SF_RULES,
+    "duckdb": _REF_DUCK_RULES,
+}
+
+
+def reference_pg_type(backend: str, pg_type: str) -> str:
+    """The type string the named reference backend would emit for a
+    Postgres type (create-table path, for_parse=False)."""
+    s = pg_type.strip().lower()
+    if s.endswith("[]"):
+        return _REF_ARRAY[backend]
+    if s.endswith("_enum"):
+        return _REF_ENUM[backend]
+    exact = _REF_EXACT[backend]
+    if s in exact:
+        return exact[s]
+    for prefix, out in _REF_RULES[backend]:
+        if s.startswith(prefix):
+            return out
+    return _REF_FALLBACK[backend]
+
+
+def reference_create_table_sql(
+    backend: str,
+    table: str,
+    columns: dict[str, str],
+    primary_key_cols: list[str] | None = None,
+    sf_schema: str = "PUBLIC",
+) -> str:
+    """Byte-identical CREATE TABLE to what the reference backend's
+    load_table would execute for this (pg-typed) schema — the golden
+    the parity tests pin (clickhouse_backend.py:143-159,
+    snowflake_backend.py:132-134, duckdb_backend.py:89-97)."""
+    pk = primary_key_cols or []
+    if backend == "clickhouse":
+        cols = []
+        for name, ctype in columns.items():
+            t = reference_pg_type(backend, ctype)
+            if name not in pk:
+                t = f"Nullable({t})"
+            cols.append(f"{name.replace(' ', '_')} {t}")
+        if pk:
+            engine = f"ENGINE = MergeTree() ORDER BY ({', '.join(pk)})"
+        else:
+            engine = "ENGINE = StripeLog"
+        return (
+            f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)}) {engine};"
+        )
+    if backend == "snowflake":
+        cols = []
+        for name, ctype in columns.items():
+            q = f'"{name}"' if name.lower() in SNOWFLAKE_RESERVED else name
+            cols.append(f"{q} {reference_pg_type(backend, ctype)}")
+        return (
+            f"CREATE TABLE IF NOT EXISTS {sf_schema}.{table} "
+            f"({', '.join(cols)});"
+        )
+    if backend == "duckdb":
+        cols = []
+        for name, ctype in columns.items():
+            c = f"{name.replace(' ', '_')} {reference_pg_type(backend, ctype)}"
+            if name in pk:
+                c += " PRIMARY KEY"
+            cols.append(c)
+        return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)});"
+    raise ValueError(f"unknown reference backend {backend!r}")
+
+
 _DIALECTS: dict[str, SinkDialect] = {
     d.name: d
     for d in (

@@ -117,3 +117,134 @@ def test_dialect_ddl_roundtrip_on_derby(spark, tmp_path):
     # overwrite path again (drop + recreate) stays idempotent
     wh.write_full(df, "items", pk=["id"])
     assert wh.count(spark, "items") == 2
+
+
+# ---------------------------------------------------------------------------
+# Golden-DDL parity vs the reference's own fixture schemas
+# (/root/reference/pgwarehouse/tests/pg_setup.sql:1-29; VERDICT r02 item 3).
+# Column pg-types are what psql \d prints for those declarations — the
+# exact input parse_schema_file hands each backend.
+# ---------------------------------------------------------------------------
+
+from pgwarehouse_spark.sync.dialects import reference_create_table_sql
+
+USERS10 = {
+    "id": "integer",  # serial prints as integer
+    "name": "text",
+    "email": "character varying",
+    "age": "integer",
+}
+MY_ORDERS = {
+    "id": "bigint",  # bigserial prints as bigint
+    "user_id": "integer",
+    "order_date": "date",
+    "order_amount": "double precision",  # float = double precision
+    "order_updated": "timestamp without time zone",
+}
+LOCAL_PARKS = {
+    "park_name": "text",
+    "park_type": "park_type",  # enum type name; unknown to every backend
+    "park_size": "integer",
+    "park_location_lat": "double precision",
+    "park_location_lon": "double precision",
+    "park state": "character varying",  # quoted, space-bearing
+}
+
+
+def test_golden_ddl_clickhouse():
+    # clickhouse_backend.py:143-159: Nullable wrap for non-PK columns,
+    # MergeTree ORDER BY pk / StripeLog without PK, spaces → underscores
+    assert reference_create_table_sql(
+        "clickhouse", "users10", USERS10, ["id"]
+    ) == (
+        "CREATE TABLE IF NOT EXISTS users10 (id Int64, "
+        "name Nullable(String), email Nullable(String), "
+        "age Nullable(Int64)) ENGINE = MergeTree() ORDER BY (id);"
+    )
+    assert reference_create_table_sql(
+        "clickhouse", "my_orders", MY_ORDERS, ["id"]
+    ) == (
+        "CREATE TABLE IF NOT EXISTS my_orders (id Int64, "
+        "user_id Nullable(Int64), order_date Nullable(DateTime), "
+        "order_amount Nullable(Float64), "
+        "order_updated Nullable(DateTime64(3))) "
+        "ENGINE = MergeTree() ORDER BY (id);"
+    )
+    assert reference_create_table_sql(
+        "clickhouse", "local_parks", LOCAL_PARKS, []
+    ) == (
+        "CREATE TABLE IF NOT EXISTS local_parks "
+        "(park_name Nullable(String), park_type Nullable(String), "
+        "park_size Nullable(Int64), park_location_lat Nullable(Float64), "
+        "park_location_lon Nullable(Float64), park_state Nullable(String)) "
+        "ENGINE = StripeLog;"
+    )
+
+
+def test_golden_ddl_snowflake():
+    # snowflake_backend.py:126-134: flat ANSI-ish types, schema-qualified
+    # name, reserved-word-only quoting (space-bearing names emit
+    # unquoted — faithfully reproduced; the engine's own SnowflakeDialect
+    # quotes them properly)
+    assert reference_create_table_sql(
+        "snowflake", "users10", USERS10, ["id"]
+    ) == (
+        "CREATE TABLE IF NOT EXISTS PUBLIC.users10 "
+        "(id BIGINT, name STRING, email STRING, age BIGINT);"
+    )
+    assert reference_create_table_sql(
+        "snowflake", "my_orders", MY_ORDERS, ["id"]
+    ) == (
+        "CREATE TABLE IF NOT EXISTS PUBLIC.my_orders "
+        "(id BIGINT, user_id BIGINT, order_date DATETIME, "
+        "order_amount NUMERIC, order_updated TIMESTAMP);"
+    )
+    assert reference_create_table_sql(
+        "snowflake", "local_parks", LOCAL_PARKS, []
+    ) == (
+        "CREATE TABLE IF NOT EXISTS PUBLIC.local_parks "
+        "(park_name STRING, park_type String, park_size BIGINT, "
+        "park_location_lat NUMERIC, park_location_lon NUMERIC, "
+        "park state STRING);"
+    )
+
+
+def test_golden_ddl_duckdb():
+    # duckdb_backend.py:89-97: per-column PRIMARY KEY suffix, spaces →
+    # underscores, ANSI types with BIGINT-for-int
+    assert reference_create_table_sql(
+        "duckdb", "users10", USERS10, ["id"]
+    ) == (
+        "CREATE TABLE IF NOT EXISTS users10 (id BIGINT PRIMARY KEY, "
+        "name VARCHAR, email VARCHAR, age BIGINT);"
+    )
+    assert reference_create_table_sql(
+        "duckdb", "my_orders", MY_ORDERS, ["id"]
+    ) == (
+        "CREATE TABLE IF NOT EXISTS my_orders (id BIGINT PRIMARY KEY, "
+        "user_id BIGINT, order_date TIMESTAMP, order_amount DOUBLE, "
+        "order_updated TIMESTAMP);"
+    )
+    assert reference_create_table_sql(
+        "duckdb", "local_parks", LOCAL_PARKS, []
+    ) == (
+        "CREATE TABLE IF NOT EXISTS local_parks (park_name VARCHAR, "
+        "park_type VARCHAR, park_size BIGINT, park_location_lat DOUBLE, "
+        "park_location_lon DOUBLE, park_state VARCHAR);"
+    )
+
+
+def test_golden_ddl_duckdb_executes():
+    """The duckdb golden actually runs in a live DuckDB — the one
+    backend available in this container — proving the parity DDL is
+    executable, not just string-equal."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl, cols, pk in (
+        ("users10", USERS10, ["id"]),
+        ("my_orders", MY_ORDERS, ["id"]),
+        ("local_parks", LOCAL_PARKS, []),
+    ):
+        con.execute(reference_create_table_sql("duckdb", tbl, cols, pk))
+        assert con.execute(f"SELECT COUNT(*) FROM {tbl}").fetchone()[0] == 0
