@@ -180,3 +180,159 @@ def test_decode_payload_feature_gate():
     Image.new("RGB", (17, 23)).save(buf, format="PNG")
     meta = decode_payload(buf.getvalue(), "image")
     assert (meta["width"], meta["height"]) == (17, 23)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r02 item 4: audio/video codec gates mirroring the PIL image
+# gate, driven by VENDORED byte literals — fake-module tests pin the gate
+# wiring everywhere; importorskip-gated twins run the genuine codecs
+# wherever the libs exist.
+# ---------------------------------------------------------------------------
+
+import struct
+import sys
+import zlib
+
+
+def _tiny_wav(n_samples=8, rate=8000) -> bytes:
+    """A minimal valid PCM16 mono WAV: RIFF header + fmt + data chunks.
+    Duration = n_samples / rate seconds."""
+    data = b"".join(struct.pack("<h", 0) for _ in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _tiny_png(width=1, height=1) -> bytes:
+    """A minimal valid 8-bit grayscale PNG built from first principles
+    (signature + IHDR + IDAT + IEND with correct CRCs)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_audio_gate_wiring_with_fake_soundfile(monkeypatch):
+    """The audio gate routes through soundfile.read when importable and
+    falls back to the stub when the read fails — pinned with an injected
+    fake module so the wiring is exercised even codec-less."""
+    from pgwarehouse_spark.operators import multimodal as mm
+
+    wav = _tiny_wav(n_samples=4000, rate=8000)  # 0.5 s
+
+    class FakeSoundfile:
+        @staticmethod
+        def read(buf):
+            payload = buf.read()
+            assert payload == wav
+            return [0.0] * 4000, 8000  # (data, samplerate)
+
+    monkeypatch.setitem(sys.modules, "soundfile", FakeSoundfile())
+    meta = mm.decode_payload(wav, "audio")
+    assert meta["duration_ms"] == 500
+    assert meta["width"] == 0 and meta["height"] == 0
+    assert meta["checksum"] == mm._checksum(wav)
+
+    class BrokenSoundfile:
+        @staticmethod
+        def read(buf):
+            raise ValueError("unparseable")
+
+    monkeypatch.setitem(sys.modules, "soundfile", BrokenSoundfile())
+    assert mm.decode_payload(wav, "audio") == mm._decode_stub(wav, "audio")
+
+
+def test_video_gate_wiring_with_fake_av(monkeypatch):
+    from pgwarehouse_spark.operators import multimodal as mm
+
+    blob = b"\x00\x00\x00\x18ftypmp42 fake container bytes"
+
+    class FakeStream:
+        type = "video"
+        width = 640
+        height = 360
+
+    class FakeContainer:
+        streams = [FakeStream()]
+        duration = 2_000_000  # av time base: microseconds
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class FakeAv:
+        @staticmethod
+        def open(buf):
+            return FakeContainer()
+
+    monkeypatch.setitem(sys.modules, "av", FakeAv())
+    meta = mm.decode_payload(blob, "video")
+    assert meta == {
+        "width": 640,
+        "height": 360,
+        "duration_ms": 2000,
+        "checksum": mm._checksum(blob),
+    }
+
+    class BrokenAv:
+        @staticmethod
+        def open(buf):
+            raise OSError("not a container")
+
+    monkeypatch.setitem(sys.modules, "av", BrokenAv())
+    assert mm.decode_payload(blob, "video") == mm._decode_stub(blob, "video")
+
+
+def test_codecless_container_stubs_all_modalities(monkeypatch):
+    """Where no codec lib exists (this container), every modality falls
+    back to the deterministic stub — forced here via import poisoning so
+    the assertion holds even if a codec is ever installed."""
+    from pgwarehouse_spark.operators import multimodal as mm
+
+    for lib in ("PIL", "PIL.Image", "soundfile", "av"):
+        monkeypatch.setitem(sys.modules, lib, None)  # import → ImportError
+    wav, png = _tiny_wav(), _tiny_png()
+    assert mm.decode_payload(png, "image") == mm._decode_stub(png, "image")
+    assert mm.decode_payload(wav, "audio") == mm._decode_stub(wav, "audio")
+    assert mm.decode_payload(wav, "video") == mm._decode_stub(wav, "video")
+
+
+def test_genuine_pil_decodes_vendored_png():
+    pytest.importorskip("PIL")
+    from pgwarehouse_spark.operators.multimodal import decode_payload
+
+    meta = decode_payload(_tiny_png(3, 2), "image")
+    assert (meta["width"], meta["height"]) == (3, 2)
+    assert meta["duration_ms"] == 0
+
+
+def test_genuine_soundfile_decodes_vendored_wav():
+    pytest.importorskip("soundfile")
+    from pgwarehouse_spark.operators.multimodal import decode_payload
+
+    meta = decode_payload(_tiny_wav(n_samples=800, rate=8000), "audio")
+    assert meta["duration_ms"] == 100
+
+
+def test_genuine_av_rejects_junk_gracefully():
+    pytest.importorskip("av")
+    from pgwarehouse_spark.operators import multimodal as mm
+
+    junk = b"not a media container"
+    assert mm.decode_payload(junk, "video") == mm._decode_stub(junk, "video")
