@@ -1413,8 +1413,23 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_GRAPH_K = 3
 
+# exact-baseline gate: the N×N compare runs over at most this many
+# vectors — a deterministic stride-sample keeps work bounded at any
+# corpus size (the same hard-stop policy as dedup.py's exact embedding
+# cosine; the scale path is the bucketed ANN family). At every shipped
+# test sf the corpus is <= the cap, so the stride is 1 and results are
+# the full exact graph.
+KNN_GRAPH_MAX_VECTORS = 2000
+
+_SQL_KNN_CORPUS = f"""
+      SELECT * FROM embeddings
+      WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {KNN_GRAPH_MAX_VECTORS}.0) AS BIGINT))
+                      FROM embeddings) = 0
+"""
+
 _SQL_KNN_MUTUAL = f"""
-    WITH ranked AS (
+    WITH corpus AS ({_SQL_KNN_CORPUS}),
+    ranked AS (
       SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
              {sql_cosine_fixed('a.embedding', 'b.embedding')} AS cosine,
              ROW_NUMBER() OVER (
@@ -1422,7 +1437,7 @@ _SQL_KNN_MUTUAL = f"""
                ORDER BY {sql_cosine_fixed('a.embedding', 'b.embedding')} DESC,
                         b.vec_id ASC
              ) AS rank
-      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      FROM corpus a JOIN corpus b ON a.vec_id != b.vec_id
     ),
     knn AS (SELECT * FROM ranked WHERE rank <= {KNN_GRAPH_K})
     SELECT k.src_id, k.dst_id, k.cosine, k.rank,
@@ -1446,10 +1461,19 @@ _SQL_KNN_MUTUAL = f"""
     "LSH/IVF buckets (sim_topk_lsh / sim_topk_ivf share the bucketing) "
     "and only score within buckets. The mutual flag itself costs one "
     "extra shuffle of the N·k edge list (tiny) — a self-join on the "
-    "reversed edge, no second pass over the vectors.",
+    "reversed edge, no second pass over the vectors. GATED: the exact "
+    "compare stride-samples the corpus down to KNN_GRAPH_MAX_VECTORS "
+    "(deterministic vec_id stride, mirrored in the oracle) so the "
+    "baseline stays bounded at any scale — at the shipped sfs the "
+    "stride is 1 and the graph is the full exact one.",
 )
 def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    # control-plane scalar (one count) to fix the deterministic stride —
+    # the same bounded-collect category as the sync watermark reads
+    n_total = e.count()
+    stride = max(1, -(-n_total // KNN_GRAPH_MAX_VECTORS))  # ceil div
+    e = e.filter(F.col("vec_id") % stride == 0)
     # fixed-point (FLOOR) dot, not the decimal-rounded one: across 500×500
     # pairs one product lands exactly on a .5 boundary at scale 12 and the
     # engines' rounding modes split — FLOOR has no tie to break.
