@@ -111,6 +111,13 @@ HEADLINE = [
     "sim_topk_matryoshka",
     "asof_join_nearest",
     "audit_order_line_totals",
+    "layout_zorder_stats",
+    "text_vocab_coverage",
+    "sample_curriculum_order",
+    "sync_ivm_agg_delta",
+    "audit_constraint_violations",
+    "audit_column_profile",
+    "events_window_funnel",
 ]
 
 

@@ -92,6 +92,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", dest="sf_dir", default=None,
                    help="table directory for query/queries (parquet per table)")
     p.add_argument("--limit", type=int, default=20, help="max rows to print for query")
+    p.add_argument("--sample", type=int, default=None,
+                   help="for `queries`: run a random N-query DuckDB-oracle "
+                        "self-check (the driver's exact comparison) instead "
+                        "of listing")
+    p.add_argument("--seed", type=int, default=0,
+                   help="RNG seed for --sample")
     p.add_argument("--jdbc-url", dest="jdbc_url", default=None,
                    help="target DBMS url for publish")
     p.add_argument("--jdbc-driver", dest="jdbc_driver", default=None)
@@ -128,9 +134,44 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.command == "queries":
-        # Inventory of the registered analytic surface (name + category).
         from .registry import all_queries
 
+        if args.sample is not None:
+            # Self-check mirroring the round driver's gate (VERDICT r02
+            # item 9): run a seeded random subset of registered queries
+            # side-by-side with their DuckDB oracles and report
+            # green/red per query. Exit 1 on any red.
+            import random
+
+            from .oraclecheck import compare, duckdb_conn
+            from .session import get_spark
+
+            sf_dir = args.sf_dir or os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+            )
+            spark = spark or get_spark(app_name="pgwarehouse_spark_selfcheck")
+            con = duckdb_conn(sf_dir)
+            specs = {
+                n: s for n, s in all_queries().items() if s.oracle
+            }
+            rng = random.Random(args.seed)
+            picked = rng.sample(sorted(specs), min(args.sample, len(specs)))
+            n_red = 0
+            for name in picked:
+                spec = specs[name]
+                try:
+                    report = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+                    ok = report["ok"]
+                except Exception as exc:  # a crash is a red row, not an abort
+                    ok, report = False, {"error": str(exc)[:200]}
+                status = "green" if ok else f"RED {report}"
+                print(f"{name}\t{status}")
+                n_red += 0 if ok else 1
+            print(f"# {len(picked) - n_red}/{len(picked)} green "
+                  f"(seed={args.seed}, sf_dir={sf_dir})")
+            return 1 if n_red else 0
+
+        # Inventory of the registered analytic surface (name + category).
         for name, spec in sorted(all_queries().items()):
             oracle = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t{spec.category}\t{oracle}")

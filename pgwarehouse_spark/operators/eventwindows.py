@@ -1760,3 +1760,106 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (windowFunnel analogue; round 3)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_DAYS = 7
+
+
+@register(
+    "events_window_funnel",
+    category="events",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = '{_FUNNEL_STEPS[3]}' AND e.ts > s3.t3
+      GROUP BY e.user_id
+    ),
+    lvl AS (
+      SELECT s1.user_id,
+             CASE
+               WHEN s4.t4 IS NOT NULL
+                    AND s4.t4 <= s1.t1 + INTERVAL {_FUNNEL_DAYS} DAY THEN 4
+               WHEN s3.t3 IS NOT NULL
+                    AND s3.t3 <= s1.t1 + INTERVAL {_FUNNEL_DAYS} DAY THEN 3
+               WHEN s2.t2 IS NOT NULL
+                    AND s2.t2 <= s1.t1 + INTERVAL {_FUNNEL_DAYS} DAY THEN 2
+               ELSE 1
+             END AS funnel_level
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+              LEFT JOIN s4 ON s1.user_id = s4.user_id
+    )
+    SELECT CAST(funnel_level AS INT) AS funnel_level,
+           COUNT(*) AS n_users
+    FROM lvl GROUP BY funnel_level ORDER BY funnel_level
+    """,
+    doc="Ordered conversion funnel (the windowFunnel primitive "
+    "ClickHouse users lean on; the reference provisions ClickHouse but "
+    "cannot express this itself): greedy earliest-chain semantics — "
+    "t1 = first signup, each later step the earliest matching event "
+    "STRICTLY after the previous step, funnel level = deepest step "
+    "reached within 7 days of t1. Users are bucketed by deepest level "
+    "(1-4). Deterministic (min timestamps; no tie ambiguity at the "
+    "per-user event granularity) and exactly mirrored by the oracle's "
+    "chained CTEs. Plan: 4 chained window-min passes ALL partitioned "
+    "by user_id — one shuffle, the three later passes reuse the "
+    "exchange — then a 4-row aggregate. At 100 TB: shuffle is one "
+    "pass over events keyed by user; per-user state is 4 timestamps; "
+    "no self-joins of the event table (the oracle's joins are the "
+    "SQL spelling; Spark computes the same chain with windows).",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    step = e
+    prev_t = None
+    for i, name in enumerate(_FUNNEL_STEPS, start=1):
+        cond = F.col("event_type") == name
+        if prev_t is not None:
+            cond = cond & F.col("ts").isNotNull() & (F.col("ts") > F.col(prev_t))
+        step = step.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w)
+        )
+        prev_t = f"t{i}"
+    horizon = F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_DAYS} DAY")
+    per_user = (
+        step.filter(F.col("t1").isNotNull())
+        .select("user_id", "t1", "t2", "t3", "t4", horizon.alias("hz"))
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("t4").isNotNull() & (F.col("t4") <= F.col("hz")), 4)
+            .when(F.col("t3").isNotNull() & (F.col("t3") <= F.col("hz")), 3)
+            .when(F.col("t2").isNotNull() & (F.col("t2") <= F.col("hz")), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_level"),
+        )
+    )
+    return (
+        per_user.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_level")
+    )

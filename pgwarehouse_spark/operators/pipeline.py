@@ -1160,3 +1160,68 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (round 3)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_HEAD = 100
+
+
+@register(
+    "sample_curriculum_order",
+    category="pipeline",
+    oracle=f"""
+    WITH banded AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 500 THEN 0
+                  WHEN n_chars < 2000 THEN 1
+                  ELSE 2 END AS band,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    head AS (
+      SELECT doc_id, band, h FROM banded
+      ORDER BY band, h, doc_id LIMIT {_CURRICULUM_HEAD}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS BIGINT)
+             AS curriculum_rank,
+           doc_id, CAST(band AS INT) AS band
+    FROM head ORDER BY curriculum_rank
+    """,
+    doc="Curriculum schedule for training: documents progress easy → "
+    "hard (difficulty bands from length — the cheap proxy; swap in a "
+    "quality/perplexity score column unchanged) while the order WITHIN "
+    "a band is a seedless deterministic shuffle (md5 of doc_id — the "
+    "same RNG-free idiom as the sampling family, so the schedule is "
+    "reproducible and resumable from any offset without materializing "
+    "a permutation). The registered query emits the schedule head; the "
+    "full-scale layout is the identical sort expressed as "
+    "repartitionByRange(band, h) + sortWithinPartitions — a single "
+    "range shuffle writing shards that stream in curriculum order. "
+    "Plan: TakeOrderedAndProject for the head (per-partition heaps), "
+    "a window only over the head rows (driver-sized), no global sort.",
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    banded = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 500, 0)
+        .when(F.col("n_chars") < 2000, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("band"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    head = banded.orderBy("band", "h", "doc_id").limit(_CURRICULUM_HEAD)
+    w = W.orderBy("band", "h", "doc_id")
+    return (
+        head.withColumn(
+            "curriculum_rank", F.row_number().over(w).cast("bigint")
+        )
+        .select("curriculum_rank", "doc_id", "band")
+        .orderBy("curriculum_rank")
+    )

@@ -816,3 +816,257 @@ def audit_order_line_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return buckets.unionByName(orphans).orderBy("ratio_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for aggregates (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sync_ivm_agg_delta",
+    category="sync",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Incremental view maintenance for an AGGREGATE view (the "
+    "groupBy-sum sibling of sync_ivm_join_delta): the materialized "
+    "view's partial state (count + decimal sum per key over the "
+    "pre-1997 'base') is merged with the delta batch's partials "
+    "(1997+) by a full-outer coalesce-and-add — NO rescan of the base "
+    "fact table. The ORACLE is the full recompute over all of orders, "
+    "so a green row proves the algebraic merge is exactly equivalent "
+    "to recomputation (count and decimal-sum are commutative "
+    "monoids; AVG derives as sum/count downstream). At 100 TB this is "
+    "the nightly-refresh pattern: the view state is key-sized, the "
+    "delta partial-aggregates map-side, and the merge shuffles only "
+    "|keys| rows — the base table is never touched again.",
+)
+def sync_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import dsum
+
+    o = t(spark, sf_dir, "orders")
+    base = (
+        o.filter(F.col("o_orderdate") < "1997-01-01")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s_base"),
+        )
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s_delta"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("n_delta"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("s_base"), zero)
+                + F.coalesce(F.col("s_delta"), zero)
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "audit_constraint_violations",
+    category="audit",
+    oracle="""
+    SELECT 'lineitem_quantity_range' AS rule,
+           (SELECT COUNT(*) FROM lineitem) AS n_checked,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'lineitem_ship_after_order',
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey),
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_positive_total',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    ORDER BY rule
+    """,
+    doc="Declarative data-contract audit — the post-load validation "
+    "pass the reference's count check (A18) gestures at, generalized "
+    "to CHECK/FK-style rules: range constraints (quantity, discount), "
+    "a cross-table temporal rule (shipdate >= orderdate), referential "
+    "integrity (orphan orderkeys via left-anti), and a sign constraint. "
+    "Emits (rule, n_checked, n_violations) per rule so a sync pipeline "
+    "can gate promotion on violations = 0. Plan: the three lineitem "
+    "rules share ONE scan (conditional aggregates); the FK rules are "
+    "one join each with orders broadcast at this shape and partial-"
+    "aggregated counts — at 100 TB nothing shuffles wider than the "
+    "join keys, and rules over the same table stay single-scan.",
+)
+def audit_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("v_disc"),
+    )
+    joined = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("v"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v"),
+    )
+
+    def row(rule, n_col, v_col, src):
+        return src.select(
+            F.lit(rule).alias("rule"),
+            F.col(n_col).cast("bigint").alias("n_checked"),
+            F.col(v_col).cast("bigint").alias("n_violations"),
+        )
+
+    li_n = li_stats  # one scan, three aggregates
+    return (
+        row("lineitem_quantity_range", "n", "v_qty", li_n)
+        .unionByName(row("lineitem_discount_range", "n", "v_disc", li_stats))
+        .unionByName(row("lineitem_ship_after_order", "n", "v", joined))
+        .unionByName(
+            li_stats.crossJoin(orphans).select(
+                F.lit("lineitem_orphan_orderkey").alias("rule"),
+                F.col("n").cast("bigint").alias("n_checked"),
+                F.col("v").cast("bigint").alias("n_violations"),
+            )
+        )
+        .unionByName(row("orders_positive_total", "n", "v", o_stats))
+        .orderBy("rule")
+    )
+
+
+@register(
+    "audit_column_profile",
+    category="audit",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+    doc="Column-statistics profile (ANALYZE TABLE / catalog-sizes "
+    "extension of A19): per column — row count, null count, exact "
+    "distinct cardinality, lexical min/max (stringified so one result "
+    "schema covers heterogeneous column types; double columns are "
+    "excluded from stringification because engines format floats "
+    "differently). One logical pass over orders: Spark expands the "
+    "multi-count-distinct into a single Expand + aggregate, so the "
+    "scan happens once and the per-column rows are a 5-way projection "
+    "union of the same aggregate result. At 100 TB swap "
+    "COUNT(DISTINCT) for approx_count_distinct per column — same "
+    "plan, sketch-sized state — and feed the result into the "
+    "catalog's table-statistics store.",
+)
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # cast AFTER aggregating: min/max must be typed (numeric/
+            # date ordering), stringified only for the shared schema
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    frames = [
+        one.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("column_name")

@@ -1016,3 +1016,88 @@ def text_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (round 3)
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 500  # tokenizer vocabulary size for the coverage probe
+
+
+@register(
+    "text_vocab_coverage",
+    category="text",
+    oracle=rf"""
+    WITH tokens AS (
+      SELECT d.source, x.word
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split_regex(TRIM(LOWER(d.text)),
+                                                     '\s+')) AS word) x
+      WHERE x.word <> ''
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rk
+        FROM tokens GROUP BY word
+      ) WHERE rk <= {_VOCAB_V}
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_tokens,
+           CAST((SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000)
+                // COUNT(*) AS BIGINT) AS oov_permille
+    FROM tokens t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.source ORDER BY t.source
+    """,
+    doc="Tokenizer-vocabulary coverage probe: build the top-"
+    f"{_VOCAB_V}-term frequency vocabulary over the corpus, then "
+    "measure per-source out-of-vocabulary token rates — the standard "
+    "pre-training check that a tokenizer's vocab (or a fixed term "
+    "list) covers each data source before committing to it (high OOV "
+    "= wasted context on byte-fallback). The vocab is hundreds of "
+    "rows → broadcast to the token stream (no shuffle of the corpus); "
+    "token counts partial-aggregate map-side; the OOV ratio is exact "
+    "integer permille (floor division) so both engines agree bit-for-"
+    "bit. At 100 TB: one corpus scan for vocab (word-sized shuffle), "
+    "one for coverage, vocab broadcast — nothing doc-sized moves.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    # top-V selection as orderBy+limit → TakeOrderedAndProject
+    # (per-partition heaps), NOT a global row_number window — at scale
+    # the distinct vocabulary is millions of words and a single-
+    # partition rank exchange would bottleneck exactly like the RFM
+    # windows r1 removed
+    vocab = (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(_VOCAB_V)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tokens.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov_tokens",
+            F.expr("CAST((n_oov_tokens * 1000) DIV n_tokens AS BIGINT)").alias(
+                "oov_permille"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         eventwindows,
         pipeline,
         graph,
+        zorder,
     )
 
     _LOADED = True

@@ -709,6 +709,12 @@ class SyncEngine:
 
         before = _nfiles()
         spec = self.spec(table)
+        if self._is_tx(table):
+            # transactional tables compact as a NEW VERSION (readers
+            # pinned at old snapshots unaffected; vacuum reclaims the
+            # fragmented dirs) — TxTable.compact
+            self._tx(table).compact(self.spark)
+            return before, _nfiles()
         # Materialize off the files being replaced (plain parquet has no
         # snapshot isolation; see merge_into_bucketed).
         df = self.read_table(table).localCheckpoint(eager=True)

@@ -400,6 +400,58 @@ class TxTable:
                     raise
         raise AssertionError("unreachable")
 
+    # -- compact -------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        max_retries: int = MAX_COMMIT_RETRIES,
+    ) -> int:
+        """Small-file compaction as a NEW VERSION: every bucket whose
+        current directory holds >= `min_files` data files is rewritten
+        as one sorted file; buckets already compact keep their old
+        pointers untouched. Concurrent-writer safe via the same
+        rebase-on-conflict protocol as merge() — a compaction racing a
+        merge simply retries against the merged snapshot. Readers
+        pinned at older versions are unaffected (immutable files);
+        vacuum reclaims the fragmented directories once unreferenced.
+
+        This is the maintenance half of a log-structured table at
+        100 TB: buckets fragment when a commit's writer splits them
+        (spark.sql.files.maxRecordsPerFile caps, speculative tasks,
+        AQE-split writes); compaction bounds read amplification without
+        blocking readers or writers — the OPTIMIZE of Delta, expressed
+        over the same bucket manifest."""
+        import glob as _glob
+
+        for attempt in range(max_retries + 1):
+            base_v = self.latest_version()
+            m = _read_manifest(self.root, base_v)
+            fragmented = []
+            for b, rel in m["buckets"].items():
+                n = len(
+                    _glob.glob(os.path.join(self.root, rel, "*.parquet"))
+                )
+                if n >= min_files:
+                    fragmented.append(int(b))
+            if not fragmented:
+                return base_v
+            snap = self._snapshot_frame(spark, m, set(fragmented))
+            if snap is None:
+                return base_v
+            # one output file per bucket: repartition on the bucket key
+            # then sort by PK within (the PK-ordered physical layout the
+            # initial create used)
+            try:
+                return self._commit_buckets(
+                    spark, snap, fragmented, base_v, m
+                )
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
     # -- vacuum --------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -319,3 +319,26 @@ def test_bench_stdout_budget():
     assert parsed["value"] == payload["value"]
     assert parsed["sf1"]["slope_vs_base"]
     assert len(parsed["queries"]) > 0
+
+
+def test_queries_sample_selfcheck(spark, sf_dir, capsys):
+    """`queries --sample N --seed S`: the driver's oracle gate, locally
+    invocable (VERDICT r02 item 9). Seeded → reproducible subset."""
+    rc = main(
+        ["queries", "--sample", "3", "--seed", "7", "--sf-dir", str(sf_dir)],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.strip().splitlines() if not l.startswith("#")]
+    assert len(lines) == 3
+    assert all(l.endswith("green") for l in lines)
+    assert "3/3 green" in out
+    # same seed → same subset
+    main(["queries", "--sample", "3", "--seed", "7", "--sf-dir", str(sf_dir)],
+         spark=spark)
+    assert [l.split("\t")[0] for l in lines] == [
+        l.split("\t")[0]
+        for l in capsys.readouterr().out.strip().splitlines()
+        if not l.startswith("#")
+    ]

@@ -9,7 +9,7 @@ import pytest
 from pgwarehouse_spark.registry import all_queries
 
 from .conftest import SF_DIR
-from .oracle_utils import compare, duckdb_conn
+from pgwarehouse_spark.oraclecheck import compare, duckdb_conn
 
 SPECS = all_queries()
 WITH_ORACLE = sorted(name for name, s in SPECS.items() if s.oracle)

@@ -61,9 +61,26 @@ def test_heavy_queries_scale_at_most_linearly(spark, replica_dir):
         fn(spark, big).count()
         t10x = time.perf_counter() - t0
         slopes[name] = t10x / max(t1x, _FLOOR)
-    offenders = {n: round(s, 1) for n, s in slopes.items() if s > _LINEAR}
-    assert not offenders, (
-        f"superlinear scaling detected (slope > {_LINEAR}x at 10x data): "
-        f"{offenders}; all slopes: "
+    offenders = {n for n, s in slopes.items() if s > _LINEAR}
+    # Re-time suspected offenders once before failing: inside a long
+    # suite a single timing can be polluted by GC / a concurrent stage;
+    # genuine superlinear work (the thing this gate exists for)
+    # reproduces on the retry, jitter doesn't.
+    persistent = {}
+    for name in offenders:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, base).count()
+        t1x = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, big).count()
+        t10x = time.perf_counter() - t0
+        s = t10x / max(t1x, _FLOOR)
+        slopes[name] = s
+        if s > _LINEAR:
+            persistent[name] = round(s, 1)
+    assert not persistent, (
+        f"superlinear scaling detected (slope > {_LINEAR}x at 10x data, "
+        f"confirmed on retry): {persistent}; all slopes: "
         f"{ {n: round(s, 2) for n, s in slopes.items()} }"
     )

@@ -355,3 +355,61 @@ def test_snapshot_read_one_scan_per_version_dir(spark, sf_dir, tmp_path):
     n_scans = plan.count("Relation")
     assert n_scans == 2, plan  # v0 dir + v1 dir, NOT 16 bucket scans
     assert df.count() == 400
+
+
+def test_compact_rewrites_fragmented_buckets_as_new_version(spark, sf_dir, tmp_path):
+    """Round 3: small-file compaction — repeated merges fragment hot
+    buckets into one file per commit; compact() collapses each
+    fragmented bucket to one sorted file in a new version, leaves
+    already-compact buckets' pointers untouched, and preserves both the
+    current snapshot and time travel."""
+    import glob as _glob
+
+    o = _orders(spark, sf_dir).limit(200)
+    root = str(tmp_path / "tx")
+    # fragment the create the way it happens at scale: a bucket larger
+    # than maxRecordsPerFile splits into several files
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try:
+        t = TxTable.create(o, root, ["o_orderkey"], num_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+    # one ordinary merge so the table also has multi-version pointers
+    k0 = o.select("o_orderkey").limit(1).collect()[0]["o_orderkey"]
+    t.merge(
+        spark,
+        o.filter(F.col("o_orderkey") == k0).withColumn(
+            "o_totalprice", F.lit(0.0)
+        ),
+    )
+    pre_v = t.latest_version()
+    pre_rows = {r["o_orderkey"]: r["o_totalprice"] for r in t.read(spark).collect()}
+
+    from pgwarehouse_spark.sync.txlog import _read_manifest
+
+    pre_m = _read_manifest(root, pre_v)
+
+    def nfiles(rel):
+        return len(_glob.glob(os.path.join(root, rel, "*.parquet")))
+
+    assert any(nfiles(rel) >= 2 for rel in pre_m["buckets"].values())
+
+    v = t.compact(spark)
+    assert v == pre_v + 1
+    post_m = _read_manifest(root, v)
+    # every bucket now holds exactly one file
+    assert all(nfiles(rel) == 1 for rel in post_m["buckets"].values())
+    # untouched (already-compact) buckets kept their old pointers
+    untouched = [
+        b for b, rel in pre_m["buckets"].items() if nfiles(rel) == 1
+    ]
+    for b in untouched:
+        assert post_m["buckets"][b] == pre_m["buckets"][b]
+    # content identical
+    post_rows = {r["o_orderkey"]: r["o_totalprice"] for r in t.read(spark).collect()}
+    assert post_rows == pre_rows
+    # time travel to the pre-compaction version still works
+    assert t.read(spark, version=pre_v).count() == 200
+    # compacting an already-compact table is a no-op version-wise
+    assert t.compact(spark) == v

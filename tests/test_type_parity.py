@@ -49,7 +49,7 @@ def test_all_oracle_queries_have_type_parity(spark, sf_dir):
     from pgwarehouse_spark.registry import all_queries
 
     sys.path.insert(0, "tests")
-    from oracle_utils import duckdb_conn
+    from pgwarehouse_spark.oraclecheck import duckdb_conn
 
     con = duckdb_conn(sf_dir)
     bad = []

@@ -1,0 +1,81 @@
+"""Z-order layout tests: the Morton curve must give every output file a
+bounded rectangle of the 2-D key plane (both-dimension pruning), where a
+single-column sort gives one thin stripe (no pruning on the second key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgwarehouse_spark.operators.zorder import write_zorder_layout, z_value
+
+
+def _per_file_extents(spark, path, a, b):
+    df = (
+        spark.read.parquet(path)
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            (F.max(a) - F.min(a)).alias("ext_a"),
+            (F.max(b) - F.min(b)).alias("ext_b"),
+        )
+    )
+    rows = df.collect()
+    n = len(rows)
+    return (
+        sum(r["ext_a"] for r in rows) / n,
+        sum(r["ext_b"] for r in rows) / n,
+    )
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    from pgwarehouse_spark.sources.tables import load_table
+
+    o = load_table(spark, str(sf_dir), "orders").select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dd"),
+    )
+    glob_ck = o.agg(F.max("ck") - F.min("ck")).collect()[0][0]
+    glob_dd = o.agg(F.max("dd") - F.min("dd")).collect()[0][0]
+
+    zpath = str(tmp_path / "zordered")
+    write_zorder_layout(o, zpath, "ck", "dd", n_files=16)
+    z_ck, z_dd = _per_file_extents(spark, zpath, "ck", "dd")
+
+    # single-column sort on ck: perfect on ck, useless on dd
+    spath = str(tmp_path / "cksorted")
+    (
+        o.repartitionByRange(16, "ck")
+        .sortWithinPartitions("ck")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    s_ck, s_dd = _per_file_extents(spark, spath, "ck", "dd")
+
+    # z-order: BOTH dimensions bounded well below global extent
+    assert z_ck < 0.5 * glob_ck, (z_ck, glob_ck)
+    assert z_dd < 0.5 * glob_dd, (z_dd, glob_dd)
+    # single-column sort leaves the second dimension effectively global
+    assert s_dd > 0.9 * glob_dd, (s_dd, glob_dd)
+    # and z-order's second-dimension extent beats it by a wide margin
+    assert z_dd < 0.6 * s_dd, (z_dd, s_dd)
+
+
+def test_z_value_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a bigint, b bigint"
+    ).select("a", "b", z_value("a", "b").alias("z"))
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b, z, ref(a, b))
+    assert got[(65535, 65535)] == (1 << 32) - 1
