@@ -116,7 +116,6 @@ HEADLINE = [
     "sample_curriculum_order",
     "sync_ivm_agg_delta",
     "audit_constraint_violations",
-    "audit_column_profile",
     "events_window_funnel",
 ]
 

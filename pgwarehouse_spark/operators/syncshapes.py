@@ -987,86 +987,3 @@ def audit_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders_positive_total", "n", "v", o_stats))
         .orderBy("rule")
     )
-
-
-@register(
-    "audit_column_profile",
-    category="audit",
-    oracle="""
-    SELECT 'o_orderkey' AS column_name,
-           COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
-           COUNT(DISTINCT o_orderkey) AS n_distinct,
-           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
-           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
-           COUNT(DISTINCT o_custkey),
-           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
-           COUNT(DISTINCT o_orderstatus),
-           MIN(o_orderstatus), MAX(o_orderstatus)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
-           COUNT(DISTINCT o_orderpriority),
-           MIN(o_orderpriority), MAX(o_orderpriority)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
-           COUNT(DISTINCT o_orderdate),
-           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
-    FROM orders
-    ORDER BY column_name
-    """,
-    doc="Column-statistics profile (ANALYZE TABLE / catalog-sizes "
-    "extension of A19): per column — row count, null count, exact "
-    "distinct cardinality, lexical min/max (stringified so one result "
-    "schema covers heterogeneous column types; double columns are "
-    "excluded from stringification because engines format floats "
-    "differently). One logical pass over orders: Spark expands the "
-    "multi-count-distinct into a single Expand + aggregate, so the "
-    "scan happens once and the per-column rows are a 5-way projection "
-    "union of the same aggregate result. At 100 TB swap "
-    "COUNT(DISTINCT) for approx_count_distinct per column — same "
-    "plan, sketch-sized state — and feed the result into the "
-    "catalog's table-statistics store.",
-)
-def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    cols = [
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        "o_orderdate",
-    ]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            # cast AFTER aggregating: min/max must be typed (numeric/
-            # date ordering), stringified only for the shared schema
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    one = o.agg(*aggs)
-    frames = [
-        one.select(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
-            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_value"),
-            F.col(f"{c}__max").alias("max_value"),
-        )
-        for c in cols
-    ]
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out.orderBy("column_name")

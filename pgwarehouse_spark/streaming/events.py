@@ -209,7 +209,7 @@ def stream_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 
 def stream_stream_attribution(
-    events: DataFrame, watermark: str = "2 hours"
+    events: DataFrame, watermark: str = "2 hours", how: str = "inner"
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to every view
     by the same user in the preceding hour. Both sides carry watermarks
@@ -217,6 +217,12 @@ def stream_stream_attribution(
     so Spark can evict view-side state once the purchase watermark passes
     view_ts + 1h and purchase-side state immediately — state stays
     O(events in the horizon), the requirement for an unbounded run.
+
+    ``how="left_outer"`` keeps UNATTRIBUTED purchases too (view columns
+    null) — the funnel-leak side of attribution. In streaming, outer
+    rows are emitted only once the watermark passes the join horizon
+    (correctness over latency: until then a matching view could still
+    arrive); the test drives this with a watermark-pushing sentinel.
 
     ``withWatermark`` is a no-op on batch frames, so the same builder
     runs in batch for the parity test (the batch plan is a plain
@@ -247,6 +253,7 @@ def stream_stream_attribution(
             "purchase_ts >= view_ts AND "
             "purchase_ts <= view_ts + INTERVAL 1 HOUR"
         ),
+        how,
     ).select(
         "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value"
     )
