@@ -77,7 +77,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "compact", "publish", "verify", "query", "queries", "audit",
+                 "compact", "optimize", "publish", "verify", "query", "queries", "audit",
                  "explain", "sql", "history", "vacuum"],
     )
     p.add_argument("table", nargs="?",
@@ -98,6 +98,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "of listing")
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed for --sample")
+    p.add_argument("--zorder", default=None,
+                   help="for `optimize`: two comma-separated integer/date "
+                        "columns to z-order the table on")
     p.add_argument("--jdbc-url", dest="jdbc_url", default=None,
                    help="target DBMS url for publish")
     p.add_argument("--jdbc-driver", dest="jdbc_driver", default=None)
@@ -368,6 +371,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for t in targets:
             before, after = eng.compact(t)
             print(f"compacted {t}: {before} -> {after} files")
+        return 0
+
+    if args.command == "optimize":
+        # Z-order rewrite for plain tables: multi-dimensional min/max
+        # pruning on the two named columns (operators/zorder.py).
+        if not args.zorder:
+            print("optimize requires --zorder colA,colB", file=sys.stderr)
+            return 1
+        cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        try:
+            eng.optimize_zorder(args.table, cols)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
+        print(f"z-ordered {args.table} on ({', '.join(cols)})")
         return 0
 
     if args.command == "verify":

@@ -686,6 +686,31 @@ class SyncEngine:
         )
         return {"ok": not bad, "buckets": bad}
 
+    def optimize_zorder(self, table: str, cols: list[str]) -> None:
+        """Rewrite a plain (no-PK) table z-ordered on two integer/date
+        columns so parquet min/max stats prune scans on EITHER column
+        (operators/zorder.py; the Delta OPTIMIZE ZORDER analogue).
+        Bucketed and transactional tables refuse: their physical layout
+        IS the merge-key layout, and re-sorting it would break
+        bucket-pruned MERGE — z-order the derived read-optimized copy
+        instead (publish it as its own table)."""
+        spec = self.spec(table)
+        if spec.primary_key or self._is_tx(table):
+            raise ValueError(
+                f"{table}: z-order applies to plain tables only — the "
+                f"bucketed/transactional layout is the merge-key layout; "
+                f"publish a read-optimized copy and z-order that"
+            )
+        if len(cols) != 2:
+            raise ValueError("z-order takes exactly two columns")
+        from ..operators.zorder import write_zorder_layout
+
+        df = self.read_table(table).localCheckpoint(eager=True)
+        n_files = max(1, self.spark.sparkContext.defaultParallelism // 4)
+        write_zorder_layout(
+            df, self.table_path(table), cols[0], cols[1], n_files=n_files
+        )
+
     def compact(self, table: str) -> tuple[int, int]:
         """Warehouse maintenance (the OPTIMIZE every columnar store runs;
         ClickHouse does it continuously via MergeTree background merges —

@@ -342,3 +342,50 @@ def test_queries_sample_selfcheck(spark, sf_dir, capsys):
         for l in capsys.readouterr().out.strip().splitlines()
         if not l.startswith("#")
     ]
+
+
+def test_optimize_zorder_cli(spark, sf_dir, tmp_path, capsys):
+    """`optimize <table> --zorder a,b`: plain tables rewrite z-ordered
+    (data identical); bucketed tables refuse with guidance."""
+    import yaml
+
+    src_dir = str(sf_dir)
+    cfg = tmp_path / "pg.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "source": {"type": "parquet", "path": src_dir},
+                "warehouse": {"path": str(tmp_path / "wh")},
+                "tables": {
+                    "orders": {},  # no PK -> plain layout
+                    "customer": {"primary_key": "c_custkey"},
+                },
+            }
+        )
+    )
+    assert main(["sync", "orders", "--config", str(cfg)], spark=spark) == 0
+    assert main(["sync", "customer", "--config", str(cfg)], spark=spark) == 0
+    wh_orders = str(tmp_path / "wh" / "orders")
+    before = {
+        tuple(r) for r in spark.read.parquet(wh_orders).collect()
+    }
+    rc = main(
+        ["optimize", "orders", "--config", str(cfg),
+         "--zorder", "o_custkey,o_orderkey"],
+        spark=spark,
+    )
+    assert rc == 0
+    after_df = spark.read.parquet(wh_orders)
+    assert {tuple(r) for r in after_df.collect()} == before
+    # bucketed table refuses
+    capsys.readouterr()
+    rc = main(
+        ["optimize", "customer", "--config", str(cfg),
+         "--zorder", "c_custkey,c_nationkey"],
+        spark=spark,
+    )
+    assert rc == 1
+    assert "merge-key layout" in capsys.readouterr().err
+    # missing flag
+    rc = main(["optimize", "orders", "--config", str(cfg)], spark=spark)
+    assert rc == 1
