@@ -1255,12 +1255,27 @@ semdedup_centroid.__doc__ = semdedup_centroid.__doc__.replace(
 # ---------------------------------------------------------------------------
 
 CONTAINMENT_THRESHOLD = 0.8
+# hot-shingle cap for the REGISTERED containment query (mirrored in the
+# oracle): shingles shared by more than this many docs leave the
+# inverted index before pair generation. Exact duplicates are caught
+# upstream by dedup_exact's md5 pass; without the cap a corpus that is
+# mostly duplicates makes pair generation quadratic in the duplication
+# factor (measured: slope 12x at the 10x-duplicated sf1 replica).
+# Denominators stay FULL doc size, so containment keeps its meaning
+# ("share of src's shingles found in dst, hot boilerplate excluded").
+CONTAINMENT_MAX_SHINGLE_FREQ = 128
 
 _SQL_CONTAINMENT = f"""
     WITH {_SQL_SHINGLES},
+    kept AS (
+      SELECT sh.doc_id, sh.s FROM sh
+      JOIN (SELECT s FROM sh GROUP BY s
+            HAVING COUNT(*) <= {CONTAINMENT_MAX_SHINGLE_FREQ}) k
+        ON sh.s = k.s
+    ),
     upairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     directed AS (
@@ -1288,14 +1303,26 @@ _SQL_CONTAINMENT = f"""
     "undirected shared-count join as dedup_ngram_jaccard (one shuffle "
     "on the shingle, one on the pair), then each undirected pair emits "
     "both directions against its own denominator — the directed "
-    "expansion is O(pairs), free. Production corpora pass "
-    "max_shingle_freq (the hot-shingle cap) exactly as the Jaccard "
-    "baseline does.",
+    "expansion is O(pairs), free. The hot-shingle cap "
+    "(CONTAINMENT_MAX_SHINGLE_FREQ, mirrored in the oracle) bounds "
+    "posting lists so a duplicate-heavy corpus cannot drive pair "
+    "generation quadratic; exact duplicates are dedup_exact's job "
+    "upstream, and denominators stay full-size so the score keeps its "
+    "meaning.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # hot-shingle cap (CONTAINMENT_MAX_SHINGLE_FREQ): one groupBy on the
+    # same shingle key the pair join shuffles on, so the filter rides
+    # the exchange the join needs anyway
+    df_s = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    exploded = (
+        exploded.join(df_s, "s")
+        .filter(F.col("df_s") <= CONTAINMENT_MAX_SHINGLE_FREQ)
+        .drop("df_s")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     upairs = (
