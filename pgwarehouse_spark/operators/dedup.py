@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot_exact, sql_cosine
+from ..functions.vector import dot_exact, dot_fixed, sql_cosine, sql_cosine_fixed
 from ..registry import register
 from ._helpers import t
 from .textstats import fingerprint_expr
@@ -1024,14 +1024,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.4  # testdata max pair cosine ≈ 0.48
 
 
+# the registered exact baseline stride-samples its corpus to this many
+# vectors (deterministic, oracle-mirrored) — the same gate as
+# similarity.py's sim_knn_graph_mutual. Stride is 1 at every shipped sf.
+COSINE_MAX_VECTORS = 2000
+
+
 @register(
     "dedup_embedding_cosine",
     category="dedup",
     oracle=f"""
+    WITH corpus AS (
+      SELECT * FROM embeddings
+      WHERE vec_id % (SELECT GREATEST(1,
+              CAST(CEIL(COUNT(*) / {COSINE_MAX_VECTORS}.0) AS BIGINT))
+            FROM embeddings) = 0
+    )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
-           {sql_cosine('a.embedding', 'b.embedding')} AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+           {sql_cosine_fixed('a.embedding', 'b.embedding')} AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine_fixed('a.embedding', 'b.embedding')}
+          >= {COSINE_DUP_THRESHOLD}
     ORDER BY id1, id2
     """,
 )
@@ -1039,15 +1052,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. This is the exact all-pairs
     baseline (self-join); the bucketed/ANN scale path is
     operators/similarity.py. Norms are precomputed once per vector
-    before the pair join — O(N) instead of O(N²) norm work."""
+    before the pair join — O(N) instead of O(N²) norm work. GATED:
+    the registered form stride-samples to COSINE_MAX_VECTORS
+    (oracle-mirrored; stride 1 at every shipped sf) so the baseline
+    stays bounded at any corpus size — embedding_cosine_pairs keeps
+    its explicit max_vectors hard-stop for API callers."""
     e = t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, COSINE_DUP_THRESHOLD)
+    n_total = e.count()
+    stride = max(1, -(-n_total // COSINE_MAX_VECTORS))
+    e = e.filter(F.col("vec_id") % stride == 0)
+    return embedding_cosine_pairs(e, COSINE_DUP_THRESHOLD, fixed=True)
 
 
 def embedding_cosine_pairs(
     e: DataFrame,
     threshold: float,
     max_vectors: int | None = 200_000,
+    fixed: bool = False,
 ) -> DataFrame:
     """All-pairs exact cosine near-dup over (vec_id, embedding).
 
@@ -1069,14 +1090,20 @@ def embedding_cosine_pairs(
                 "ANN paths in operators/similarity.py (ann_topk_lsh, "
                 "ann_topk_ivf) or raise the guard explicitly."
             )
+    # fixed=True swaps in the FLOOR fixed-point kernel (dot_fixed):
+    # bigint folds instead of decimal(28,12) folds — measured ~10x
+    # faster per pair with bit-identical cross-engine behavior (the
+    # covariance/kNN-graph family's kernel). The decimal form stays the
+    # default for decimal-valued business data.
+    dot = dot_fixed if fixed else dot_exact
     withnorm = e.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_exact(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
     a = withnorm.alias("a")
     b = withnorm.alias("b")
-    cos = dot_exact(F.col("a.embedding"), F.col("b.embedding")) / (
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
     )
     return (
@@ -1097,6 +1124,14 @@ def embedding_cosine_pairs(
 # deterministic and therefore oracle-checkable; the k-means-trained
 # variant reuses operators/similarity.kmeans_centroids.
 _SEMDEDUP_STRIDE = 50  # vec_id % stride == 0 → centroid seed
+# centroid-count ceiling: beyond STRIDE*MAX_CENTROIDS vectors the stride
+# grows with N so the centroid set stays <= MAX_CENTROIDS and the
+# assignment join stays O(N·k) LINEAR in the corpus (a fixed stride
+# makes k = N/stride and assignment quadratic). Sub-cell splitting
+# already bounds within-cluster pair work, so a capped k costs recall
+# only across sub-cells — the documented trade. At every shipped sf the
+# cap is not binding (N/50 <= 40 <= 64): results are unchanged.
+_SEMDEDUP_MAX_CENTROIDS = 64
 _SEMDEDUP_TAU = 0.35  # testdata max pair cosine ≈ 0.48
 # hot-cluster guard: clusters larger than this sub-split by a portable
 # md5 hash of vec_id so no cell's pair join exceeds ~MAX_CELL² work —
@@ -1115,7 +1150,10 @@ def _semdedup_assign_sql(stride: int) -> str:
     return f"""
     cents AS (
       SELECT vec_id AS centroid_id, embedding AS cent_emb
-      FROM embeddings WHERE vec_id % {stride} = 0
+      FROM embeddings
+      WHERE vec_id % (SELECT GREATEST({stride},
+              CAST(CEIL(COUNT(*) / {_SEMDEDUP_MAX_CENTROIDS}.0) AS BIGINT))
+            FROM embeddings) = 0
     ),
     assign0 AS (
       SELECT vec_id, embedding, centroid_id FROM (
@@ -1190,7 +1228,11 @@ def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _assign_nearest
 
     e = t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % _SEMDEDUP_STRIDE == 0).select(
+    n_total = e.count()
+    stride = max(
+        _SEMDEDUP_STRIDE, -(-n_total // _SEMDEDUP_MAX_CENTROIDS)
+    )
+    cents = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cent_emb"),
     )

@@ -1850,14 +1850,15 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_EVAL_K = 5
 
 _SQL_KNN_EVAL = f"""
-    WITH ranked AS (
+    WITH corpus AS ({_SQL_KNN_CORPUS}),
+    ranked AS (
       SELECT a.vec_id, a.label AS true_label, b.label AS nbr_label,
              ROW_NUMBER() OVER (
                PARTITION BY a.vec_id
                ORDER BY {sql_cosine_fixed('a.embedding', 'b.embedding')} DESC,
                         b.vec_id ASC
              ) AS rank
-      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      FROM corpus a JOIN corpus b ON a.vec_id != b.vec_id
     ),
     votes AS (
       SELECT vec_id, true_label, nbr_label, COUNT(*) AS n_votes
@@ -1894,7 +1895,8 @@ _SQL_KNN_EVAL = f"""
     "label) — the standard embedding-quality probe (a good embedding "
     "space separates labels; accuracy ≈ chance means the space carries "
     "no signal). Exact all-pairs baseline sharing "
-    "sim_knn_graph_mutual's contract and fixed-point cosine; at scale "
+    "sim_knn_graph_mutual's contract, fixed-point cosine, AND its "
+    "KNN_GRAPH_MAX_VECTORS stride gate (oracle-mirrored); at scale "
     "the vote runs over ANN candidates instead (sim_topk_lsh/ivf) — "
     "identical vote/eval plan over a cheaper edge list. The vote and "
     "the accuracy rollup are combinable aggregates over the N·k edge "
@@ -1902,6 +1904,12 @@ _SQL_KNN_EVAL = f"""
 )
 def sim_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    # same deterministic stride gate as sim_knn_graph_mutual (shared
+    # exact-baseline contract): corpus bounded at KNN_GRAPH_MAX_VECTORS,
+    # stride 1 at every shipped sf
+    n_total = e.count()
+    stride = max(1, -(-n_total // KNN_GRAPH_MAX_VECTORS))
+    e = e.filter(F.col("vec_id") % stride == 0)
     c = e.withColumn(
         "norm", F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
     )
