@@ -117,6 +117,7 @@ HEADLINE = [
     "sync_ivm_agg_delta",
     "audit_constraint_violations",
     "events_window_funnel",
+    "audit_k_anonymity",
 ]
 
 

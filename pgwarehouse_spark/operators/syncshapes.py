@@ -987,3 +987,65 @@ def audit_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders_positive_total", "n", "v", o_stats))
         .orderBy("rule")
     )
+
+
+_K_ANON = 5
+
+
+@register(
+    "audit_k_anonymity",
+    category="audit",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+             COUNT(*) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, acctbal_band
+    )
+    SELECT CAST({_K_ANON} AS INT) AS k,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN group_size < {_K_ANON} THEN group_size
+                         ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size
+    FROM groups
+    """,
+    doc="k-anonymity audit over a quasi-identifier tuple (nation, "
+    "market segment, coarse account-balance band): counts equivalence "
+    "classes smaller than k — rows in them are re-identifiable by the "
+    "quasi-identifiers alone, the standard privacy gate before a "
+    "dataset export or a training-data release. Output is one row "
+    "(k, group count, violating groups, exposed rows, min group size); "
+    "n_exposed_rows = 0 certifies the release. One map-side-combinable "
+    "groupBy on the QI tuple + a 5-value rollup — at 100 TB the shuffle "
+    "carries |QI-combinations| rows, never the table. Generalization "
+    "ladders (coarser bands until k holds) re-run the same plan with a "
+    "wider FLOOR divisor.",
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    groups = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "acctbal_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    small = F.col("group_size") < _K_ANON
+    return groups.agg(
+        F.lit(_K_ANON).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+    )

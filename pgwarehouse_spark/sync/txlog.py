@@ -292,7 +292,11 @@ class TxTable:
             .parquet(data_dir)
         )
         buckets = dict(base_manifest["buckets"])
-        schema_json = base_manifest.get("schema")
+        # record the COMMIT's schema, not the base's: a widening merge
+        # (schema evolution — delta grew a column) must surface the new
+        # column in the manifest, or an empty-after-delete snapshot
+        # would resurrect the pre-evolution schema
+        schema_json = new_per_bucket.drop(BUCKET_COL).schema.json()
         written = set()
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
@@ -310,7 +314,7 @@ class TxTable:
             v,
             {"version": v, "keys": self.keys, "num_buckets": self.num_buckets,
              "buckets": buckets,
-             "schema": schema_json or new_per_bucket.drop(BUCKET_COL).schema.json()},
+             "schema": schema_json},
         )
         if v % CHECKPOINT_INTERVAL == 0:
             _write_checkpoint(self.root, v)

@@ -413,3 +413,32 @@ def test_compact_rewrites_fragmented_buckets_as_new_version(spark, sf_dir, tmp_p
     assert t.read(spark, version=pre_v).count() == 200
     # compacting an already-compact table is a no-op version-wise
     assert t.compact(spark) == v
+
+
+def test_merge_schema_evolution_updates_manifest_schema(spark, sf_dir, tmp_path):
+    """Round 3: a widening merge (delta grew a column) must surface the
+    new column — in reads, in old-version time travel (as nulls via
+    allowMissingColumns is NOT expected: old snapshots keep the old
+    schema), and in the manifest schema that an empty snapshot would
+    fall back to."""
+    import json as _json
+
+    from pgwarehouse_spark.sync.txlog import _read_manifest
+
+    o = _orders(spark, sf_dir).limit(100)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=4)
+    delta = o.limit(5).withColumn("o_channel", F.lit("web"))
+    v = t.merge(spark, delta)
+
+    cur = t.read(spark)
+    assert "o_channel" in cur.columns
+    assert cur.filter(F.col("o_channel") == "web").count() == 5
+    # untouched rows read the new column as null
+    assert cur.filter(F.col("o_channel").isNull()).count() == 95
+    # the committed manifest records the widened schema
+    m = _read_manifest(root, v)
+    fields = {f["name"] for f in _json.loads(m["schema"])["fields"]}
+    assert "o_channel" in fields
+    # pre-evolution snapshot unchanged
+    assert "o_channel" not in t.read(spark, version=0).columns
