@@ -118,6 +118,8 @@ HEADLINE = [
     "audit_constraint_violations",
     "events_window_funnel",
     "audit_k_anonymity",
+    "events_holt_forecast",
+    "text_bigram_logprob",
 ]
 
 

@@ -1863,3 +1863,104 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("funnel_level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing (round 3)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_GAMMA = 0.25
+
+
+@register(
+    "events_holt_forecast",
+    category="events",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    seqs AS (
+      SELECT event_type, list(x ORDER BY day) AS xs, COUNT(*) AS n
+      FROM daily GROUP BY event_type
+    ),
+    holt(event_type, t, l, b) AS (
+      SELECT event_type, 2, xs[2],
+             CAST(xs[2] AS DOUBLE) - CAST(xs[1] AS DOUBLE)
+      FROM seqs WHERE n >= 2
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             CAST({_HOLT_ALPHA!r} AS DOUBLE) * s.xs[h.t + 1]
+               + CAST({1 - _HOLT_ALPHA!r} AS DOUBLE) * (h.l + h.b),
+             CAST({_HOLT_GAMMA!r} AS DOUBLE) *
+               ((CAST({_HOLT_ALPHA!r} AS DOUBLE) * s.xs[h.t + 1]
+                 + CAST({1 - _HOLT_ALPHA!r} AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST({1 - _HOLT_GAMMA!r} AS DOUBLE) * h.b
+      FROM holt h JOIN seqs s USING (event_type)
+      WHERE h.t < s.n
+    ),
+    final AS (
+      SELECT h.event_type, s.n AS n_days, h.l AS level, h.b AS trend
+      FROM holt h JOIN seqs s USING (event_type)
+      WHERE h.t = s.n
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days, level, trend,
+           level + trend AS forecast_next
+    FROM final ORDER BY event_type
+    """,
+    doc="Holt's linear-trend double-exponential smoothing over the "
+    "daily event volume per type (level l_t = a*x_t + (1-a)*(l+b); "
+    "trend b_t = g*(l_t - l) + (1-g)*b; init l_2 = x_2, b_2 = x_2-x_1) "
+    "— the trend-aware upgrade of events_ewma_smoothing; "
+    "forecast_next = l+b is the one-step-ahead prediction capacity "
+    "planning reads. The 2-component state folds as ONE struct "
+    "accumulator over each series' day array (series collected once, "
+    "bounded by days), so parallelism is the series count and nothing "
+    "row-grained shuffles after the map-side daily pre-aggregation — "
+    "the same sequential-recurrence shape as EWMA, with the oracle "
+    "replaying the identical IEEE expressions step-by-step through a "
+    "recursive CTE (both engines evaluate the same two expressions in "
+    "the same day order, so level/trend hash-match bit-for-bit).",
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    seqs = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+        .alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 2)
+    a, g = _HOLT_ALPHA, _HOLT_GAMMA
+    state = F.expr(
+        f"""aggregate(
+              slice(xs, 3, size(xs) - 2),
+              named_struct('l', CAST(xs[1] AS DOUBLE),
+                           'b', CAST(xs[1] AS DOUBLE) - CAST(xs[0] AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', CAST({a!r} AS DOUBLE) * x
+                     + CAST({1 - a!r} AS DOUBLE) * (acc.l + acc.b),
+                'b', CAST({g!r} AS DOUBLE) *
+                       ((CAST({a!r} AS DOUBLE) * x
+                         + CAST({1 - a!r} AS DOUBLE) * (acc.l + acc.b))
+                        - acc.l)
+                     + CAST({1 - g!r} AS DOUBLE) * acc.b))"""
+    )
+    return (
+        seqs.select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            state.alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("st.l").alias("level"),
+            F.col("st.b").alias("trend"),
+            (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

@@ -1225,3 +1225,114 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("curriculum_rank", "doc_id", "band")
         .orderBy("curriculum_rank")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    category="pipeline",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             toks[i] AS prev, toks[i + 1] AS cur
+      FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+      WHERE toks[i] <> '' AND toks[i + 1] <> ''
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS cu FROM (
+        SELECT unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bgc AS (
+      SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS cb
+      FROM bg GROUP BY prev, cur
+    ),
+    per_doc_bg AS (
+      SELECT doc_id, prev, cur, CAST(COUNT(*) AS DOUBLE) AS m
+      FROM bg GROUP BY doc_id, prev, cur
+    ),
+    scored AS (
+      SELECT d.doc_id, d.m,
+             LN((c.cb + 1) / (u.cu + vsize.v)) AS lp
+      FROM per_doc_bg d
+      JOIN bgc c ON d.prev = c.prev AND d.cur = c.cur
+      JOIN uni u ON d.prev = u.w, vsize
+    )
+    SELECT doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(m * lp AS DECIMAL(18,6))) AS DOUBLE) / SUM(m)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Bigram language-model quality score: per-document mean "
+    "log P(w_i | w_(i-1)) with add-1 smoothing over the corpus's own "
+    "bigram counts (P = (c(prev,cur)+1) / (c(prev)+V)) — the "
+    "conditional upgrade of text_unigram_logprob and the shape of the "
+    "KenLM-style perplexity filters production corpora use (token "
+    "salad scores far below fluent text even when its unigrams look "
+    "normal). Plan: one tokenize pass feeds per-doc bigram "
+    "multiplicities (bounded by doc length) and global bigram counts "
+    "(map-side combined); scoring joins at the (doc,bigram) grain — "
+    "never re-scanning text — with the unigram table broadcast and "
+    "the smoothed LN evaluated identically per row in both engines. "
+    "At 100 TB cap the bigram table at top-K with an OOV floor, same "
+    "plan. Per-doc means go through the decimal cast so a 1-ulp libm "
+    "LN difference is absorbed, not accumulated.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    "(p, c) -> struct(p AS prev, c AS cur))"
+                )
+            ).alias("pc"),
+        )
+        .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+        .filter((F.col("prev") != "") & (F.col("cur") != ""))
+    )
+    uni = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bgc = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    per_doc = bg.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("m")
+    )
+    lp = F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v")))
+    scored = (
+        per_doc.join(bgc, ["prev", "cur"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "prev")), "prev")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", "m", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            (dsum(F.col("m") * F.col("lp")) / F.sum("m")).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
