@@ -389,3 +389,25 @@ def test_optimize_zorder_cli(spark, sf_dir, tmp_path, capsys):
     # missing flag
     rc = main(["optimize", "orders", "--config", str(cfg)], spark=spark)
     assert rc == 1
+
+
+def test_queries_sample_red_exits_nonzero(spark, sf_dir, capsys, monkeypatch):
+    """A hash-mismatching query must print RED and exit 1."""
+    from pgwarehouse_spark import registry
+    from pgwarehouse_spark.registry import QuerySpec
+
+    registry._ensure_loaded()
+    bad = QuerySpec(
+        name="zz_broken",
+        fn=lambda s, d: s.range(1).selectExpr("CAST(1 AS BIGINT) AS a"),
+        oracle="SELECT CAST(2 AS BIGINT) AS a",
+        category="test",
+    )
+    monkeypatch.setattr(registry, "_REGISTRY", {"zz_broken": bad})
+    rc = main(
+        ["queries", "--sample", "1", "--seed", "0", "--sf-dir", str(sf_dir)],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "RED" in out and "0/1 green" in out
