@@ -40,18 +40,22 @@ def _grouped_adjacency(edges: DataFrame, cap: int = _PR_DEGREE_CAP) -> DataFrame
     skew joins), each row still carrying the node's TOTAL degree so the
     per-iteration contribution w = score/out_deg is unchanged. Targeting
     cap/2 per chunk keeps the realized max far below `cap` (xxhash64
-    scatter; Chernoff-tight). Cost: one extra O(E) equi-join against the
-    |V|-row degree table at BUILD time — nothing in the iteration loop
-    changes, and the decimal contribution sum is order-independent so
-    results stay bit-identical to the unsplit form."""
+    scatter; Chernoff-tight). Accepts a RAW (possibly duplicated) pair
+    stream and dedups inside its single src-partitioned exchange —
+    nothing in the iteration loop changes, and the decimal contribution
+    sum is order-independent so results stay bit-identical to the
+    unsplit form."""
     from pyspark.sql import Window as W
 
-    # degree via a count window over the SAME src partitioning the
-    # grouped-adjacency aggregation needs: one shuffle total. (An
-    # edges⋈degree equi-join computes the same thing but re-shuffles
-    # the O(E) edge list twice — measured 2.3× slower end-to-end on the
-    # bench headline.) hashpartitioning(src) satisfies the (src, chunk)
-    # clustering, so the groupBy below adds NO extra exchange.
+    # ONE exchange for the whole build: repartition the (possibly
+    # non-distinct) pair stream by src, then dedup, degree-count, and
+    # chunk-group all inside that partitioning — hashpartitioning(src)
+    # satisfies the (src, dst) clustering dropDuplicates needs, the
+    # window's src partitioning, and the (src, chunk) clustering of the
+    # final aggregation, so Catalyst inserts no further shuffles.
+    # (Distinct-then-window was 3 exchanges and 3x slower at sf0.1;
+    # an edges⋈degree equi-join was worse still.)
+    edges = edges.repartition("src").dropDuplicates(["src", "dst"])
     deg_w = F.count(F.lit(1)).over(W.partitionBy("src"))
     n_chunks = F.greatest(
         F.lit(1).cast("bigint"),
@@ -175,7 +179,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPLIT across chunk rows capped at _PR_DEGREE_CAP destinations
     # (see _grouped_adjacency) so a power-law graph can't hand one task
     # a degree-sized array.
-    adj = _grouped_adjacency(_copurchase_edges(li)).localCheckpoint()
+    # RAW (non-distinct) pairs feed the adjacency builder, which dedups
+    # inside its single src-partitioned exchange — shipping the slightly
+    # larger raw stream once beats materializing distinct first
+    a, b = li.alias("a"), li.alias("b")
+    raw_pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    adj = _grouped_adjacency(raw_pairs).localCheckpoint()
     nodes = (
         adj.select(F.col("src").alias("part"), "out_deg")
         .distinct()
