@@ -1336,3 +1336,59 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_balanced_labels",
+    category="pipeline",
+    oracle="""
+    WITH counts AS (
+      SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
+    ),
+    m AS (SELECT MIN(c) AS m FROM counts),
+    kept AS (
+      SELECT e.label,
+             CASE WHEN CAST('0x' || SUBSTR(md5(CAST(e.vec_id AS VARCHAR)),
+                                           1, 4) AS BIGINT) * c.c
+                       < 65536 * m.m
+                  THEN 1 ELSE 0 END AS keep
+      FROM embeddings e JOIN counts c USING (label), m
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM kept GROUP BY label ORDER BY label
+    """,
+    doc="Class-balanced downsampling: every label kept at rate "
+    "min_class_count / class_count via the RNG-free md5 hash threshold "
+    "(integer cross-multiplied comparison — exact in both engines, no "
+    "float rate), so expected kept counts equalize across labels — the "
+    "standard eval-set / probe-set balancing step before training a "
+    "classifier on embeddings. Deterministic and append-stable: a "
+    "vector's keep verdict never changes as the corpus grows (only the "
+    "rates do), the same property as split_train_test. Plan: one "
+    "count-per-label aggregate (label-sized) broadcast back onto the "
+    "stream with the min as a one-row cross join; verdicts are "
+    "map-side; the final rollup is label-sized.",
+)
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    m = counts.agg(F.min("c").alias("m"))
+    frac = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    keep = F.when(frac * F.col("c") < 65536 * F.col("m"), 1).otherwise(0)
+    return (
+        e.join(F.broadcast(counts), "label")
+        .crossJoin(F.broadcast(m))
+        .select("label", keep.alias("keep"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("label")
+    )
