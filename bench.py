@@ -115,7 +115,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "sample_curriculum_order",
     "sync_ivm_agg_delta",
-    "audit_constraint_violations",
+    "audit_temporal_contracts",
     "events_window_funnel",
     "audit_k_anonymity",
     "events_holt_forecast",

@@ -888,65 +888,46 @@ def sync_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "audit_constraint_violations",
+    "audit_temporal_contracts",
     category="audit",
     oracle="""
-    SELECT 'lineitem_quantity_range' AS rule,
-           (SELECT COUNT(*) FROM lineitem) AS n_checked,
-           (SELECT COUNT(*) FROM lineitem
-            WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+    SELECT 'lineitem_ship_after_order' AS rule,
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey) AS n_checked,
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate) AS n_violations
     UNION ALL
-    SELECT 'lineitem_discount_range',
-           (SELECT COUNT(*) FROM lineitem),
-           (SELECT COUNT(*) FROM lineitem
-            WHERE l_discount < 0 OR l_discount > 0.1)
-    UNION ALL
-    SELECT 'lineitem_ship_after_order',
+    SELECT 'lineitem_ship_within_180d',
            (SELECT COUNT(*) FROM lineitem l JOIN orders o
             ON l.l_orderkey = o.o_orderkey),
            (SELECT COUNT(*) FROM lineitem l JOIN orders o
             ON l.l_orderkey = o.o_orderkey
-            WHERE l.l_shipdate < o.o_orderdate)
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY)
     UNION ALL
-    SELECT 'lineitem_orphan_orderkey',
-           (SELECT COUNT(*) FROM lineitem),
-           (SELECT COUNT(*) FROM lineitem l
-            WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_orderkey = l.l_orderkey))
-    UNION ALL
-    SELECT 'orders_positive_total',
+    SELECT 'orders_date_in_epoch',
            (SELECT COUNT(*) FROM orders),
-           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < DATE '1992-01-01'
+               OR o_orderdate > DATE '1998-12-31')
     ORDER BY rule
     """,
-    doc="Declarative data-contract audit — the post-load validation "
-    "pass the reference's count check (A18) gestures at, generalized "
-    "to CHECK/FK-style rules: range constraints (quantity, discount), "
-    "a cross-table temporal rule (shipdate >= orderdate), referential "
-    "integrity (orphan orderkeys via left-anti), and a sign constraint. "
-    "Emits (rule, n_checked, n_violations) per rule so a sync pipeline "
-    "can gate promotion on violations = 0. Plan: the three lineitem "
-    "rules share ONE scan (conditional aggregates); the FK rules are "
-    "one join each with orders broadcast at this shape and partial-"
-    "aggregated counts — at 100 TB nothing shuffles wider than the "
-    "join keys, and rules over the same table stay single-scan.",
+    doc="CROSS-TABLE temporal contract audit — the dimension the "
+    "single-table audits can't express (audit_value_constraints covers "
+    "in-row range/enum/null rules, audit_fk_orphans referential "
+    "integrity): a child fact's timestamp must respect its parent's "
+    "(shipdate >= orderdate), stay within a business horizon of it "
+    "(<= +180 days), and the parent's own dates must fall in the "
+    "feed's epoch. Emits (rule, n_checked, n_violations); violations "
+    "= 0 gates promotion. Plan: the two join rules share ONE "
+    "lineitem-orders join (conditional aggregates over it), orders "
+    "broadcast at dim scale; the epoch rule is a single-scan "
+    "conditional count. At 100 TB nothing shuffles wider than the "
+    "join keys.",
 )
-def audit_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def audit_temporal_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-
-    li_stats = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
-            .otherwise(0)
-        ).alias("v_qty"),
-        F.sum(
-            F.when(
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
-            ).otherwise(0)
-        ).alias("v_disc"),
-    )
     joined = li.join(
         o.select("o_orderkey", "o_orderdate"),
         li.l_orderkey == o.o_orderkey,
@@ -954,15 +935,24 @@ def audit_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
-        ).alias("v"),
+        ).alias("v_before"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate")
+                > F.date_add(F.col("o_orderdate"), 180),
+                1,
+            ).otherwise(0)
+        ).alias("v_horizon"),
     )
-    orphans = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("v"))
-    )
-    o_stats = o.agg(
+    epoch = o.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("v"),
     )
 
     def row(rule, n_col, v_col, src):
@@ -972,19 +962,10 @@ def audit_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(v_col).cast("bigint").alias("n_violations"),
         )
 
-    li_n = li_stats  # one scan, three aggregates
     return (
-        row("lineitem_quantity_range", "n", "v_qty", li_n)
-        .unionByName(row("lineitem_discount_range", "n", "v_disc", li_stats))
-        .unionByName(row("lineitem_ship_after_order", "n", "v", joined))
-        .unionByName(
-            li_stats.crossJoin(orphans).select(
-                F.lit("lineitem_orphan_orderkey").alias("rule"),
-                F.col("n").cast("bigint").alias("n_checked"),
-                F.col("v").cast("bigint").alias("n_violations"),
-            )
-        )
-        .unionByName(row("orders_positive_total", "n", "v", o_stats))
+        row("lineitem_ship_after_order", "n", "v_before", joined)
+        .unionByName(row("lineitem_ship_within_180d", "n", "v_horizon", joined))
+        .unionByName(row("orders_date_in_epoch", "n", "v", epoch))
         .orderBy("rule")
     )
 
