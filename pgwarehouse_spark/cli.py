@@ -85,6 +85,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "SQL text for `sql`")
     p.add_argument("--keep-last", dest="keep_last", type=int, default=2,
                    help="versions to retain for `vacuum`")
+    p.add_argument("--retention-hours", dest="retention_hours", type=float,
+                   default=24.0,
+                   help="`vacuum` only reclaims unreferenced data dirs "
+                        "older than this (0 = immediate; safe only when "
+                        "no writer can be in flight)")
     p.add_argument("--config", default="pgwarehouse.yaml")
     p.add_argument("--data", default=None, help="staging dir for extract/load")
     p.add_argument("--last-modified", dest="last_modified", default=None)
@@ -312,7 +317,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if not args.table or not eng._is_tx(args.table):
             print(f"{args.table!r} is not a transactional table", file=sys.stderr)
             return 1
-        removed = eng._tx(args.table).vacuum(keep_last=args.keep_last)
+        removed = eng._tx(args.table).vacuum(
+            keep_last=args.keep_last,
+            retention_seconds=args.retention_hours * 3600.0,
+        )
         print(f"removed {len(removed)} data version dirs: {removed}")
         return 0
 

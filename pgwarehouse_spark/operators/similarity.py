@@ -21,10 +21,13 @@ Scale design:
   window group-limit pushdown.
 - LSH: bucket vectors by sign-bit signatures (4 tables × 8 hyperplanes);
   the candidate join is an equi-join on bucket keys — O(tables·N) rows.
-- IVF: assign vectors to fixed seed centroids (one broadcast join),
-  queries probe the nearest `NPROBE` cells — the classic
-  inverted-file layout; at 100 TB the cell assignment becomes the
-  partitioning key so probes touch only matching partitions.
+- IVF: assign vectors to a BOUNDED seed-centroid set (one broadcast
+  join; centroid count capped at IVF_MAX_CENTROIDS so the assignment
+  pass is O(N*K), linear in the corpus), queries probe the nearest
+  `NPROBE` cells — the classic inverted-file layout; at 100 TB the
+  cell assignment becomes the partitioning key so probes touch only
+  matching partitions, and hot cells sub-split by hash at layout time
+  (SemDeDup's capped-cluster template, dedup.py).
 """
 
 from __future__ import annotations
@@ -42,7 +45,19 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 LSH_TABLES = 8
 LSH_PLANES_PER_TABLE = 6
 LSH_MULTIPROBE = True  # probe hamming-1 neighbor buckets on the query side
-IVF_CENTROID_STRIDE = 50  # vec_id % stride == 0 → seed centroid
+IVF_CENTROID_STRIDE = 50  # minimum seed stride (small-corpus floor)
+# Hard cap on the centroid count: the coarse quantizer's size must NOT
+# grow with the corpus, or (a) centroid assignment becomes
+# O(N * N/stride) dot products and (b) the broadcast centroid table
+# itself grows linearly and eventually OOMs the driver/executors — the
+# round-3 bench measured exactly that (sim_topk_ivfpq slope 14.9x at
+# 10x data under the old unbounded `vec_id % 50` seeding). With a
+# fixed K the assignment pass is O(N*K) — linear in the corpus — and
+# the broadcast is constant-size. Production deployments tune K (FAISS
+# guidance ~sqrt(N), still bounded in practice); skewed/hot cells are
+# handled at layout time by hash sub-splitting oversized cells, the
+# same template as SemDeDup's capped clusters (dedup.py:1131-1147).
+IVF_MAX_CENTROIDS = 64
 IVF_NPROBE = 3
 
 # Recall floors for the registered verdict queries — identical to the
@@ -57,6 +72,26 @@ IVFPQ_MIN_RECALL = 0.1
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.sqrt(_dot(F.col(vec), F.col(vec))))
+
+
+def _ivf_stride(n_vectors: int) -> int:
+    """Seed stride bounding the centroid count at IVF_MAX_CENTROIDS:
+    ``max(IVF_CENTROID_STRIDE, ceil(N / K_MAX))`` — integer arithmetic so
+    the DuckDB oracle (same formula via GREATEST + ``//``) derives the
+    bit-identical centroid set. Small corpora keep the historical
+    stride-50 seeding; large corpora get a K-capped quantizer."""
+    return max(IVF_CENTROID_STRIDE, -(-int(n_vectors) // IVF_MAX_CENTROIDS))
+
+
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """Bounded IVF seed-centroid set: (centroid_id, cent_emb), at most
+    ~IVF_MAX_CENTROIDS rows regardless of corpus size. The count() is a
+    driver control-plane scalar (one columnar row-count scan) that sizes
+    the stride; the resulting table is always broadcast-safe."""
+    stride = _ivf_stride(e.count())
+    return e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
 
 
 def brute_force_topk(
@@ -288,10 +323,11 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_topk_ivf",
     category="similarity",
     oracle=_SQL_RECALL_VERDICT,
-    doc="ANN top-k via IVF: fixed seed centroids (vec_id % stride == 0), "
-    "one broadcast-join assignment pass, queries probe the 3 nearest "
-    "cells. Registered as a recall verdict (exact top-k hash-matched, "
-    "recall_ok pinned TRUE by the oracle).",
+    doc="ANN top-k via IVF: bounded seed-centroid set (stride-sampled, "
+    "count capped at IVF_MAX_CENTROIDS so assignment stays O(N*K) and "
+    "the broadcast constant-size), one broadcast-join assignment pass, "
+    "queries probe the 3 nearest cells. Registered as a recall verdict "
+    "(exact top-k hash-matched, recall_ok pinned TRUE by the oracle).",
 )
 def sim_topk_ivf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_verdict(
@@ -301,9 +337,7 @@ def sim_topk_ivf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
-    )
+    centroids = ivf_centroids(e)
     # Assignment: nearest centroid per vector (broadcast centroids — the
     # only pass over the full table; at scale this keys the layout).
     sim_to_cent = _dot(F.col("embedding"), F.col("cent_emb"))
@@ -526,7 +560,7 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_centroids(
-    vectors: DataFrame, seed_stride: int = IVF_CENTROID_STRIDE, iters: int = 2
+    vectors: DataFrame, seed_stride: int | None = None, iters: int = 2
 ) -> DataFrame:
     """Lloyd's k-means on DataFrames: seed from a deterministic stride,
     then iterate assign (broadcast join + per-vector top-1) → re-center
@@ -540,7 +574,12 @@ def kmeans_centroids(
     IVF is about balanced cells, not convergence); each hop materializes
     through the aggregate, so lineage stays linear, no cache churn.
     Determinism: decimal-exact means and the stride seeding make every
-    round's centroids bit-identical at any partition count."""
+    round's centroids bit-identical at any partition count. K is bounded
+    (seed_stride=None derives the IVF_MAX_CENTROIDS-capped stride) so
+    both the assign pass (O(N*K)) and the re-center shuffle (K x dim
+    partials) stay linear in the corpus."""
+    if seed_stride is None:
+        seed_stride = _ivf_stride(vectors.count())
     cents = vectors.filter(F.col("vec_id") % seed_stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
     )
@@ -594,7 +633,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the knob that matters when each probed cell is a partition-pruned
     read of a 100 TB index layout)."""
     e = t(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids(e, IVF_CENTROID_STRIDE, iters=2)
+    centroids = kmeans_centroids(e, iters=2)
     assigned = _assign_nearest(e, centroids)
     q = e.filter(F.col("vec_id") < N_QUERIES)
     w_probe = W.partitionBy("query_id").orderBy(
@@ -912,9 +951,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versus flat PQ the scan shrinks by ~nprobe/k_cells; versus flat IVF
     the probed partitions are read as codes, not vectors."""
     e = t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
-    )
+    cents = ivf_centroids(e)
     assigned = _assign_nearest(e, cents)  # (vec_id, embedding, centroid_id)
     cb = pq_codebook(e)
     codes = pq_encode(e, cb).join(
@@ -1117,9 +1154,15 @@ _IVF_DELTA_MOD, _IVF_DELTA_REM = 7, 1  # vec_id % 7 == 1 is "the new batch"
     "sim_ivf_index_delta",
     category="similarity",
     oracle=f"""
-    WITH cents AS (
+    WITH params AS (
+      SELECT GREATEST({IVF_CENTROID_STRIDE},
+                      (COUNT(*) + {IVF_MAX_CENTROIDS} - 1)
+                        // {IVF_MAX_CENTROIDS}) AS stride
+      FROM embeddings
+    ),
+    cents AS (
       SELECT vec_id AS centroid_id, embedding AS cent_emb
-      FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+      FROM embeddings, params WHERE vec_id % params.stride = 0
     ),
     delta AS (
       SELECT vec_id, embedding FROM embeddings
@@ -1154,9 +1197,7 @@ def sim_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment drift is the monitored quantity (corpus_drift_kl is the
     companion monitor)."""
     e = t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
-    )
+    cents = ivf_centroids(e)
     delta = e.filter(F.col("vec_id") % _IVF_DELTA_MOD == _IVF_DELTA_REM)
     sim = _dot(F.col("embedding"), F.col("cent_emb"))
     best = (

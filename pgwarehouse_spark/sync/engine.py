@@ -737,9 +737,25 @@ class SyncEngine:
         if self._is_tx(table):
             # transactional tables compact as a NEW VERSION (readers
             # pinned at old snapshots unaffected; vacuum reclaims the
-            # fragmented dirs) — TxTable.compact
-            self._tx(table).compact(self.spark)
-            return before, _nfiles()
+            # fragmented dirs). Report PER-SNAPSHOT file counts — the
+            # files a reader of each latest manifest touches — not the
+            # whole-directory count, which grows with the new version's
+            # files until vacuum and would read as if compaction made
+            # things worse (ADVICE r03).
+            from .txlog import _read_manifest
+
+            tx = self._tx(table)
+
+            def _snapshot_nfiles() -> int:
+                m = _read_manifest(tx.root, tx.latest_version())
+                return sum(
+                    len(glob.glob(os.path.join(tx.root, rel, "*.parquet")))
+                    for rel in m["buckets"].values()
+                )
+
+            before = _snapshot_nfiles()
+            tx.compact(self.spark)
+            return before, _snapshot_nfiles()
         # Materialize off the files being replaced (plain parquet has no
         # snapshot isolation; see merge_into_bucketed).
         df = self.read_table(table).localCheckpoint(eager=True)

@@ -42,7 +42,10 @@ idiomatic-Spark:
   version so probing always walks a contiguous range.
 - ``vacuum(keep_last)`` deletes data directories no surviving manifest
   references — never anything a retained snapshot can still read — and
-  prunes manifests (and torn-commit orphans) past the checkpoint.
+  prunes manifests (and torn-commit orphans) past the checkpoint. An
+  unreferenced dir is only reclaimed once older than a retention window
+  (newest mtime in the tree): a FRESH unreferenced dir may be a live
+  writer's not-yet-published staging, which must survive vacuum.
 
 At 100 TB this is the same layout Delta uses (immutable files + log +
 periodic checkpoint). A manifest holds one entry per bucket (thousands,
@@ -56,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -67,6 +71,31 @@ _CKPT = "checkpoint.json"
 
 #: a checkpoint manifest is refreshed every this-many commits
 CHECKPOINT_INTERVAL = 20
+
+#: vacuum only reclaims UNREFERENCED data dirs whose newest file is at
+#: least this old — a fresh unreferenced dir may be a live writer's
+#: commit-private staging (manifest not yet published), and deleting it
+#: would corrupt that writer's commit (Delta guards the identical race
+#: with deletedFileRetentionDuration)
+DEFAULT_VACUUM_RETENTION = 24 * 3600.0
+
+
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime across a directory tree (the dir itself included):
+    a writer streaming parquet into nested __bucket=K/ subdirs only
+    bumps the leaf dirs' mtimes, so the top-level mtime alone would
+    under-report recency."""
+    newest = os.path.getmtime(path)
+    for dirpath, _dirnames, filenames in os.walk(path):
+        newest = max(newest, os.path.getmtime(dirpath))
+        for fn in filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, fn))
+                )
+            except OSError:  # file vanished mid-walk (concurrent writer)
+                newest = time.time()
+    return newest
 
 #: rebase attempts before a concurrent-writer conflict propagates
 MAX_COMMIT_RETRIES = 5
@@ -292,11 +321,24 @@ class TxTable:
             .parquet(data_dir)
         )
         buckets = dict(base_manifest["buckets"])
-        # record the COMMIT's schema, not the base's: a widening merge
-        # (schema evolution — delta grew a column) must surface the new
-        # column in the manifest, or an empty-after-delete snapshot
-        # would resurrect the pre-evolution schema
-        schema_json = new_per_bucket.drop(BUCKET_COL).schema.json()
+        # record the UNION of the base manifest's schema and the commit
+        # frame's schema. Commit-only columns must surface (schema
+        # evolution — delta grew a column, or an empty-after-delete
+        # snapshot would resurrect the pre-evolution schema), but base
+        # columns must survive too: when the delta touches only buckets
+        # absent from the manifest, merge()/apply_cdc() commit the delta
+        # frame as-is, and a delta narrower than the table would
+        # silently narrow the recorded schema (mirrors merge._widen).
+        from pyspark.sql.types import StructType
+
+        commit_schema = new_per_bucket.drop(BUCKET_COL).schema
+        base_schema = StructType.fromJson(json.loads(base_manifest["schema"]))
+        have = {f.name for f in commit_schema.fields}
+        widened = StructType(
+            list(commit_schema.fields)
+            + [f for f in base_schema.fields if f.name not in have]
+        )
+        schema_json = widened.json()
         written = set()
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
@@ -458,13 +500,30 @@ class TxTable:
 
     # -- vacuum --------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        retention_seconds: float = DEFAULT_VACUUM_RETENTION,
+    ) -> list[str]:
         """Drop manifests older than the newest `keep_last`, refresh the
         checkpoint to the oldest retained version (so latest_version's
         forward probe always walks a contiguous range), then delete any
         data directory no surviving manifest references — torn-commit
         orphans included. Never touches directories a retained snapshot
-        can still read."""
+        can still read.
+
+        Unreferenced directories are only reclaimed once every file in
+        them is older than `retention_seconds` (newest-mtime over the
+        tree): an in-flight writer's commit-private staging dir
+        (data/v{n}-{token} written, manifest not yet published) is
+        indistinguishable from a torn-commit orphan by name alone, and
+        deleting it would let the writer's subsequent exclusive manifest
+        publish commit bucket pointers to vanished files — corrupting
+        that version for every reader. The age guard is the same defense
+        Delta's vacuum uses (deletedFileRetentionDuration): anything a
+        live writer is still producing is, by construction, recent.
+        Pass retention_seconds=0 only when no writer can be in flight
+        (single-process maintenance windows, tests)."""
         import shutil
 
         vs = self.versions()
@@ -483,9 +542,14 @@ class TxTable:
                 # live unit is the whole commit directory
                 live.add(rel.split(os.sep)[1])
         ddir = os.path.join(self.root, _DATA_DIR)
+        now = time.time()
         if os.path.isdir(ddir):
             for name in os.listdir(ddir):
-                if name not in live:
-                    shutil.rmtree(os.path.join(ddir, name))
-                    removed.append(name)
+                if name in live:
+                    continue
+                path = os.path.join(ddir, name)
+                if now - _tree_newest_mtime(path) < retention_seconds:
+                    continue  # possibly an in-flight writer's staging
+                shutil.rmtree(path)
+                removed.append(name)
         return removed

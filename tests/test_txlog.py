@@ -90,7 +90,9 @@ def test_vacuum_keeps_referenced_versions(spark, sf_dir, tmp_path):
         delta = o.limit(20).withColumn("o_totalprice", F.lit(float(i)))
         t.merge(spark, delta)
     assert t.versions() == [0, 1, 2, 3]
-    removed = t.vacuum(keep_last=1)
+    # retention_seconds=0: no writer is in flight in these tests —
+    # production default leaves fresh unreferenced dirs for the window
+    removed = t.vacuum(keep_last=1, retention_seconds=0)
     # only the latest manifest survives; its buckets may still reference
     # v0 directories for untouched buckets, which must NOT be deleted
     assert t.versions() == [3]
@@ -185,7 +187,7 @@ def test_torn_write_without_manifest_is_invisible(spark, sf_dir, tmp_path):
         f.write(b"not a parquet file")
     assert t.versions() == [0]
     assert t.read(spark).count() == 100  # reads only manifest-listed paths
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, retention_seconds=0)
     assert "v1" in removed  # orphan reclaimed
     assert t.read(spark).count() == 100
 
@@ -289,7 +291,7 @@ def test_torn_commit_does_not_wedge_next_writer(spark, sf_dir, tmp_path):
     v = t.merge(spark, delta, order_col=None)
     assert v == 1
     assert t.read(spark).filter(F.col("o_totalprice") == 1.0).count() == 5
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, retention_seconds=0)
     assert "v1-deadbeef" in removed
     assert t.read(spark).count() == 100
 
@@ -322,7 +324,7 @@ def test_checkpoint_resolution_and_vacuum_at_100_versions(spark, sf_dir, tmp_pat
     finally:
         tx._list_versions = real_list
 
-    removed = t.vacuum(keep_last=3)
+    removed = t.vacuum(keep_last=3, retention_seconds=0)
     assert removed  # old commit dirs reclaimed
     # manifest dir is small now: keep_last manifests + checkpoint file
     mdir = os.path.join(root, "manifest")
@@ -484,3 +486,161 @@ def test_concurrent_threaded_writers_lose_no_updates(spark, sf_dir, tmp_path):
     for i, k in enumerate(keys[5:]):
         assert final[k] == float(2000 + i), (k, final[k])
     assert t.read(spark).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# Round 4: vacuum retention guard (ADVICE r03 medium), process-level
+# commit exclusivity (VERDICT r03 item 7), schema-widening commits
+# (ADVICE r03 low).
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_retention_protects_inflight_staging(spark, sf_dir, tmp_path):
+    """ADVICE r03 (medium): a FRESH unreferenced data dir is
+    indistinguishable from a torn-commit orphan by name — it may be a
+    live writer's commit-private staging whose manifest publish hasn't
+    happened yet. Default-retention vacuum must leave it alone; only
+    once every file in it is older than the retention window is it
+    reclaimed."""
+    import time as _time
+
+    o = _orders(spark, sf_dir).limit(50)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=2)
+
+    # simulate an in-flight writer: staged data, no manifest yet
+    staging = os.path.join(root, "data", "v1-cafebabe", "__bucket=0")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-000.parquet"), "wb") as f:
+        f.write(b"in-flight bytes")
+
+    # default retention: the fresh dir SURVIVES vacuum
+    removed = t.vacuum(keep_last=1)
+    assert "v1-cafebabe" not in removed
+    assert os.path.isdir(staging)
+
+    # age the whole tree past a 1-hour window -> now reclaimable
+    old = _time.time() - 7200
+    for dirpath, _dn, fns in os.walk(os.path.join(root, "data", "v1-cafebabe")):
+        os.utime(dirpath, (old, old))
+        for fn in fns:
+            os.utime(os.path.join(dirpath, fn), (old, old))
+    removed = t.vacuum(keep_last=1, retention_seconds=3600)
+    assert "v1-cafebabe" in removed
+    assert not os.path.isdir(staging)
+    assert t.read(spark).count() == 50
+
+
+def _mp_publish_race_worker(args):
+    """Top-level (picklable) worker for the cross-process commit race:
+    claims versions with the real exclusive-publish protocol, rebasing
+    to the next version on conflict — the manifest half of merge()'s
+    optimistic-concurrency loop, with no Spark in the child."""
+    repo_root, tx_root, wid, n_commits = args
+    import sys as _sys
+
+    _sys.path.insert(0, repo_root)
+    from pgwarehouse_spark.sync.txlog import CommitConflict, _publish_manifest
+
+    committed, v = [], 0
+    while len(committed) < n_commits:
+        v += 1
+        try:
+            _publish_manifest(
+                tx_root,
+                v,
+                {
+                    "version": v,
+                    "keys": ["k"],
+                    "num_buckets": 1,
+                    "buckets": {},
+                    "schema": "{}",
+                    "writer": wid,
+                    # sizable payload so a torn (non-atomic) write would
+                    # surface as truncated JSON in the reader below
+                    "pad": "x" * 4096,
+                },
+            )
+            committed.append(v)
+        except CommitConflict:
+            continue
+    return committed
+
+
+def test_multiprocess_exclusive_publish_one_winner_per_version(tmp_path):
+    """VERDICT r03 item 7: the os.link exclusivity claim proven ACROSS
+    PROCESSES, not threads in one interpreter. Two spawned processes
+    race 25 commits each against one table; exactly one winner per
+    version, a contiguous version chain, and every manifest readable
+    and intact (no torn reads)."""
+    import json as _json
+    import multiprocessing as mp
+
+    from pgwarehouse_spark.sync.txlog import _read_manifest
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "tx")
+    n_each = 25
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = pool.map(
+            _mp_publish_race_worker,
+            [(repo_root, root, "A", n_each), (repo_root, root, "B", n_each)],
+        )
+    a, b = results
+    assert len(a) == n_each and len(b) == n_each
+    assert not (set(a) & set(b)), "a version committed by both writers"
+    assert sorted(set(a) | set(b)) == list(range(1, 2 * n_each + 1))
+    for v in range(1, 2 * n_each + 1):
+        m = _read_manifest(root, v)  # parses -> not torn
+        assert m["version"] == v
+        assert m["writer"] in ("A", "B")
+        assert len(m["pad"]) == 4096
+    # no temp droppings from losing publishes
+    mdir = os.path.join(root, "manifest")
+    assert [n for n in os.listdir(mdir) if ".tmp-" in n] == []
+
+
+def test_narrow_delta_into_absent_buckets_keeps_table_schema(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r03 (low): when a delta touches only buckets ABSENT from
+    the manifest, merge() commits the delta frame as-is — a delta
+    narrower than the table must not narrow the manifest's recorded
+    schema, or an empty-after-delete snapshot read would silently drop
+    columns."""
+    import json as _json
+
+    from pgwarehouse_spark.sync.txlog import _read_manifest
+
+    o = _orders(spark, sf_dir).limit(40)
+    root = str(tmp_path / "tx")
+    t = TxTable.create(o, root, ["o_orderkey"], num_buckets=4)
+
+    # drop every bucket's contents via CDC deletes, so some buckets
+    # leave the manifest entirely
+    dels = o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    v = t.apply_cdc(spark, dels.withColumn("op", F.lit("D")))
+    assert t.read(spark).count() == 0
+
+    # a NARROW delta (missing o_orderdate) into now-absent buckets
+    narrow = (
+        o.limit(5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("o_totalprice", F.lit(9.0))
+    )
+    v = t.merge(spark, narrow)
+    m = _read_manifest(root, v)
+    fields = {f["name"] for f in _json.loads(m["schema"])["fields"]}
+    # the table's full schema survives the narrow commit
+    assert "o_orderdate" in fields
+    # and a subsequent delete-all snapshot still carries the full schema
+    t.apply_cdc(
+        spark,
+        t.read(spark)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("op", F.lit("D")),
+    )
+    empty = t.read(spark)
+    assert empty.count() == 0
+    assert "o_orderdate" in empty.columns
