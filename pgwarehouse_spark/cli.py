@@ -108,6 +108,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "columns to z-order the table on")
     p.add_argument("--jdbc-url", dest="jdbc_url", default=None,
                    help="target DBMS url for publish")
+    p.add_argument("--duckdb-path", dest="duckdb_path", default=None,
+                   help="publish into a live DuckDB database file "
+                        "instead of a JDBC url")
     p.add_argument("--jdbc-driver", dest="jdbc_driver", default=None)
     p.add_argument("--jdbc-dialect", dest="jdbc_dialect", default=None,
                    help="publish DDL dialect: generic|snowflake|clickhouse|duckdb")
@@ -414,12 +417,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # (remote-side MAX-watermark; the reference's load direction).
         from .sync.jdbc_sink import JdbcWarehouse, publish_incremental
 
-        if not args.jdbc_url:
-            print("publish requires --jdbc-url", file=sys.stderr)
+        if args.duckdb_path:
+            from .sync.duckdb_sink import DuckDBWarehouse
+
+            wh = DuckDBWarehouse(args.duckdb_path)
+        elif args.jdbc_url:
+            wh = JdbcWarehouse(
+                args.jdbc_url, driver=args.jdbc_driver, dialect=args.jdbc_dialect
+            )
+        else:
+            print("publish requires --jdbc-url or --duckdb-path", file=sys.stderr)
             return 1
-        wh = JdbcWarehouse(
-            args.jdbc_url, driver=args.jdbc_driver, dialect=args.jdbc_dialect
-        )
         for t in tables:
             spec = eng.spec(t)
             if not spec.primary_key:

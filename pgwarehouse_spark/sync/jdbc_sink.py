@@ -189,7 +189,12 @@ def publish_incremental(
         finally:
             source_df.unpersist()
         return n
-    wm = wh.read(spark, table).agg(F.max(pk).alias("wm")).collect()[0]["wm"]
+    if hasattr(wh, "watermark"):
+        # sinks with a native query path (DuckDBWarehouse) compute the
+        # MAX warehouse-side without a table read-back
+        wm = wh.watermark(table, pk)
+    else:
+        wm = wh.read(spark, table).agg(F.max(pk).alias("wm")).collect()[0]["wm"]
     delta = source_df.filter(F.col(pk) > F.lit(wm)) if wm is not None else source_df
     delta.persist()
     try:
