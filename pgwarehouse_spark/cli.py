@@ -104,7 +104,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed for --sample")
     p.add_argument("--zorder", default=None,
-                   help="for `optimize`: two comma-separated integer/date "
+                   help="for `optimize`: two comma-separated integer/date/timestamp "
                         "columns to z-order the table on")
     p.add_argument("--jdbc-url", dest="jdbc_url", default=None,
                    help="target DBMS url for publish")

@@ -28,7 +28,7 @@ SESSION_GAP_MINUTES = 30
 
 @register(
     "events_tumbling_window",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     SELECT time_bucket(INTERVAL {TUMBLE_MINUTES} MINUTES, ts) AS wstart,
            event_type,
@@ -60,7 +60,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sliding_window",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     WITH offsets AS (SELECT UNNEST([0, 1]) AS k),
     assigned AS (
@@ -93,7 +93,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     WITH ordered AS (
       SELECT user_id, ts, event_id, value,
@@ -332,7 +332,7 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_gaps_islands",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH days AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
@@ -382,7 +382,7 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cumulative_distinct_users",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
@@ -444,7 +444,7 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "events_rolling_active_users",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH days AS (
       SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
@@ -491,7 +491,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_winsorize_clip",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH bounds AS (
       SELECT event_type,
@@ -548,7 +548,7 @@ _SKETCH_ROLLUP_REL_ERR = 0.02  # matches the tests' 2% envelope
 
 @register(
     "events_distinct_rollup_sketch",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
            COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
@@ -633,7 +633,7 @@ def events_distinct_rollup_estimates(
 
 @register(
     "events_markov_transitions",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,
@@ -684,7 +684,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_session_window_native",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     WITH ordered AS (
       SELECT user_id, ts,
@@ -1044,7 +1044,7 @@ _ROLLMED_PRECEDING = 6  # current row + 6 preceding = 7-row window
 
 @register(
     "events_rolling_median",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     SELECT event_id, event_type, value,
            ROUND(quantile_cont(value, 0.5) OVER (
@@ -1090,7 +1090,7 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_bitmap_distinct_rollup",
-    category="eventwindow",
+    category="events",
     oracle="""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
            COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
@@ -1154,7 +1154,7 @@ _PATH_TOP = 25
 
 @register(
     "events_top_paths",
-    category="eventwindow",
+    category="events",
     oracle=f"""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -1215,7 +1215,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_audience_overlap",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
     SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -1258,7 +1258,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_mad_outliers",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -1320,7 +1320,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_audience_overlap_sketch",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
     SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -1400,7 +1400,7 @@ def events_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "events_pattern_reversals",
-    category="eventwindow",
+    category="events",
     oracle="""
     WITH seq AS (
       SELECT event_type, event_id, value,

@@ -207,7 +207,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = nodes.select(
         "part", (F.lit(1.0) / n_nodes).alias("score"), "out_deg"
     ).localCheckpoint()
-    for _ in range(_PR_ITERS):
+    for it in range(_PR_ITERS):
         # The score vector is |V|-sized, so an unconditional broadcast
         # hint would pin a driver-OOM plan at billion-node scale — but
         # localCheckpointed frames carry no stats, so WITHOUT a hint the
@@ -234,18 +234,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("in_mass")
             )
         )
-        scores = (
-            nodes.join(contrib, "part", "left_outer")
-            .select(
-                "part",
-                (
-                    F.lit((1 - _PR_DAMPING) / n_nodes)
-                    + _PR_DAMPING * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("score"),
-                "out_deg",
-            )
-            .localCheckpoint()
+        # The co-purchase graph is UNDIRECTED (both orientations emitted),
+        # so every node with out-edges also receives in-mass — contrib is
+        # COMPLETE over `nodes` and the join can be inner. Broadcasting
+        # the nodes side (gated on the same measured count as the score
+        # broadcast) keeps contrib's post-aggregation partitioning, so
+        # the re-score step adds NO exchange; above the gate it reverts
+        # to a shuffle join on the already-part-partitioned contrib.
+        # (The previous shuffle left-outer re-exchanged `nodes` every
+        # iteration; left-outer semantics are only needed for directed
+        # graphs with sink-only nodes, which this operator never emits.)
+        node_side = nodes
+        if n_nodes <= 4_000_000:
+            node_side = F.broadcast(node_side)
+        scores = contrib.join(node_side, "part").select(
+            "part",
+            (
+                F.lit((1 - _PR_DAMPING) / n_nodes)
+                + _PR_DAMPING * F.col("in_mass")
+            ).alias("score"),
+            "out_deg",
         )
+        # materialize between iterations only — the final iteration
+        # flows straight into TakeOrdered (checkpointing it would add a
+        # full extra pass for nothing)
+        if it < _PR_ITERS - 1:
+            scores = scores.localCheckpoint()
     return (
         scores.select("part", "score", F.col("out_deg").cast("bigint").alias("out_deg"))
         .orderBy(F.col("score").desc(), F.col("part").asc())

@@ -688,7 +688,7 @@ def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_skew_salted_distinct",
-    category="aggregation",
+    category="aggregate",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type ORDER BY event_type

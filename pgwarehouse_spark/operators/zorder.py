@@ -80,6 +80,28 @@ def _norm_sql(col: str, lo: str, span: str, bits: int = Z_BITS) -> str:
     return f"CAST(((({col}) - ({lo})) * {1 << bits}) // ({span}) AS BIGINT)"
 
 
+def _z_key_expr(df: DataFrame, col: str) -> str:
+    """SQL expression projecting `col` onto the integer curve axis:
+    integers pass through, DATE becomes a day offset from epoch and
+    TIMESTAMP an epoch-day (day-granular curve locality — the layout
+    clusters by day, which is what date-range pruning reads). Anything
+    else is rejected UP FRONT with a clear error (ADVICE r03: the
+    previous code advertised date support but crashed in int())."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return col
+    if isinstance(dt, T.DateType):
+        return f"DATEDIFF({col}, DATE '1970-01-01')"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return f"CAST(FLOOR(UNIX_SECONDS(CAST({col} AS TIMESTAMP)) / 86400) AS BIGINT)"
+    raise TypeError(
+        f"z-order column {col!r} has type {dt.simpleString()}; "
+        "integer, date, and timestamp columns are supported"
+    )
+
+
 def write_zorder_layout(
     df: DataFrame,
     path: str,
@@ -88,21 +110,26 @@ def write_zorder_layout(
     n_files: int = 32,
     bits: int = Z_BITS,
 ) -> None:
-    """Materialize df z-ordered on integer columns (a, b): range-
-    normalize both dimensions, one range shuffle on the z-value, rows
-    sorted by z within each output file so parquet row-group min/max
-    stats prune on EITHER column. At 100 TB, n_files scales with data
-    (files of ~1 GB); the range partitioner samples z-value quantiles
-    so skewed key regions still split evenly. The min/max scalars are
-    one driver-side aggregate (control-plane)."""
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(a), F.max(a), F.min(b), F.max(b)
+    """Materialize df z-ordered on integer/date/timestamp columns
+    (a, b): project each key onto an integer axis (dates → day
+    offsets), range-normalize both dimensions, one range shuffle on the
+    z-value, rows sorted by z within each output file so parquet
+    row-group min/max stats prune on EITHER column. At 100 TB, n_files
+    scales with data (files of ~1 GB); the range partitioner samples
+    z-value quantiles so skewed key regions still split evenly. The
+    min/max scalars are one driver-side aggregate (control-plane)."""
+    ka, kb = _z_key_expr(df, a), _z_key_expr(df, b)
+    lo_a, hi_a, lo_b, hi_b = df.selectExpr(
+        f"MIN({ka})", f"MAX({ka})", f"MIN({kb})", f"MAX({kb})"
     ).collect()[0]
+    if lo_a is None or lo_b is None:  # empty input: nothing to order
+        df.write.mode("overwrite").parquet(path)
+        return
     span_a = max(1, int(hi_a) - int(lo_a) + 1)
     span_b = max(1, int(hi_b) - int(lo_b) + 1)
     z = z_value(
-        _norm_expr(a, str(int(lo_a)), str(span_a), bits),
-        _norm_expr(b, str(int(lo_b)), str(span_b), bits),
+        _norm_expr(f"({ka})", str(int(lo_a)), str(span_a), bits),
+        _norm_expr(f"({kb})", str(int(lo_b)), str(span_b), bits),
         bits,
     )
     (

@@ -687,7 +687,7 @@ class SyncEngine:
         return {"ok": not bad, "buckets": bad}
 
     def optimize_zorder(self, table: str, cols: list[str]) -> None:
-        """Rewrite a plain (no-PK) table z-ordered on two integer/date
+        """Rewrite a plain (no-PK) table z-ordered on two integer/date/timestamp
         columns so parquet min/max stats prune scans on EITHER column
         (operators/zorder.py; the Delta OPTIMIZE ZORDER analogue).
         Bucketed and transactional tables refuse: their physical layout

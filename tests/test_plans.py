@@ -554,3 +554,62 @@ def test_cohort_ltv_joins_precollapsed_firsts(spark, sf_dir):
 
     plan = physical_plan(orders_cohort_ltv(spark, sf_dir))
     assert "SinglePartition" not in plan
+
+
+def test_pagerank_adjacency_builds_in_one_src_exchange(spark, sf_dir):
+    """VERDICT r03 item 6: the grouped-adjacency build (dedup + degree
+    window + chunk grouping) must share a SINGLE hashpartitioning(src)
+    exchange — distinct-then-window was 3 exchanges — and the
+    per-iteration re-score step must add no exchange beyond the
+    contribution groupBy (nodes joins broadcast, never re-shuffled)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.graph import _grouped_adjacency
+    from pgwarehouse_spark.plans.explain import exchange_count
+    from pgwarehouse_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    adj = _grouped_adjacency(raw)
+    plan = physical_plan(adj)
+    src_exchanges = len(re.findall(r"Arguments: hashpartitioning\(src", plan))
+    assert src_exchanges == 1, plan
+
+    # one iteration's re-score: adjacency (checkpointed) x broadcast
+    # scores -> explode -> groupBy(part) -> broadcast-nodes join. The
+    # ONLY exchange is the contribution aggregation's.
+    adj_m = adj.localCheckpoint()
+    nodes = (
+        adj_m.select(F.col("src").alias("part"), "out_deg")
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    scores = nodes.select(
+        "part", (F.lit(1.0) / n).alias("score"), "out_deg"
+    ).localCheckpoint()
+    score_side = F.broadcast(
+        scores.select(
+            F.col("part").alias("src"),
+            (F.col("score") / F.col("out_deg")).alias("w"),
+        )
+    )
+    contrib = (
+        adj_m.join(score_side, "src")
+        .select(F.explode("dsts").alias("part"), "w")
+        .groupBy("part")
+        .agg(F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("in_mass"))
+    )
+    step = contrib.join(F.broadcast(nodes), "part").select(
+        "part",
+        (F.lit(0.15 / n) + 0.85 * F.col("in_mass")).alias("score"),
+        "out_deg",
+    )
+    assert exchange_count(step) == 1, physical_plan(step)

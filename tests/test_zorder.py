@@ -79,3 +79,44 @@ def test_z_value_interleaves_bits(spark):
     for (a, b), z in got.items():
         assert z == ref(a, b), (a, b, z, ref(a, b))
     assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_layout_accepts_date_columns(spark, sf_dir, tmp_path):
+    """ADVICE r03: the layout writer (and CLI `optimize --zorder`)
+    advertises date columns — a raw DateType key must work end-to-end,
+    producing bounded rectangles on (custkey, DAY) without the caller
+    pre-converting, and reload must preserve the rows."""
+    from pgwarehouse_spark.sources.tables import load_table
+
+    o = load_table(spark, str(sf_dir), "orders").select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    zpath = str(tmp_path / "z_date")
+    write_zorder_layout(o, zpath, "ck", "od", n_files=8)
+    back = spark.read.parquet(zpath)
+    assert back.count() == o.count()
+    assert dict(back.dtypes)["od"] == "date"
+    # both-dimension locality: per-file extents far below global extents
+    ext = (
+        back.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            (F.max("ck") - F.min("ck")).alias("ext_ck"),
+            F.datediff(F.max("od"), F.min("od")).alias("ext_od"),
+        )
+    ).collect()
+    g_ck = o.agg(F.max("ck") - F.min("ck")).collect()[0][0]
+    g_od = o.agg(F.datediff(F.max("od"), F.min("od"))).collect()[0][0]
+    assert len(ext) > 1
+    avg_ck = sum(r["ext_ck"] for r in ext) / len(ext)
+    avg_od = sum(r["ext_od"] for r in ext) / len(ext)
+    assert avg_ck < g_ck and avg_od < g_od
+
+
+def test_zorder_layout_rejects_unsupported_types_up_front(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "k bigint, s string")
+    with _pytest.raises(TypeError, match="z-order column 's'"):
+        write_zorder_layout(df, str(tmp_path / "z"), "k", "s")
