@@ -1219,6 +1219,67 @@ def sim_ivf_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF physical layout: cell-partitioned index with hot-cell sub-split
+# ---------------------------------------------------------------------------
+
+#: layout-time ceiling on rows per (centroid_id, subcell) partition —
+#: a hot cell is hash-scattered across enough subcells to stay under it
+#: (same template as SemDeDup's capped clusters and the PageRank hub
+#: split); probes read ALL of a probed cell's subcells, so the split is
+#: invisible to query semantics
+IVF_MAX_CELL_ROWS = 1_000_000
+
+
+def write_ivf_layout(
+    e: DataFrame, path: str, max_cell_rows: int = IVF_MAX_CELL_ROWS
+) -> DataFrame:
+    """Materialize the IVF index as a ``centroid_id``-partitioned
+    parquet table — the physical form the sim_topk_ivf* docstrings
+    promise: a probe then reads ONLY the matching partition directories
+    (Spark partition pruning), i.e. nprobe/K of the corpus, instead of
+    filtering a full scan.
+
+    Hot cells (skewed assignment) are sub-split: each cell gets
+    ``ceil(cell_rows / (max_cell_rows/2))`` subcells, rows
+    hash-scattered by vec_id — targeting HALF the cap keeps the
+    realized max below it despite hash-scatter variance (the same
+    Chernoff headroom as the PageRank hub split) — so no partition
+    directory (and no downstream task reading it) exceeds the cap
+    regardless of how lopsided the quantizer is. The subcell count
+    rides a broadcast join of the (≤K rows) cell-size table — one extra
+    tiny join at write time, zero cost at read time. Returns the
+    centroid table (broadcast-sized) for the probe side."""
+    cents = ivf_centroids(e)
+    assigned = _assign_nearest(e, cents)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max(max_cell_rows // 2, 1)))
+        .cast("bigint")
+        .alias("n_sub")
+    )
+    (
+        assigned.join(F.broadcast(sizes), "centroid_id")
+        .withColumn("subcell", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")))
+        .drop("n_sub")
+        .repartition("centroid_id", "subcell")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id", "subcell")
+        .parquet(path)
+    )
+    return cents
+
+
+def read_ivf_probes(
+    spark: SparkSession, path: str, cell_ids: list[int]
+) -> DataFrame:
+    """Probe-side read of a written IVF layout: the ``isin`` filter on
+    the partition column becomes a PartitionFilter — Spark lists only
+    the probed cells' directories (all their subcells), so scan cost is
+    proportional to the probed fraction of the index, not the corpus.
+    At 100 TB this file-skipping is the entire point of the layout."""
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin(cell_ids))
+
+
+# ---------------------------------------------------------------------------
 # Embedding covariance (PCA/whitening prep)
 # ---------------------------------------------------------------------------
 

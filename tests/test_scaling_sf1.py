@@ -79,12 +79,14 @@ def test_bench_heavy_slopes_within_budget(spark, sf1_dir):
     over = {
         n: s for n, s in slopes.items() if s > _BUDGETS.get(n, _DEFAULT_BUDGET)
     }
-    # One retry before failing: a single timing inside a long suite can
-    # be polluted by GC or a concurrent stage; genuine superlinear work
-    # reproduces, jitter does not.
+    # Two retries (best-of) before failing: a single timing inside a
+    # long suite can be polluted by GC or a concurrent stage; genuine
+    # superlinear work reproduces across every rerun, jitter does not —
+    # so the gate fails only when the MINIMUM of the reruns still
+    # exceeds the budget.
     persistent = {}
     for name in over:
-        s = _slope(specs[name].fn, spark, sf1_dir)
+        s = min(_slope(specs[name].fn, spark, sf1_dir) for _ in range(2))
         slopes[name] = s
         if s > _BUDGETS.get(name, _DEFAULT_BUDGET):
             persistent[name] = round(s, 1)

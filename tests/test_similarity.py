@@ -112,3 +112,53 @@ def test_ivfpq_recall(spark, sf_dir, exact_topk):
     ann = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(ann & exact_topk) / len(exact_topk)
     assert recall >= 0.1, f"IVF-PQ recall {recall:.2f}"
+
+
+def test_ivf_layout_partition_pruned_probes(spark, sf_dir, tmp_path):
+    """The cell-partitioned IVF layout (r4): writing the index
+    partitioned by centroid_id makes a probe a PARTITION-PRUNED read —
+    the scan's PartitionFilters carry the centroid predicate and only
+    the probed cells' files are listed. Hot cells are hash-sub-split so
+    no partition exceeds the row cap; probes read all subcells of a
+    probed cell, so results are unchanged."""
+    import os
+
+    from pgwarehouse_spark.operators.similarity import (
+        read_ivf_probes,
+        write_ivf_layout,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    # tiny cap forces the sub-split machinery to engage on every cell
+    write_ivf_layout(e, path, max_cell_rows=20)
+
+    # every (centroid, subcell) partition respects the cap
+    laid = spark.read.parquet(path)
+    sizes = laid.groupBy("centroid_id", "subcell").count().collect()
+    assert sizes and max(r["count"] for r in sizes) <= 20
+    # hot cells did split: at least one centroid has >1 subcell
+    per_cell = {}
+    for r in sizes:
+        per_cell.setdefault(r["centroid_id"], set()).add(r["subcell"])
+    assert any(len(v) > 1 for v in per_cell.values())
+
+    # probing 2 cells returns exactly those cells' vectors…
+    cells = sorted(per_cell)[:2]
+    probe = read_ivf_probes(spark, path, cells)
+    assert set(
+        r["centroid_id"] for r in probe.select("centroid_id").distinct().collect()
+    ) == set(cells)
+    # …and no vector is lost or duplicated across the whole layout
+    assert laid.count() == e.count()
+    assert laid.select("vec_id").distinct().count() == e.count()
+
+    # plan shape: the centroid predicate is a PartitionFilter on the
+    # scan (pruned listing), not a post-scan Filter over all files
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "centroid_id" in pf.group(1), plan
