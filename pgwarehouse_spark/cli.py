@@ -117,6 +117,15 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+#: commands a live-DuckDB warehouse config supports (the reference's
+#: duckdb backend surface); parquet-lake-only maintenance (compact,
+#: optimize, tx history/vacuum, verify, publish) errors clearly
+_DUCKDB_WAREHOUSE_COMMANDS = {
+    "init", "list", "listwh", "extract", "load", "sync", "reload",
+    "query", "queries", "audit", "explain", "sql",
+}
+
+
 def _engine(args, spark=None):
     from .session import get_spark
     from .sync.engine import SyncEngine
@@ -128,6 +137,11 @@ def _engine(args, spark=None):
             args.table, TableSpec.from_opts(args.table, {})
         )
         spec.last_modified = args.last_modified
+    if (config.warehouse or {}).get("type") == "duckdb":
+        # reference topology: sync straight into a live DuckDB database
+        from .sync.duckdb_sink import DuckDBSyncEngine
+
+        return DuckDBSyncEngine.from_config(spark, config), config
     return SyncEngine.from_config(spark, config, num_buckets=args.buckets), config
 
 
@@ -303,6 +317,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     eng, config = _engine(args, spark=spark)
+
+    from .sync.duckdb_sink import DuckDBSyncEngine
+
+    if (
+        isinstance(eng, DuckDBSyncEngine)
+        and args.command not in _DUCKDB_WAREHOUSE_COMMANDS
+    ):
+        print(
+            f"`{args.command}` applies to the parquet-lake warehouse only; "
+            f"this config targets a live DuckDB database "
+            f"(supported here: {' '.join(sorted(_DUCKDB_WAREHOUSE_COMMANDS))})",
+            file=sys.stderr,
+        )
+        return 1
 
     if args.command == "history":
         # Version log of a transactional table (snapshot isolation /

@@ -230,3 +230,172 @@ class DuckDBWarehouse:
         return self.query(
             f"SELECT MAX({q.quote_ident(col)}) FROM {q.quote_ident(table)}"
         )[0][0]
+
+
+class DuckDBSyncEngine:
+    """The reference's PRIMARY topology made first-class: `sync` lands
+    rows directly in a live DuckDB warehouse (`warehouse: {type:
+    duckdb, path: wh.duckdb}` in the config), with the reference's
+    strategy dispatch (pgwarehouse.py:180-189 / duckdb_backend.py
+    update_table): create on first sync, scheduled/requested reload,
+    last-modified `>=`-watermark upsert, PK `>`-watermark append,
+    reload-only fallback without a PK — watermarks computed
+    WAREHOUSE-side, deltas extracted with the predicate pushed into
+    the source scan, zero-delta short-circuit (A10-A17, A25-A26).
+
+    This intentionally mirrors the SyncEngine dispatcher over a
+    different load target; the parquet SyncEngine remains the lake
+    path, this is the reference-parity warehouse path."""
+
+    def __init__(self, spark, source, wh: DuckDBWarehouse, specs=None):
+        self.spark = spark
+        self.source = source
+        self.wh = wh
+        self.specs = specs or {}
+        self._discovered: set[str] = set()
+
+    @classmethod
+    def from_config(cls, spark, config):
+        from .engine import make_source
+
+        return cls(
+            spark,
+            make_source(config.source),
+            DuckDBWarehouse(config.warehouse["path"]),
+            specs=config.tables,
+        )
+
+    # -- catalog (A19-A22) --------------------------------------------
+    def spec(self, table: str):
+        from ..catalog import TableSpec
+
+        spec = self.specs.get(table)
+        if spec is None:
+            spec = TableSpec(name=table)
+            self.specs[table] = spec
+        if table not in self._discovered:
+            try:
+                if not spec.primary_key:
+                    spec.primary_key = self.source.discover_primary_key(
+                        self.spark, table
+                    )
+                if spec.primary_key and not spec.last_modified:
+                    spec.last_modified = self.source.discover_watermark(
+                        self.spark, table
+                    )
+                self._discovered.add(table)
+            except Exception:
+                pass
+        return spec
+
+    def table_exists(self, table: str) -> bool:
+        return self.wh.exists(self.spark, table)
+
+    def count_table(self, table: str) -> int:
+        return self.wh.count(self.spark, table)
+
+    def list_warehouse_tables(self) -> list[str]:
+        import os as _os
+
+        if not _os.path.exists(self.wh.db_path):
+            return []
+        return sorted(
+            r[0]
+            for r in self.wh.query(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main'"
+            )
+        )
+
+    def read_table(self, table: str):
+        return self.wh.read(self.spark, table)
+
+    # -- extract (A1-A3) ----------------------------------------------
+    def extract(self, table: str, where: str | None = None):
+        spec = self.spec(table)
+        df = self.source.read(self.spark, table, where)
+        if spec.max_records:
+            df = df.limit(spec.max_records)
+        return df
+
+    def _write_full(self, table: str, df) -> int:
+        """CLI `load` shim (A8): full load of a staged frame."""
+        df.persist()
+        try:
+            rows = df.count()
+            self.wh.write_full(df, table, self.spec(table).primary_key or None)
+        finally:
+            df.unpersist()
+        return rows
+
+    # -- strategies (A10, A13-A17, A25-A26) ---------------------------
+    def reload(self, table: str):
+        from .engine import SyncResult
+
+        spec = self.spec(table)
+        df = self.extract(table)
+        df.persist()
+        try:
+            rows = df.count()
+            self.wh.write_full(df, table, spec.primary_key or None)
+        finally:
+            df.unpersist()
+        return SyncResult(table, "reloaded", rows)
+
+    def sync(self, table: str, today=None):
+        from .engine import SyncResult, _sql_literal
+
+        spec = self.spec(table)
+        if spec.skip:
+            return SyncResult(table, "skipped", 0)
+        if not self.source.exists(self.spark, table):
+            raise FileNotFoundError(f"source table not found: {table}")
+        if not self.table_exists(table):
+            res = self.reload(table)
+            return SyncResult(table, "created", res.rows)
+        if spec.should_reload(today):
+            return self.reload(table)
+        if spec.last_modified and spec.primary_key:
+            lm = spec.last_modified
+            wm = self.wh.watermark(table, lm)
+            delta = self.extract(
+                table,
+                where=None if wm is None else f"{lm} >= {_sql_literal(wm)}",
+            )
+            if delta.isEmpty():
+                return SyncResult(table, "noop", 0)
+            delta.persist()
+            try:
+                rows = delta.count()
+                self.wh.merge(delta, table, spec.primary_key, order_col=lm)
+            finally:
+                delta.unpersist()
+            return SyncResult(table, "merged", rows)
+        if spec.primary_key:
+            pk = spec.primary_key[0]
+            wm = self.wh.watermark(table, pk)
+            delta = self.extract(
+                table,
+                where=None if wm is None else f"{pk} > {_sql_literal(wm)}",
+            )
+            delta.persist()
+            try:
+                rows = delta.count()
+                if rows == 0:
+                    return SyncResult(table, "noop", 0)
+                self.wh.append(delta, table)
+            finally:
+                delta.unpersist()
+            return SyncResult(table, "appended", rows)
+        return self.reload(table)
+
+    def sync_all(self, today=None):
+        from .engine import SyncResult
+
+        results = []
+        for table in self.specs or {}:
+            try:
+                results.append(self.sync(table, today=today))
+            except Exception as exc:
+                results.append(SyncResult(table, f"error: {exc}", 0))
+        return results

@@ -208,3 +208,122 @@ def test_cli_publish_to_duckdb(spark, tmp_path, capsys):
     assert "published nation: 25 rows" in capsys.readouterr().out
     wh = DuckDBWarehouse(db)
     assert wh.count(spark, "nation") == 25
+
+
+# ---------------------------------------------------------------------------
+# warehouse: {type: duckdb} — the reference's PRIMARY topology (sync
+# straight into the live warehouse), end-to-end through the CLI with
+# the reference's own scenario shapes (test_postgres.py:122-187).
+# ---------------------------------------------------------------------------
+
+
+def _duck_cfg(tmp_path, src_dir, tables):
+    import yaml
+
+    db = str(tmp_path / "live_wh.duckdb")
+    cfg = tmp_path / "pgw_duck.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "source": {"type": "parquet", "path": str(src_dir)},
+                "warehouse": {"type": "duckdb", "path": db},
+                "tables": tables,
+            }
+        )
+    )
+    return str(cfg), db
+
+
+def test_sync_into_live_duckdb_basic_and_incremental(spark, sf_dir, tmp_path):
+    """test_basic_sync + test_incremental_sync through `sync`: first
+    sync creates the warehouse table, an unchanged resync is a noop,
+    two new source rows append exactly 2."""
+    from pgwarehouse_spark import cli
+
+    src_dir = tmp_path / "src"
+    users = _users(spark, sf_dir)
+    users.write.parquet(str(src_dir / "users10"))
+    cfg, db = _duck_cfg(
+        tmp_path, src_dir, {"users10": {"primary_key": "c_custkey"}}
+    )
+
+    assert cli.main(["sync", "users10", "--config", cfg], spark=spark) == 0
+    wh = DuckDBWarehouse(db)
+    orig = users.count()
+    assert wh.count(spark, "users10") == orig
+    # resync: zero-delta noop
+    assert cli.main(["sync", "users10", "--config", cfg], spark=spark) == 0
+    assert wh.count(spark, "users10") == orig
+
+    top = users.agg(F.max("c_custkey")).collect()[0][0]
+    two = spark.createDataFrame(
+        [(top + 1, "sean hannity", 55.0), (top + 2, "laura ingraham", 45.0)],
+        schema=users.schema,
+    )
+    users.unionByName(two).write.mode("overwrite").parquet(
+        str(src_dir / "users10")
+    )
+    assert cli.main(["sync", "users10", "--config", cfg], spark=spark) == 0
+    assert wh.count(spark, "users10") == orig + 2
+    assert wh.query(
+        f"SELECT COUNT(*) FROM users10 WHERE c_custkey > {top}"
+    )[0][0] == 2
+
+
+def test_sync_into_live_duckdb_last_modified_upsert(spark, sf_dir, tmp_path):
+    """test_last_modified_sync through `sync`: bump 2 rows' watermark
+    (amount := id) and add 1 row; the resync merges — count orig+1,
+    amount == id on the touched rows."""
+    from pgwarehouse_spark import cli
+
+    src_dir = tmp_path / "src"
+    orders = _orders(spark, sf_dir, n=100)
+    orders.write.parquet(str(src_dir / "my_orders"))
+    cfg, db = _duck_cfg(
+        tmp_path,
+        src_dir,
+        {
+            "my_orders": {
+                "primary_key": "o_orderkey",
+                "last_modified": "o_orderdate",
+            }
+        },
+    )
+    assert cli.main(["sync", "my_orders", "--config", cfg], spark=spark) == 0
+    wh = DuckDBWarehouse(db)
+    orig = orders.count()
+    assert wh.count(spark, "my_orders") == orig
+
+    keys = [r["o_orderkey"] for r in orders.limit(2).collect()]
+    new_key = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    future = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    bump = F.lit(future) + F.expr("INTERVAL 1 DAY")
+    updated = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").isin(keys), F.col("o_orderkey").cast("double")
+        ).otherwise(F.col("o_totalprice")),
+    ).withColumn(
+        "o_orderdate",
+        F.when(F.col("o_orderkey").isin(keys), bump).otherwise(
+            F.col("o_orderdate")
+        ),
+    )
+    extra = spark.createDataFrame(
+        [(new_key, 1, 9999.9, None)], schema=orders.schema
+    ).withColumn("o_orderdate", bump)
+    updated.unionByName(extra).write.mode("overwrite").parquet(
+        str(src_dir / "my_orders")
+    )
+
+    assert cli.main(["sync", "my_orders", "--config", cfg], spark=spark) == 0
+    assert wh.count(spark, "my_orders") == orig + 1
+    for k in keys:
+        assert wh.query(
+            f"SELECT o_totalprice FROM my_orders WHERE o_orderkey = {k}"
+        )[0][0] == float(k)
+    assert wh.query(
+        "SELECT COUNT(*) FROM my_orders WHERE o_totalprice = 9999.9"
+    )[0][0] == 1
+    # lake-only maintenance refuses clearly on a duckdb warehouse
+    assert cli.main(["compact", "my_orders", "--config", cfg], spark=spark) == 1
