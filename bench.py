@@ -120,6 +120,7 @@ HEADLINE = [
     "audit_k_anonymity",
     "events_holt_forecast",
     "text_bigram_logprob",
+    "events_quantile_rollup_sketch",
 ]
 
 

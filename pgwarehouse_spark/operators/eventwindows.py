@@ -631,6 +631,115 @@ def events_distinct_rollup_estimates(
     return rolled
 
 
+_QSK_SUB = 8  # log-grid sub-buckets per e-fold → ≤ e^(1/8)-1 ≈ 13.3% rel err
+_QSK_REL_ERR = 0.15  # verdict envelope (grid bound + interpolation slack)
+
+
+def events_quantile_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE maintenance — the percentile sibling of the
+    HLL distinct rollup: per (week, day) build a fixed log-grid
+    histogram over `value` (bucket = floor(ln(value)·8), a few hundred
+    bigint counters — the poor man's KLL/t-digest with engine-exact
+    determinism), then roll days to weeks by SUMMING bucket counts —
+    integer vector addition, associative/commutative/re-aggregable to
+    any coarser granularity without touching raw events. Exact
+    percentiles cannot do this (percentile state is data-sized), which
+    is why every 100 TB latency/size dashboard ships on mergeable
+    sketches. Estimate for percentile p = geometric midpoint of the
+    first bucket whose cumulative count reaches ceil(p·total); the log
+    grid bounds relative error by e^(1/8)-1 regardless of the value
+    distribution's scale.
+
+    Scale: pass 1 partial-aggregates (week, day, bucket) counts
+    map-side; the rollup shuffles O(weeks·buckets) counter rows, not
+    values. Returns (week_start, n_days, n_events, p50_est, p90_est)."""
+    e = t(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.to_date("ts").alias("d"),
+        F.floor(F.log(F.col("value")) * _QSK_SUB).cast("bigint").alias("bucket"),
+    )
+    daily = wk.groupBy("week_start", "d", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weekly = daily.groupBy("week_start", "bucket").agg(F.sum("n").alias("n"))
+    n_days = (
+        daily.select("week_start", "d")
+        .distinct()
+        .groupBy("week_start")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    w_cum = W.partitionBy("week_start").orderBy("bucket")
+    cum = weekly.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(W.partitionBy("week_start"))
+    )
+
+    def _est(p: float, name: str):
+        b = F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("total")), F.col("bucket")
+            )
+        )
+        return F.exp((b + 0.5) / _QSK_SUB).alias(name)
+
+    est = cum.groupBy("week_start").agg(
+        F.max("total").alias("n_events"),
+        _est(0.5, "p50_est"),
+        _est(0.9, "p90_est"),
+    )
+    return est.join(n_days, "week_start").select(
+        "week_start", "n_days", "n_events", "p50_est", "p90_est"
+    )
+
+
+@register(
+    "events_quantile_rollup_sketch",
+    category="events",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events GROUP BY 1 ORDER BY week_start
+    """,
+    doc="Mergeable log-grid quantile rollup, registered as a "
+    "bounded-error verdict (the HLL-rollup pattern): exact per-week "
+    "day/event counts hash-match cross-engine — n_events comes FROM THE "
+    "MERGED SKETCH, proving the histogram lost no rows — and p50/p90 "
+    "estimate-vs-exact relative errors, computed in Spark against exact "
+    "percentile(), are pinned within the grid's error bound as literal "
+    "TRUE. Merged-of-daily == direct-weekly is pinned exactly in "
+    "tests/test_determinism.py.",
+)
+def events_quantile_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered verdict wrapper over `events_quantile_rollup_estimates`."""
+    est = events_quantile_rollup_estimates(spark, sf_dir)
+    e = t(spark, sf_dir, "events")
+    exact = (
+        e.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+            "value",
+        )
+        .groupBy("week_start")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50x"),
+            F.expr("percentile(value, 0.9)").alias("p90x"),
+        )
+    )
+    ok = lambda a, b: (F.abs(F.col(a) - F.col(b)) / F.col(b) <= _QSK_REL_ERR)  # noqa: E731
+    return (
+        est.join(exact, "week_start")
+        .select(
+            "week_start",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            ok("p50_est", "p50x").alias("p50_ok"),
+            ok("p90_est", "p90x").alias("p90_ok"),
+        )
+        .orderBy("week_start")
+    )
+
+
 @register(
     "events_markov_transitions",
     category="events",

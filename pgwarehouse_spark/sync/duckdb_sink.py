@@ -64,12 +64,12 @@ class DuckDBWarehouse:
         os.makedirs(os.path.dirname(os.path.abspath(self.db_path)), exist_ok=True)
         return duckdb.connect(self.db_path)
 
-    def query(self, sql: str) -> list[tuple]:
+    def query(self, sql: str, params: list | None = None) -> list[tuple]:
         """Probe queries against the live warehouse (the reference's
         `_query_table`, duckdb_backend.py:124-129)."""
         con = self._con()
         try:
-            return con.execute(sql).fetchall()
+            return con.execute(sql, params).fetchall()
         finally:
             con.close()
 
@@ -217,8 +217,9 @@ class DuckDBWarehouse:
 
     def exists(self, spark: SparkSession, table: str) -> bool:
         rows = self.query(
-            f"SELECT COUNT(*) FROM information_schema.tables "
-            f"WHERE table_name = '{table}'"
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name = ?",
+            [table],
         )
         return rows[0][0] > 0
 

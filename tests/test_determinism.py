@@ -123,3 +123,59 @@ def test_fixed_point_dot_bit_identical_across_partitionings(spark, sf_dir, npart
         F.sum(F.col("l2").cast("decimal(28,12)")).alias("sl"),
     ).collect()[0]
     assert got.sd == want.sd and got.sl == want.sl
+
+
+def test_quantile_rollup_merge_equals_direct_and_bounded(spark, sf_dir):
+    """Log-grid quantile sketch mergeability (r4): the weekly histogram
+    summed from DAILY histograms must equal the histogram built
+    directly over the week — integer vector addition, exact — and the
+    derived p50/p90 estimates must sit within the grid's error bound
+    of the exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.eventwindows import (
+        _QSK_REL_ERR,
+        _QSK_SUB,
+        events_quantile_rollup_estimates,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.to_date("ts").alias("d"),
+        F.floor(F.log(F.col("value")) * _QSK_SUB).cast("bigint").alias("bucket"),
+        "value",
+    )
+    # merged-of-daily == direct weekly, bucket by bucket
+    daily_then_week = (
+        wk.groupBy("week_start", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("week_start", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct_week = wk.groupBy("week_start", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert daily_then_week.exceptAll(direct_week).count() == 0
+    assert direct_week.exceptAll(daily_then_week).count() == 0
+
+    # estimates vs exact percentiles within the documented bound
+    est = {
+        r["week_start"]: (r["p50_est"], r["p90_est"])
+        for r in events_quantile_rollup_estimates(spark, sf_dir).collect()
+    }
+    exact = {
+        r["week_start"]: (r["p50"], r["p90"])
+        for r in wk.groupBy("week_start")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, (e50, e90) in est.items():
+        x50, x90 = exact[k]
+        assert abs(e50 - x50) / x50 <= _QSK_REL_ERR, (k, e50, x50)
+        assert abs(e90 - x90) / x90 <= _QSK_REL_ERR, (k, e90, x90)
