@@ -6,11 +6,12 @@ Decode is tiered (`decode_payload`): the optional codec lib
 (PIL/soundfile/av) when installed and the payload parses
 (`_try_real_decode`); else a DEPENDENCY-FREE stdlib tier
 (`_stdlib_decode` — genuine PNG decode via zlib/struct with CRC + IDAT
-inflate validation, genuine WAV via `wave`), so real decodes execute
+inflate validation, genuine WAV via `wave`, genuine MP4 container
+metadata via a box-tree parse of mvhd/tkhd), so real decodes execute
 even in codec-less containers; else the deterministic, clearly-marked
-STUB (`_decode_stub`) supplies fake metadata (the only path for
-unparseable bytes and for video without av). Everything Spark-side is
-real and tested in every tier: the
+STUB (`_decode_stub`) supplies fake metadata (the only path left for
+unparseable bytes; pixel/frame decode itself still needs the codec
+libs). Everything Spark-side is real and tested in every tier: the
 binary column construction, the metadata schema, the Pandas-UDF batch
 iterator signature, partitioning, and the downstream aggregation. The
 registered decode query's oracle checks only codec-independent fields,
@@ -226,12 +227,81 @@ def _decode_wav_stdlib(payload: bytes) -> tuple[int, int] | None:
     return int(frames * 1000 / rate), int(rate)
 
 
+def _decode_mp4_stdlib(payload: bytes) -> tuple[int, int, int] | None:
+    """First-principles ISO-BMFF (MP4) metadata parse with the stdlib:
+    walk the box tree, require a coherent chain ending exactly at the
+    payload boundary, read duration/timescale from ``moov/mvhd`` and
+    the first track's 16.16 fixed-point dimensions from
+    ``moov/trak/tkhd`` — the same container metadata the av tier
+    extracts (duration + stream dims), from a genuine parse rather than
+    a magic-bytes sniff. Returns (width, height, duration_ms) or None
+    for anything that is not a well-formed container. Frame/pixel
+    decode still requires a codec library; this tier covers the
+    metadata fields the decode schema carries."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            if size == 0:  # "to end of enclosing container"
+                size = end - pos
+            if size < 8 or pos + size > end:  # 64-bit sizes unsupported
+                raise ValueError("bad box")
+            yield typ, pos + 8, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing bytes")
+
+    def find(buf: bytes, start: int, end: int, typ: bytes):
+        for t, b, e in boxes(buf, start, end):
+            if t == typ:
+                return b, e
+        return None
+
+    try:
+        top = list(boxes(payload, 0, len(payload)))
+        if not any(t == b"ftyp" for t, _b, _e in top):
+            return None
+        moov = find(payload, 0, len(payload), b"moov")
+        if moov is None:
+            return None
+        mvhd = find(payload, *moov, b"mvhd")
+        if mvhd is None:
+            return None
+        mb, me = mvhd
+        version = payload[mb]
+        if version == 0:
+            timescale, duration = struct.unpack(">II", payload[mb + 12 : mb + 20])
+        elif version == 1:
+            timescale, duration = struct.unpack(">IQ", payload[mb + 20 : mb + 32])
+        else:
+            return None
+        if timescale <= 0:
+            return None
+        width = height = 0
+        trak = find(payload, *moov, b"trak")
+        if trak is not None:
+            tkhd = find(payload, *trak, b"tkhd")
+            if tkhd is not None:
+                tb, te = tkhd
+                toff = 72 if payload[tb] == 0 else 84  # v0 / v1 field sizes
+                w_fixed, h_fixed = struct.unpack(
+                    ">II", payload[tb + 4 + toff : tb + 4 + toff + 8]
+                )
+                width, height = w_fixed >> 16, h_fixed >> 16
+        return width, height, int(duration * 1000 // timescale)
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
 def _stdlib_decode(payload: bytes, modality: str) -> dict | None:
     """Dependency-free decode tier between the optional codec libs and
     the stub (VERDICT r03 item 5): guarantees the genuine-decode branch
-    EXECUTES in codec-less containers for the formats the stdlib can
-    handle — PNG images (zlib/struct) and WAV audio (wave). Video has
-    no stdlib container parser; it stays behind the av gate."""
+    EXECUTES in codec-less containers — PNG images (zlib/struct), WAV
+    audio (wave), and MP4 container metadata (box-tree parse for
+    duration + track dims; pixel/frame decode stays behind av)."""
     if modality == "image":
         dims = _decode_png_stdlib(payload)
         if dims is not None:
@@ -248,6 +318,15 @@ def _stdlib_decode(payload: bytes, modality: str) -> dict | None:
                 "width": 0,
                 "height": 0,
                 "duration_ms": wav[0],
+                "checksum": _checksum(payload),
+            }
+    if modality == "video":
+        mp4 = _decode_mp4_stdlib(payload)
+        if mp4 is not None:
+            return {
+                "width": mp4[0],
+                "height": mp4[1],
+                "duration_ms": mp4[2],
                 "checksum": _checksum(payload),
             }
     return None

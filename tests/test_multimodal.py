@@ -373,3 +373,84 @@ def test_genuine_av_rejects_junk_gracefully():
 
     junk = b"not a media container"
     assert mm.decode_payload(junk, "video") == mm._decode_stub(junk, "video")
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _tiny_mp4(width=320, height=240, duration_ms=2000, version=0) -> bytes:
+    """A minimal valid ISO-BMFF container built from first principles:
+    ftyp + moov(mvhd + trak(tkhd)), spec-complete v0/v1 field layouts,
+    1 kHz movie timescale so duration_ms is the mvhd duration."""
+    if version == 0:
+        mvhd = (
+            bytes([0]) + b"\x00\x00\x00"          # version 0 + flags
+            + struct.pack(">II", 0, 0)             # creation/modification
+            + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        )
+        tkhd_times = struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(
+            ">I", duration_ms
+        )
+        tk_ver = bytes([0])
+    else:
+        mvhd = (
+            bytes([1]) + b"\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 1000)
+            + struct.pack(">Q", duration_ms)
+        )
+        tkhd_times = (
+            struct.pack(">QQ", 0, 0)
+            + struct.pack(">II", 1, 0)
+            + struct.pack(">Q", duration_ms)
+        )
+        tk_ver = bytes([1])
+    mvhd += (
+        struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)  # rate, vol
+        + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24              # matrix etc.
+        + struct.pack(">I", 2)                                     # next track
+    )
+    tkhd = (
+        tk_ver + b"\x00\x00\x07" + tkhd_times
+        + b"\x00" * 8                       # reserved
+        + b"\x00" * 8                       # layer/alt-group/volume/reserved
+        + b"\x00" * 36                      # matrix
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    )
+    moov = _mp4_box(
+        b"mvhd", mvhd
+    ) + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    return (
+        _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        + _mp4_box(b"moov", moov)
+    )
+
+
+def test_stdlib_mp4_parser_decodes_and_rejects(monkeypatch):
+    """The stdlib video tier (r4): a genuine ISO-BMFF box-tree parse —
+    both mvhd/tkhd versions yield true dims/duration even with av
+    poisoned; truncated/box-incoherent/moov-less bytes reject to the
+    stub."""
+    from pgwarehouse_spark.operators import multimodal as mm
+
+    monkeypatch.setitem(sys.modules, "av", None)  # import → ImportError
+    for ver in (0, 1):
+        clip = _tiny_mp4(width=640, height=360, duration_ms=2500, version=ver)
+        meta = mm.decode_payload(clip, "video")
+        assert (meta["width"], meta["height"], meta["duration_ms"]) == (
+            640,
+            360,
+            2500,
+        ), ver
+        assert meta["checksum"] == mm._checksum(clip)
+
+    clip = _tiny_mp4()
+    assert mm._decode_mp4_stdlib(clip[: len(clip) // 2]) is None  # truncated
+    bad = bytearray(clip)
+    bad[0] ^= 0x40  # corrupt the first box size → incoherent chain
+    assert mm._decode_mp4_stdlib(bytes(bad)) is None
+    no_moov = _mp4_box(b"ftyp", b"isom" + b"\x00" * 12)
+    assert mm._decode_mp4_stdlib(no_moov) is None
+    junk = b"definitely not a container"
+    assert mm.decode_payload(junk, "video") == mm._decode_stub(junk, "video")
