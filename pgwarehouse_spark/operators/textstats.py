@@ -862,6 +862,133 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_BPE_APPLY_MERGES = 8  # unrolled greedy merge rounds (BPE training loop)
+
+
+def _sql_bpe_round(prev: str, pair: str, nxt: str) -> str:
+    """One BPE training round as DuckDB CTEs: count adjacent symbol
+    pairs over the current segmentation, pick the (count desc, pair
+    asc) winner, merge it everywhere. Mirrors the Spark loop exactly —
+    same ordering, same non-overlapping left-to-right replace."""
+    return f"""
+    {pair} AS (
+      SELECT l, r, cnt FROM (
+        SELECT x[1] AS l, x[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT freq, string_split(TRIM(seg), ' ') AS syms FROM {prev}
+        ), unnest(list_zip(syms, syms[2:])) AS u(x)
+        WHERE x[2] IS NOT NULL
+        GROUP BY l, r
+      ) ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    {nxt} AS (
+      SELECT w, freq,
+             CASE WHEN p.l IS NULL THEN seg
+                  ELSE replace(seg, ' ' || p.l || ' ' || p.r || ' ',
+                               ' ' || p.l || p.r || ' ')
+             END AS seg
+      FROM {prev} LEFT JOIN {pair} p ON TRUE
+    )"""
+
+
+_SQL_BPE_APPLY = f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wfreq AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    seg0 AS (
+      SELECT w, freq,
+             ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seg
+      FROM wfreq
+    ),
+    {",".join(_sql_bpe_round(f"seg{i}", f"pair{i + 1}", f"seg{i + 1}")
+              for i in range(_BPE_APPLY_MERGES))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, l AS left_sym, "
+          f"r AS right_sym, l || r AS merged, cnt AS pair_count "
+          f"FROM pair{i + 1}"
+          for i in range(_BPE_APPLY_MERGES))}
+    ) ORDER BY merge_rank
+"""
+
+
+@register(
+    "tokenizer_bpe_apply",
+    category="text",
+    oracle=_SQL_BPE_APPLY,
+    doc="The full greedy BPE training loop, not just one step: "
+    f"{_BPE_APPLY_MERGES} merge rounds — each counts adjacent symbol "
+    "pairs over the current segmentation of the word-frequency table, "
+    "takes the (count desc, pair asc) winner as a driver scalar (the "
+    "watermark pattern: one tiny collect per round, never corpus-"
+    "sized), and merges it everywhere with a literal non-overlapping "
+    "replace. The result is the MERGE TABLE itself — (rank, left, "
+    "right, merged, pair count at merge time), the artifact a "
+    "tokenizer trainer ships. The oracle replays every round as "
+    "chained CTEs with the identical ordering and replace semantics, "
+    "so the learned merges match cross-engine exactly.",
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: all rounds run over the DISTINCT-WORD frame (the classic
+    BPE preprocessing collapse — vocab-sized, not corpus-sized), so the
+    only data-sized work is the initial word count. Each round is one
+    combinable pair aggregation + a `first()` driver scalar + one
+    map-side replace; the vocab frame is localCheckpointed once so the
+    per-round lineage stays flat. Application to the corpus is implicit
+    in the freq weights (token_count = sum of word freqs), exactly as a
+    tokenizer-training job consumes it."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    seg = wfreq.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+        ).alias("seg"),
+    ).localCheckpoint()
+    merges: list = []
+    for _ in range(_BPE_APPLY_MERGES):
+        syms = F.split(F.trim(F.col("seg")), " ")
+        n = F.size(syms)
+        zipped = F.arrays_zip(
+            F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+        )
+        top = (
+            seg.select(F.explode(zipped).alias("p"), "freq")
+            .filter(F.col("p.r").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .first()
+        )
+        if top is None:  # pairs exhausted (empty/degenerate corpus)
+            break
+        merges.append(
+            (len(merges) + 1, top["l"], top["r"], top["l"] + top["r"],
+             top["cnt"])
+        )
+        seg = seg.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {top['l']} {top['r']} "),
+                F.lit(f" {top['l']}{top['r']} "),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
 _LANGID_PRED_SQL = """
            CASE
              WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
