@@ -119,10 +119,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
 #: commands a live-DuckDB warehouse config supports (the reference's
 #: duckdb backend surface); parquet-lake-only maintenance (compact,
-#: optimize, tx history/vacuum, verify, publish) errors clearly
+#: optimize, tx history/vacuum, publish) errors clearly
 _DUCKDB_WAREHOUSE_COMMANDS = {
     "init", "list", "listwh", "extract", "load", "sync", "reload",
-    "query", "queries", "audit", "explain", "sql",
+    "verify", "query", "queries", "audit", "explain", "sql",
 }
 
 

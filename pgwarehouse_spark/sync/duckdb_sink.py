@@ -390,6 +390,58 @@ class DuckDBSyncEngine:
             return SyncResult(table, "appended", rows)
         return self.reload(table)
 
+    def verify(self, table: str) -> dict:
+        """Source↔live-warehouse consistency audit (the DuckDB form of
+        SyncEngine.verify / A18): per-group row counts and
+        order-independent content digests compared side-by-side, with
+        the SOURCE side computed in Spark and the WAREHOUSE side as one
+        SQL aggregate INSIDE DuckDB — no table read-back. Both engines
+        hash the identical canonical string (coalesced '<NULL>'
+        sentinels, '|' separators, md5 prefix → bigint; the
+        cross-engine-portable form `operators/syncshapes.py::
+        canon_row_digest` pins against DuckDB in its own oracle), and
+        group on digest % 64 — portable, unlike xxhash64 bucketing —
+        so a mismatch pinpoints 1/64th of the rows to re-sync.
+        Returns {'ok': bool, 'groups': [diverging group ids]}."""
+        from pyspark.sql import functions as F
+
+        from ..operators.syncshapes import canon_row_digest
+
+        src = self.extract(table)
+        cols = sorted(src.columns)
+        n_groups = 64
+
+        h = canon_row_digest(*[F.col(c).cast("string") for c in cols])
+        src_side = {
+            r["g"]: (r["n"], r["d"])
+            for r in src.select(
+                F.pmod(h, F.lit(n_groups)).alias("g"), h.alias("h")
+            )
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("d"))
+            .collect()
+        }
+
+        qi = self.wh.dialect.quote_ident
+        canon_sql = " || '|' || ".join(
+            f"COALESCE(CAST({qi(c)} AS VARCHAR), '<NULL>')" for c in cols
+        )
+        h_sql = f"CAST('0x' || SUBSTR(md5({canon_sql}), 1, 15) AS BIGINT)"
+        wh_side = {
+            g: (n, d)
+            for g, n, d in self.wh.query(
+                f"SELECT h % {n_groups} AS g, CAST(COUNT(*) AS BIGINT) AS n, "
+                f"BIT_XOR(h) AS d FROM "
+                f"(SELECT {h_sql} AS h FROM {qi(table)}) GROUP BY g"
+            )
+        }
+        bad = sorted(
+            g
+            for g in set(src_side) | set(wh_side)
+            if src_side.get(g) != wh_side.get(g)
+        )
+        return {"ok": not bad, "groups": bad, "buckets": bad}
+
     def sync_all(self, today=None):
         from .engine import SyncResult
 

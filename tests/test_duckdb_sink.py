@@ -327,3 +327,37 @@ def test_sync_into_live_duckdb_last_modified_upsert(spark, sf_dir, tmp_path):
     )[0][0] == 1
     # lake-only maintenance refuses clearly on a duckdb warehouse
     assert cli.main(["compact", "my_orders", "--config", cfg], spark=spark) == 1
+
+
+def test_verify_against_live_duckdb_detects_divergence(spark, sf_dir, tmp_path):
+    """Source↔live-warehouse digest audit: green after a faithful sync,
+    red (pinpointing a digest group) after the warehouse copy is
+    tampered with warehouse-side — all warehouse hashing runs INSIDE
+    DuckDB, no read-back."""
+    from pgwarehouse_spark import cli
+    from pgwarehouse_spark.sync.duckdb_sink import DuckDBSyncEngine
+
+    src_dir = tmp_path / "src"
+    _orders(spark, sf_dir, n=120).write.parquet(str(src_dir / "my_orders"))
+    cfg, db = _duck_cfg(
+        tmp_path, src_dir, {"my_orders": {"primary_key": "o_orderkey"}}
+    )
+    assert cli.main(["sync", "my_orders", "--config", cfg], spark=spark) == 0
+    assert cli.main(["verify", "my_orders", "--config", cfg], spark=spark) == 0
+
+    # tamper in the warehouse only
+    wh = DuckDBWarehouse(db)
+    wh.query("UPDATE my_orders SET o_totalprice = o_totalprice + 1 "
+             "WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM my_orders)")
+    assert cli.main(["verify", "my_orders", "--config", cfg], spark=spark) == 1
+
+    import yaml
+
+    eng = DuckDBSyncEngine.from_config(
+        spark, __import__("pgwarehouse_spark.catalog", fromlist=["Config"])
+        .Config.from_yaml(cfg)
+    )
+    report = eng.verify("my_orders")
+    assert not report["ok"]
+    # exactly the tampered row's group(s) flagged, counts still equal
+    assert 1 <= len(report["groups"]) <= 2
