@@ -228,3 +228,72 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+def rowgroup_stats(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Distributed parquet-FOOTER inspection: per (file, row group,
+    column) the row count and the footer's min/max statistics — the
+    exact metadata engines use for row-group/file skipping, read
+    WITHOUT touching data pages. This is the diagnostic a layout job
+    (compact, z-order) runs to prove its clustering landed: tight
+    per-row-group min/max rectangles == effective pruning.
+
+    Scale design: file listing rides Spark's `binaryFile` reader with a
+    footer-only projection (`path`/`length`, content column never
+    selected so data bytes don't ship), then footers parse
+    EXECUTOR-side via pyarrow `mapInPandas` — one task per batch of
+    files, no driver-side loop, no full-file reads (pyarrow seeks the
+    footer). DuckDB's `parquet_metadata()` is the cross-engine check
+    (pinned in tests/test_zorder.py); values are stringified exactly as
+    pyarrow reports them, keeping the schema generic across column
+    types."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path")
+    wanted = list(columns) if columns else None
+
+    def _read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for uri in pdf["path"]:
+                local = uri[len("file:"):] if uri.startswith("file:") else uri
+                meta = pq.ParquetFile(local).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if wanted is not None and name not in wanted:
+                            continue
+                        st = col.statistics
+                        out.append(
+                            {
+                                "file": local,
+                                "row_group": rg,
+                                "n_rows": g.num_rows,
+                                "col_name": name,
+                                "min_val": None
+                                if st is None or not st.has_min_max
+                                else str(st.min),
+                                "max_val": None
+                                if st is None or not st.has_min_max
+                                else str(st.max),
+                            }
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "row_group", "n_rows",
+                    "col_name", "min_val", "max_val",
+                ],
+            )
+
+    return files.mapInPandas(
+        _read_footers,
+        schema="file string, row_group int, n_rows bigint, "
+        "col_name string, min_val string, max_val string",
+    )

@@ -120,3 +120,52 @@ def test_zorder_layout_rejects_unsupported_types_up_front(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "k bigint, s string")
     with _pytest.raises(TypeError, match="z-order column 's'"):
         write_zorder_layout(df, str(tmp_path / "z"), "k", "s")
+
+
+def test_rowgroup_stats_match_duckdb_parquet_metadata(spark, sf_dir, tmp_path):
+    """Distributed footer inspection (r4): rowgroup_stats (binaryFile
+    listing + executor-side pyarrow footer parse, data pages untouched)
+    must agree with DuckDB's parquet_metadata() on every (file, row
+    group, column) row count and min/max — and on a z-ordered layout
+    the FOOTER stats alone must show bounded rectangles on both
+    dimensions (the actual pruning mechanism, not a data re-scan)."""
+    import duckdb
+
+    from pgwarehouse_spark.operators.zorder import rowgroup_stats
+    from pgwarehouse_spark.sources.tables import load_table
+
+    o = load_table(spark, str(sf_dir), "orders").select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dd"),
+    )
+    zpath = str(tmp_path / "z")
+    write_zorder_layout(o, zpath, "ck", "dd", n_files=8)
+
+    got = {
+        (r["file"], r["row_group"], r["col_name"]): (
+            r["n_rows"], r["min_val"], r["max_val"],
+        )
+        for r in rowgroup_stats(spark, zpath, ["ck", "dd"]).collect()
+    }
+    want = {
+        (f, rg, col): (n, mn, mx)
+        for f, rg, col, n, mn, mx in duckdb.sql(
+            f"SELECT file_name, row_group_id, path_in_schema, "
+            f"row_group_num_rows, stats_min_value, stats_max_value "
+            f"FROM parquet_metadata('{zpath}/*.parquet') "
+            f"WHERE path_in_schema IN ('ck', 'dd')"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 2
+
+    # footer-only locality proof: per-row-group extents ≪ global extents
+    by_rg: dict = {}
+    for (f, rg, col), (_n, mn, mx) in got.items():
+        by_rg.setdefault((f, rg), {})[col] = int(mx) - int(mn)
+    g_ck = o.agg(F.max("ck") - F.min("ck")).collect()[0][0]
+    g_dd = o.agg(F.max("dd") - F.min("dd")).collect()[0][0]
+    ext_ck = sum(v["ck"] for v in by_rg.values()) / len(by_rg)
+    ext_dd = sum(v["dd"] for v in by_rg.values()) / len(by_rg)
+    assert ext_ck <= g_ck * 0.6 and ext_dd <= g_dd * 0.6, (ext_ck, ext_dd)
