@@ -703,3 +703,47 @@ def stream_cdc_apply(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_quantile_maintenance(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained QUANTILE state (r4): every micro-batch
+    additively merges its (day, event_type, qbucket) log-grid histogram
+    counts into the bucketed rollup — the streaming feed of
+    `events_quantile_rollup_estimates`'s mergeable sketch. Because the
+    sketch is plain integer counters keyed by bucket, maintenance needs
+    NO new machinery: it is `update_rollup` with the quantile bucket as
+    a group key, so per-batch work is O(groups touched) and serving
+    p50/p99 from the table is a cumulative-sum read, never a raw-event
+    scan. Exactly-once via the streaming checkpoint (additive counters
+    double-count on replay, same contract as stream_rollup_maintenance)."""
+    from ..operators.eventwindows import _QSK_SUB
+    from ..sync.rollup import update_rollup
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clamped = F.greatest(
+            F.coalesce(F.col("value"), F.lit(0.0)), F.lit(1e-12)
+        )
+        delta = batch_df.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.floor(F.log(clamped) * _QSK_SUB).cast("bigint").alias("qbucket"),
+        )
+        update_rollup(
+            batch_df.sparkSession,
+            rollup_path,
+            delta,
+            group_keys=["day", "event_type", "qbucket"],
+            measures=[("n", F.count(F.lit(1)))],
+            num_buckets=8,
+        )
+
+    writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

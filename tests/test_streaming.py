@@ -700,3 +700,46 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     # and before the watermark push, at least those trailing outer rows
     # were withheld (streaming held them back for correctness)
     assert n_before <= len(got)
+
+
+def test_stream_quantile_maintenance_matches_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Streaming quantile state (r4): after draining the stream through
+    per-batch histogram merges, the maintained (day, type, qbucket)
+    counters equal the one-shot batch histogram EXACTLY (integer vector
+    addition is order/batching-independent), so any percentile served
+    from the table matches the batch sketch."""
+    from pgwarehouse_spark.operators.eventwindows import _QSK_SUB
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_quantile_maintenance,
+    )
+    from pgwarehouse_spark.sync.rollup import read_rollup
+
+    rollup = str(tmp_path / "qrollup")
+    ckpt = str(tmp_path / "qckpt")
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    q = stream_quantile_maintenance(stream, rollup, checkpoint=ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.day, r.event_type, r.qbucket): r.n
+        for r in read_rollup(spark, rollup).collect()
+    }
+    clamped = F.greatest(F.coalesce(F.col("value"), F.lit(0.0)), F.lit(1e-12))
+    want = {
+        (r.day, r.event_type, r.qbucket): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.floor(F.log(clamped) * _QSK_SUB).cast("bigint").alias("qbucket"),
+        )
+        .groupBy("day", "event_type", "qbucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
