@@ -42,6 +42,15 @@ _BUDGETS = {
     # pair count ~143x (512 -> 73k); wall grows ~13x — sublinear in
     # output (see SCALE.md). Budget bounds it at 2x the measured slope.
     "dedup_containment": 26.0,
+    # wedge/iteration work genuinely grows faster than rows on the
+    # densified replica: healthy measured slopes ~6-7 — a warm base
+    # timing can push the RATIO past 10 with no algorithmic change, so
+    # these carry ~2x-healthy budgets. A quadratic regression lands at
+    # 50-100x (the old IVF defect measured 14.9x from a healthy 2.5);
+    # these budgets still catch that class.
+    "graph_triangle_count": 14.0,
+    "sim_topk_bruteforce": 14.0,
+    "graph_pagerank": 13.0,
 }
 _FLOOR = 0.4  # seconds; sf0.1 timings below this are overhead-dominated
 
