@@ -480,3 +480,143 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.select(
         "part", "component_id", F.count(F.lit(1)).over(w).alias("component_size")
     ).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 4
+_LP_TOP = 50
+_LP_DATE_LO = "1995-01-01"
+_LP_DATE_HI = "1995-12-31"
+
+
+def _sql_lp_iter(prev: str, i: int) -> str:
+    """One synchronous label-propagation step as DuckDB CTEs: count each
+    incoming neighbor label, adopt the most frequent (ties -> smallest
+    label) — integer-only arithmetic, so cross-engine bit parity is
+    structural."""
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN {prev} l ON l.node = e.src
+      GROUP BY e.dst, l.label
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label ASC
+               ) AS rk
+        FROM c{i}
+      ) WHERE rk = 1
+    )"""
+
+
+_LP_ITER_SQL = ",".join(
+    _sql_lp_iter(f"l{i - 1}", i) for i in range(1, _LP_ITERS + 1)
+)
+
+_LABELPROP_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '{_LP_DATE_LO}' AND DATE '{_LP_DATE_HI}'
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LP_ITER_SQL}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_part, MAX(node) AS max_part
+    FROM l{_LP_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT {_LP_TOP}
+"""
+
+
+@register("graph_label_propagation", category="graph", oracle=_LABELPROP_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over one
+    shipping year's co-purchase graph (4 unrolled rounds): every
+    part starts in its own community, then repeatedly adopts the most
+    frequent label among its neighbors (ties -> smallest label, so the
+    fixpoint is deterministic — raw LPA's random tie-break is the
+    classic nondeterminism trap). The third iterative-graph shape next
+    to PageRank (influence) and connected components (reachability):
+    communities respect edge DENSITY, not mere connectivity, which is
+    what basket-segment discovery and near-dup cluster splitting
+    actually need.
+
+    Scale: the slice-then-analyze pattern — the date predicate lands in
+    the parquet scan (PushedFilters), so the self-join sees one year,
+    not the full history. Each round is one equi-join of edges with the
+    |V|-row label frame plus a (dst, label) count whose map-side partial
+    aggregation bounds hub fan-in BEFORE the shuffle, then a per-node
+    argmax via max(struct(cnt, -label)) — a second partial-aggregated
+    exchange, no window over raw edges, no degree-sized arrays.
+    Integer-only arithmetic keeps every round bit-identical to the
+    oracle's CTE replay at any partition count."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit(_LP_DATE_LO).cast("date"),
+                F.lit(_LP_DATE_HI).cast("date"),
+            )
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        # the label rounds below re-reference edges 4x — materialize the
+        # self-join once (same rationale as PageRank's adjacency)
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LP_ITERS):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # argmax by (cnt desc, label asc): max over the struct
+        # (cnt, -label) — integer fields, lexicographic comparison
+        pick = counts.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"), (-F.col("label")).alias("neg_label")
+                )
+            ).alias("m")
+        )
+        labels = pick.select(
+            "node", (-F.col("m.neg_label")).alias("label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(_LP_TOP)
+    )

@@ -2064,3 +2064,184 @@ def sim_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank (retrieval post-processing)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 50  # candidate pool depth entering the re-rank
+MMR_K = 8  # diversified results returned
+# lambda / (1 - lambda) written as SEPARATE literals in both engines so
+# neither side constant-folds 1 - 0.7 into 0.30000000000000004 while the
+# other uses 0.3 — the pair below is what both engines actually multiply.
+MMR_LAMBDA = 0.7
+MMR_DIVERSITY = 0.3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-MMR CTE chain (same style as the PageRank / BPE
+    oracles): round k's pick is the argmax of
+    ``0.7*rel - 0.3*max(sim to selected)`` over the not-yet-selected
+    pool, ties broken by vec_id — identical tie-break and fixed-point
+    cosine arithmetic to the Spark loop, so the selection sequence is
+    bit-deterministic cross-engine. Every sel/pick CTE is MATERIALIZED:
+    each round references its predecessor 3x, so inlined CTEs would
+    re-expand the chain 3^k-fold (measured: the un-hinted oracle ran
+    minutes at sf0.001; materialized, 0.1 s)."""
+    from ..functions.vector import sql_dot_fixed
+
+    cos = (
+        f"({sql_dot_fixed('c.embedding', 's.embedding')}"
+        " / (c.nrm * s.nrm))"
+    )
+    rounds = []
+    for rk in range(2, MMR_K + 1):
+        prev = f"sel{rk - 1}"
+        rounds.append(
+            f"""
+    pick{rk} AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm, rel, mmr_score,
+             CAST({rk} AS INT) AS rank
+      FROM (
+        SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+               CAST({MMR_LAMBDA} AS DOUBLE) * c.rel
+                 - CAST({MMR_DIVERSITY} AS DOUBLE) * MAX({cos}) AS mmr_score
+        FROM (SELECT p.* FROM pool p
+              WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})) c
+        CROSS JOIN {prev} s
+        GROUP BY c.vec_id, c.embedding, c.nrm, c.rel
+      ) ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ),
+    sel{rk} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{rk})"""
+        )
+    rounds_sql = ",".join(rounds)
+    return f"""
+    WITH pool AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT e.vec_id, e.embedding,
+               {sql_cosine_fixed('e.embedding', 'q.embedding')} AS rel,
+               SQRT({sql_dot_fixed('e.embedding', 'e.embedding')}) AS nrm
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
+      )
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, embedding, nrm, rel,
+             CAST({MMR_LAMBDA} AS DOUBLE) * rel AS mmr_score,
+             CAST(1 AS INT) AS rank
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    {rounds_sql}
+    SELECT rank, vec_id, rel, mmr_score
+    FROM sel{MMR_K} ORDER BY rank
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    category="similarity",
+    oracle=_mmr_oracle(),
+    doc="Maximal-marginal-relevance re-rank of a retrieval pool: greedy "
+    "selection of 8 results maximizing 0.7*relevance - 0.3*max-"
+    "similarity-to-already-selected — the standard RAG diversification "
+    "step after any top-k retriever (kills near-duplicate passages "
+    "the retriever surfaces together). Scale: the corpus-sized work is "
+    "exactly one TakeOrderedAndProject building the 50-row pool (at "
+    "100 TB the pool instead comes from the IVF/LSH probes, cost "
+    "unchanged); the greedy loop then runs on the CONSTANT-size pool — "
+    "7 broadcast joins of <=50x8 rows each, data-independent of corpus "
+    "size, with the pool localCheckpointed once so rounds never rescan "
+    "the corpus. No collect: each round's argmax is a 1-row "
+    "TakeOrdered, each selected set a broadcast.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import sql_dot_fixed  # noqa: F401 (oracle twin)
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rel = dot_fixed(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fixed(F.col("q_emb"), F.col("q_emb")))
+    )
+    pool = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .withColumn(
+            "nrm",
+            F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding"))),
+        )
+        # one materialization of the pool: the greedy rounds below
+        # reference it 2x per round and must not re-run the corpus scan
+        .localCheckpoint()
+    )
+    selected = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "rel",
+            (F.lit(MMR_LAMBDA) * F.col("rel")).alias("mmr_score"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for rk in range(2, MMR_K + 1):
+        cand = pool.join(
+            F.broadcast(selected.select(F.col("vec_id").alias("s_id"))),
+            F.col("vec_id") == F.col("s_id"),
+            "left_anti",
+        )
+        sim = dot_fixed(F.col("embedding"), F.col("s_emb")) / (
+            F.col("nrm") * F.col("s_nrm")
+        )
+        # cartesian of (<=50 candidates) x (<=7 selected): both sides
+        # bounded constants, the selected side broadcast — this is the
+        # documented tiny-dims crossJoin shape, not a data-sized one
+        scored = cand.crossJoin(
+            F.broadcast(
+                selected.select(
+                    F.col("embedding").alias("s_emb"),
+                    F.col("nrm").alias("s_nrm"),
+                )
+            )
+        ).select("vec_id", "embedding", "nrm", "rel", sim.alias("sim"))
+        pick = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.first("nrm").alias("nrm"),
+                F.first("rel").alias("rel"),
+                F.max("sim").alias("max_sim"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                (
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_DIVERSITY) * F.col("max_sim")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+            .withColumn("rank", F.lit(rk).cast("int"))
+        )
+        # eager materialization keeps each round's plan constant-size
+        # (selected appears twice per round; unchecked the lineage tree
+        # would triple per iteration)
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select("rank", "vec_id", "rel", "mmr_score").orderBy(
+        "rank"
+    )
