@@ -540,6 +540,220 @@ _LABELPROP_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 6
+_KCORE_ROUNDS = 6
+
+
+def _sql_kcore_round(i: int) -> str:
+    """One peel round as DuckDB CTEs: recount degrees, keep nodes at
+    degree >= K, restrict edges to kept endpoints. MATERIALIZED is
+    load-bearing — inlined, the e{i} chain re-expands multiplicatively
+    per reference (same trap the MMR oracle documents)."""
+    return f"""
+    d{i} AS MATERIALIZED (
+      SELECT src, COUNT(*) AS c FROM e{i} GROUP BY src
+    ),
+    k{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE c >= {_KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i} e
+      JOIN k{i} x ON e.src = x.src
+      JOIN k{i} y ON e.dst = y.src
+    )"""
+
+
+_KCORE_ORACLE = f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % {_CC_SLICE} = 0) a
+      JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % {_CC_SLICE} = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    {",".join(_sql_kcore_round(i) for i in range(_KCORE_ROUNDS))}
+    SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY src
+    ORDER BY part
+"""
+
+
+@register("graph_kcore", category="graph", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the sparse co-purchase slice by {r} unrolled peel
+    rounds — the degeneracy/cohesion primitive (dense-subgraph mining,
+    spam-ring detection, and community seeding all start by discarding
+    the low-degree shell). Each round recounts degrees, drops nodes
+    below {k}, and restricts the edge list to surviving endpoints; the
+    round count is fixed (and chosen at the measured fixpoint for this
+    graph family), so the output is a deterministic pure function of the
+    input — no convergence-dependent control flow for the oracle to
+    disagree with.
+
+    Scale: a round is one partial-aggregated degree count plus two
+    left-semi joins against the kept-node set — shuffle volume is
+    O(edges) fixed-width rows, shrinking monotonically as the shell
+    peels (round edge counts at sf0.1: 217k → 185k, most mass gone in
+    round 1). The kept set is |V|-sized and un-hinted: AQE broadcasts
+    it while it fits and shuffles above, the same gate PageRank applies
+    explicitly. localCheckpoint between rounds truncates the {r}-deep
+    lineage. Integer-only arithmetic ⇒ bit parity with the oracle's
+    MATERIALIZED-CTE replay at any partition count."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % _CC_SLICE == 0
+    ).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy(F.col("src").alias("part"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("part")
+    )
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.replace(
+    "{k}", str(_KCORE_K)
+).replace("{r}", str(_KCORE_ROUNDS))
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+_BFS_SEED_MOD = 101
+
+
+def _sql_bfs_round(i: int) -> str:
+    """One frontier expansion as DuckDB CTEs: neighbors of the current
+    frontier, minus already-visited nodes, enter at hops i+1."""
+    return f"""
+    n{i} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node FROM edges e
+      JOIN f{i} f ON e.src = f.node
+    ),
+    new{i} AS MATERIALIZED (
+      SELECT n.node, {i + 1} AS hops FROM n{i} n
+      WHERE NOT EXISTS (SELECT 1 FROM v{i} v WHERE v.node = n.node)
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT node, hops FROM v{i} UNION ALL SELECT node, hops FROM new{i}
+    ),
+    f{i + 1} AS MATERIALIZED (SELECT node FROM new{i})"""
+
+
+_BFS_ORACLE = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % {_CC_SLICE} = 0) a
+      JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % {_CC_SLICE} = 0) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, 0 AS hops FROM edges
+      WHERE src % {_BFS_SEED_MOD} = 0
+    ),
+    f0 AS MATERIALIZED (SELECT node FROM v0),
+    {",".join(_sql_bfs_round(i) for i in range(_BFS_DEPTH))}
+    SELECT node AS part, CAST(hops AS INT) AS hops
+    FROM v{_BFS_DEPTH}
+    ORDER BY part
+"""
+
+
+@register("graph_bfs_distance", category="graph", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (depth {d}) from a deterministic
+    seed set (part id % {m} = 0) over the sparse co-purchase slice —
+    the reachability-with-distance primitive (influence radius,
+    crawl-frontier scheduling, and 'within N hops of a flagged node'
+    risk queries are all this shape). Nodes unreached within {d} hops
+    are absent from the output, which is the honest contract for a
+    bounded-depth traversal.
+
+    Scale: textbook frontier BFS on DataFrames — each round joins the
+    CURRENT FRONTIER (not the full visited set) against the edge list,
+    dedups the neighbor set map-side, and anti-joins the visited set,
+    so per-round shuffle is O(frontier-adjacent edges), the distributed
+    analogue of the queue in sequential BFS. The visited set only ever
+    grows by genuinely-new nodes, so the union chain carries each node
+    exactly once (first discovery = min hops, no per-node min needed).
+    localCheckpoint per round truncates lineage. Integer-only ⇒ bit
+    parity with the oracle's unrolled frontier replay."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % _CC_SLICE == 0
+    ).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    visited = seeds.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = visited.select("node")
+    for i in range(_BFS_DEPTH):
+        nbrs = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited, "node", "left_anti").select(
+            "node", F.lit(i + 1).alias("hops")
+        )
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = visited.filter(F.col("hops") == i + 1).select("node")
+    return visited.select(
+        F.col("node").alias("part"), F.col("hops").cast("int").alias("hops")
+    ).orderBy("part")
+
+
+graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.replace(
+    "{d}", str(_BFS_DEPTH)
+).replace("{m}", str(_BFS_SEED_MOD))
+
+
 @register("graph_label_propagation", category="graph", oracle=_LABELPROP_ORACLE)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation over one
