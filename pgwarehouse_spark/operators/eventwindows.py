@@ -2077,3 +2077,111 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend + day-of-week seasonal + residual)
+# ---------------------------------------------------------------------------
+
+_SD_HALF = 3  # centered moving-average half-width -> 7-day trend window
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    category="timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, rev_dec,
+             CAST(SUM(rev_dec) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {_SD_HALF} PRECEDING AND {_SD_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT day, CAST(rev_dec AS DOUBLE) AS daily_rev, trend,
+             CAST(rev_dec AS DOUBLE) - trend AS detrended,
+             (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(CAST(FLOOR(detrended * 1e6) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) * 1000000 AS DOUBLE) AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT d.day, d.daily_rev, d.trend, s.seasonal,
+           d.detrended - s.seasonal AS residual
+    FROM det d JOIN seas s ON d.dow = s.dow
+    ORDER BY d.day
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily order revenue:
+    trend = centered 7-day moving average, seasonal = per-day-of-week
+    mean of the detrended series, residual = what's left — the
+    anomaly-baseline primitive (dashboards alert on residual, forecast
+    on trend + seasonal; this is the moving-average skeleton of STL
+    without its loess refinements).
+
+    Scale: the raw-data pass is ONE partial-aggregated groupBy to the
+    day grain; every window after that runs over the day SERIES, whose
+    length is calendar-bounded (a decade ≈ 3.7k rows) and does not grow
+    with data volume — the single-partition trend window is over that
+    series, never over raw orders. Day-of-week comes from epoch-day
+    mod 7 (engine-neutral; both engines' dayofweek() numberings
+    disagree), and the seasonal means join back as a 7-row broadcast.
+    Determinism: daily revenue accumulates in exact decimal; the
+    per-DOW seasonal mean folds FLOOR(detrended*1e6) BIGINTs (the
+    fixed-point pattern from functions/vector.py — a double→DECIMAL
+    cast here would hit the Spark shortest-repr vs DuckDB exact-binary
+    rounding split at 17+ significant digits), so the decomposition is
+    bit-identical across engines and partition counts."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec")
+    )
+    w7 = W.orderBy("day").rowsBetween(-_SD_HALF, _SD_HALF)
+    tr = daily.select(
+        "day",
+        "rev_dec",
+        (
+            F.sum("rev_dec").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7).cast("double")
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("daily_rev"),
+        "trend",
+        (F.col("rev_dec").cast("double") - F.col("trend")).alias("detrended"),
+        (
+            F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(
+                F.floor(F.col("detrended") * F.lit(1e6)).cast("bigint")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+        ).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "daily_rev",
+            "trend",
+            "seasonal",
+            (F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+        .orderBy("day")
+    )
