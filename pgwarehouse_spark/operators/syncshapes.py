@@ -1030,3 +1030,80 @@ def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exposed_rows"),
         F.min("group_size").cast("bigint").alias("min_group_size"),
     )
+
+
+_L_DIV = 3
+
+
+@register(
+    "audit_l_diversity",
+    category="audit",
+    oracle=f"""
+    WITH per_sensitive AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sensitive_band,
+             COUNT(*) AS n_rows
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, sensitive_band
+    ),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n_distinct_sensitive,
+             SUM(n_rows) AS group_size
+      FROM per_sensitive
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST({_L_DIV} AS INT) AS l,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n_distinct_sensitive < {_L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_distinct_sensitive < {_L_DIV} THEN group_size
+                         ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(n_distinct_sensitive) AS BIGINT) AS min_distinct_sensitive
+    FROM groups
+    """,
+    doc="l-diversity audit — k-anonymity's stronger sibling: a "
+    "quasi-identifier group can be large (k-anonymous) yet still leak "
+    "if every member shares the SAME sensitive value, so each "
+    "(nation, market-segment) group must contain at least l distinct "
+    "sensitive values (coarse account-balance band stands in for the "
+    "sensitive attribute). Output is one certification row; "
+    "n_exposed_rows = 0 passes the release gate, and the pair of "
+    "audits (this + audit_k_anonymity) is the standard pre-export "
+    "privacy check. Scale: exact distinct via two stacked "
+    "map-side-combinable groupBys (QI+sensitive, then QI) — the "
+    "shuffle carries one row per (QI, sensitive) combination, never "
+    "the table, the same count-distinct shape as "
+    "agg_count_distinct.",
+)
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    per_sensitive = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "sensitive_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "sensitive_band")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    groups = per_sensitive.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_distinct_sensitive"),
+        F.sum("n_rows").alias("group_size"),
+    )
+    low = F.col("n_distinct_sensitive") < _L_DIV
+    return groups.agg(
+        F.lit(_L_DIV).cast("int").alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(low, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.min("n_distinct_sensitive").cast("bigint").alias(
+            "min_distinct_sensitive"
+        ),
+    )
