@@ -1285,3 +1285,69 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    category="join",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS left_rows,
+             CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+             CAST(SUM(n * n) AS BIGINT) AS predicted_join_rows,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows
+      FROM k
+    ),
+    top5 AS (
+      SELECT CAST(SUM(sq) AS BIGINT) AS top5_sq FROM (
+        SELECT n * n AS sq FROM k ORDER BY n DESC, l_partkey ASC LIMIT 5
+      )
+    )
+    SELECT left_rows, distinct_keys, predicted_join_rows, max_key_rows,
+           CAST((1000000 * top5_sq) // predicted_join_rows AS BIGINT)
+             AS top5_share_ppm
+    FROM tot CROSS JOIN top5
+    """,
+    doc="Exact join-cardinality prediction from per-key counts — the "
+    "'will this join explode?' planning primitive: for a self-join on "
+    "l_partkey the output size is exactly SUM(n_k^2) over the key "
+    "histogram, computable from one aggregation WITHOUT running the "
+    "join. Emits one row: input rows, distinct keys, predicted join "
+    "rows, the heaviest key's count, and the top-5 keys' share of the "
+    "predicted output in ppm (integer division — no float) — high "
+    "share = skew-salt before joining, high predicted/input ratio = "
+    "reconsider the join. Scale: the histogram is one map-side-"
+    "combinable groupBy (shuffle = distinct keys, not rows); the "
+    "top-5 is a 5-row TakeOrdered; totals cross-join as one-row "
+    "broadcasts. This is precisely the statistic AQE's skew detection "
+    "consumes — exposed as a query so a pipeline can gate on it "
+    "BEFORE committing to a 100 TB shuffle.",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("bigint").alias("left_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_keys"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias(
+            "predicted_join_rows"
+        ),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+    )
+    top5 = (
+        k.orderBy(F.col("n").desc(), F.col("l_partkey").asc())
+        .limit(5)
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("top5_sq"))
+    )
+    return tot.crossJoin(F.broadcast(top5)).select(
+        "left_rows",
+        "distinct_keys",
+        "predicted_join_rows",
+        "max_key_rows",
+        F.expr("CAST((1000000 * top5_sq) DIV predicted_join_rows AS BIGINT)")
+        .alias("top5_share_ppm"),
+    )
