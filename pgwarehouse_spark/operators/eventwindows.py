@@ -2185,3 +2185,170 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch conversion attribution (first / last / linear)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_touch",
+    category="events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS pseq
+      FROM ev
+    ),
+    purchases AS (
+      SELECT user_id, pseq AS conv_no FROM seq WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, pseq + 1 AS conv_no, event_type, ts, event_id
+      FROM seq WHERE event_type <> 'purchase'
+    ),
+    ct AS (
+      SELECT t.user_id, t.conv_no, t.event_type, t.ts, t.event_id
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.conv_no = p.conv_no
+    ),
+    ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_no
+                                ORDER BY ts, event_id) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_no
+                                ORDER BY ts DESC, event_id DESC) AS rn_l
+      FROM ct
+    ),
+    ft AS (
+      SELECT event_type AS channel,
+             CAST(COUNT(*) AS BIGINT) AS first_touch_conversions
+      FROM ranked WHERE rn_f = 1 GROUP BY 1
+    ),
+    lt AS (
+      SELECT event_type AS channel,
+             CAST(COUNT(*) AS BIGINT) AS last_touch_conversions
+      FROM ranked WHERE rn_l = 1 GROUP BY 1
+    ),
+    lin AS (
+      SELECT event_type AS channel,
+             CAST(SUM((1000000 * n_chan) // n_touches) AS BIGINT)
+               AS linear_credit_ppm
+      FROM (
+        SELECT user_id, conv_no, event_type, COUNT(*) AS n_chan,
+               SUM(COUNT(*)) OVER (PARTITION BY user_id, conv_no)
+                 AS n_touches
+        FROM ct GROUP BY user_id, conv_no, event_type
+      )
+      GROUP BY 1
+    )
+    SELECT l.channel,
+           COALESCE(f.first_touch_conversions, 0) AS first_touch_conversions,
+           COALESCE(t.last_touch_conversions, 0) AS last_touch_conversions,
+           l.linear_credit_ppm
+    FROM lin l
+    LEFT JOIN ft f ON l.channel = f.channel
+    LEFT JOIN lt t ON l.channel = t.channel
+    ORDER BY l.channel
+    """,
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    primitive layered on event streams: every purchase is a conversion,
+    the click/view/signup events since the user's previous purchase are
+    its touch path, and each channel is credited under three standard
+    models at once (first-touch, last-touch, linear). Linear credit is
+    integer ppm per conversion (1e6·n_chan DIV n_touches — integer
+    division, no float nondeterminism), so a channel's column sums to
+    ≤ 1e6 per attributed conversion.
+
+    Scale: touch→conversion assignment is ONE running-count window per
+    user (the sessionize gap-trick shape — no self-join against the
+    purchase list), the conversion join is an equi-join on
+    (user, conv_no), and the first/last picks are row_number windows
+    over per-conversion groups whose cardinality is the user's path
+    length, never the table. Everything after the per-conversion
+    grouping is channel-cardinality (a handful of rows). Integer-only
+    outputs ⇒ bit parity with the oracle's window replay."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    w_seq = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(w_seq)
+        .alias("pseq"),
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("pseq").alias("conv_no")
+    )
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        (F.col("pseq") + 1).alias("conv_no"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    ct = touches.join(purchases, ["user_id", "conv_no"])
+    w_f = W.partitionBy("user_id", "conv_no").orderBy("ts", "event_id")
+    w_l = W.partitionBy("user_id", "conv_no").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ct.select(
+        "event_type",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_l).alias("rn_l"),
+    )
+    ft = (
+        ranked.filter(F.col("rn_f") == 1)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("first_touch_conversions"))
+    )
+    lt = (
+        ranked.filter(F.col("rn_l") == 1)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("last_touch_conversions"))
+    )
+    w_conv = W.partitionBy("user_id", "conv_no")
+    per_chan = (
+        ct.groupBy("user_id", "conv_no", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_chan"))
+        .withColumn("n_touches", F.sum("n_chan").over(w_conv))
+    )
+    lin = per_chan.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(
+            F.expr("(1000000 * n_chan) DIV n_touches")
+        ).cast("bigint").alias("linear_credit_ppm")
+    )
+    return (
+        lin.join(ft, "channel", "left")
+        .join(lt, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce("first_touch_conversions", F.lit(0))
+            .cast("bigint")
+            .alias("first_touch_conversions"),
+            F.coalesce("last_touch_conversions", F.lit(0))
+            .cast("bigint")
+            .alias("last_touch_conversions"),
+            "linear_credit_ppm",
+        )
+        .orderBy("channel")
+    )
