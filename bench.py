@@ -121,6 +121,13 @@ HEADLINE = [
     "events_holt_forecast",
     "text_bigram_logprob",
     "events_quantile_rollup_sketch",
+    "graph_kcore",
+    "graph_bfs_distance",
+    "sim_topk_sq8",
+    "timeseries_seasonal_decompose",
+    "events_attribution_touch",
+    "multimodal_phash_neardup",
+    "join_cardinality_estimate",
 ]
 
 
