@@ -1392,3 +1392,77 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    category="pipeline",
+    oracle=r"""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT)
+               AS total_tokens,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+      FROM documents
+    ),
+    top AS (
+      SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_cnt
+      FROM documents GROUP BY lang
+      ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT n_docs, n_sources, n_langs, total_tokens,
+           CAST((1000 * total_tokens) // n_docs AS BIGINT) AS avg_tokens_milli,
+           top_lang,
+           CAST((1000000 * top_cnt) // n_docs AS BIGINT) AS top_lang_share_ppm,
+           CAST((1000000 * (n_docs - n_unique_texts)) // n_docs AS BIGINT)
+             AS exact_dup_ppm
+    FROM base CROSS JOIN top
+    """,
+    doc="Dataset card: the one-row release summary every corpus ships "
+    "with — document/source/language counts, total and mean token "
+    "volume, the dominant language's share, and the exact-duplicate "
+    "rate (ppm, via distinct md5) — the numbers a training run's data "
+    "sheet quotes, produced by the engine instead of a notebook. All "
+    "ratios are integer ppm/milli (integer division — no float "
+    "nondeterminism). Scale: one map-side-combinable aggregation pass "
+    "plus two count-distincts (16-byte md5 keys shuffle once) and a "
+    "1-row TakeOrdered for the top language; the cross-joins are "
+    "one-row broadcasts. At 100 TB this is exactly the shape of the "
+    "existing audit aggregates — nothing row-grained survives the "
+    "first exchange.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique_texts"),
+    )
+    top = (
+        d.groupBy(F.col("lang").alias("top_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("top_cnt"))
+        .orderBy(F.col("top_cnt").desc(), F.col("top_lang").asc())
+        .limit(1)
+    )
+    return base.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        F.expr("CAST((1000 * total_tokens) DIV n_docs AS BIGINT)").alias(
+            "avg_tokens_milli"
+        ),
+        "top_lang",
+        F.expr("CAST((1000000 * top_cnt) DIV n_docs AS BIGINT)").alias(
+            "top_lang_share_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * (n_docs - n_unique_texts)) DIV n_docs AS BIGINT)"
+        ).alias("exact_dup_ppm"),
+    )
