@@ -1877,6 +1877,135 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_verdict(ann, exact_topk(spark, sf_dir), SQ_MIN_RECALL)
 
 
+_RECALL_POOLS = (10, 25, 50)
+
+_SQL_RECALL_CURVE = f"""
+    WITH exact5 AS (
+      SELECT query_id, neighbor_id FROM ({_SQL_BF_INNER}) WHERE rank <= {TOPK}
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(v,
+               x -> CAST(LEAST(FLOOR((x - mn) / ((mx - mn) / 255.0) + 0.5),
+                               255) AS BIGINT) - 128) AS code
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx
+        FROM embeddings
+      )
+    ),
+    scores AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(list_zip(c.code, q.code),
+                        s -> s[1] * s[2])) DESC, c.vec_id ASC
+             ) AS rn
+      FROM codes q JOIN codes c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pools(pool_size) AS (VALUES {", ".join(f"({p})" for p in _RECALL_POOLS)})
+    SELECT p.pool_size,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS hits,
+           CAST((1000000 * COUNT(s.neighbor_id)) // COUNT(*) AS BIGINT)
+             AS recall_ppm
+    FROM pools p
+    LEFT JOIN exact5 e ON TRUE
+    LEFT JOIN scores s ON s.query_id = e.query_id
+      AND s.neighbor_id = e.neighbor_id AND s.rn <= p.pool_size
+    GROUP BY p.pool_size
+    ORDER BY p.pool_size
+"""
+
+
+@register(
+    "sim_recall_curve",
+    category="similarity",
+    oracle=_SQL_RECALL_CURVE,
+    doc="ANN evaluation harness: recall@pool for the SQ8 shortlist at "
+    "pool sizes 10/25/50 — the recall-vs-cost CURVE an ANN deployment "
+    "tunes against, not a single operating point. Unlike the verdict "
+    "queries (which pin one boolean), this is FULLY oracle-replayed: "
+    "the int8 shortlist ranking is exact integer arithmetic, so DuckDB "
+    "reproduces shortlists, hit counts, and ppm recalls bit-for-bit. "
+    "Because the final re-rank uses exact cosine, recall@pool = "
+    "|exact top-k ∩ pool| / k — no re-rank needs simulating. Scale: "
+    "one integer-scored candidate pass (broadcast query codes, "
+    "per-query heaps via the rank window), the exact top-k it is "
+    "judged against is the same broadcast brute-force pass "
+    "sim_topk_bruteforce runs, and everything after is "
+    "pool-count-sized. The output is 3 rows.",
+)
+def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    exact5 = exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    codes = (
+        e.select(
+            "vec_id",
+            v.alias("v"),
+            F.array_min(v).alias("mn"),
+            F.array_max(v).alias("mx"),
+        )
+        .select("vec_id", _sq8_codes(F.col("v")).alias("code"))
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_rn = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    scores = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int_dot.alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
+    )
+    pools = spark.createDataFrame(
+        [(p,) for p in _RECALL_POOLS], "pool_size int"
+    )
+    flagged = (
+        pools.crossJoin(exact5)
+        .join(
+            scores.select("query_id", "neighbor_id", "rn"),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .select(
+            "pool_size",
+            F.when(F.col("rn") <= F.col("pool_size"), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return (
+        flagged.groupBy("pool_size")
+        .agg(
+            F.sum("hit").cast("bigint").alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "pool_size",
+            "hits",
+            F.expr("CAST((1000000 * hits) DIV total AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("pool_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Greedy k-center coreset (farthest-point traversal)
 # ---------------------------------------------------------------------------
