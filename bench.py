@@ -152,6 +152,9 @@ HEAVY = [
     "text_tfidf_top_terms",
     "sim_topk_bruteforce",
     "q1_pricing_summary",
+    "graph_kcore",
+    "graph_bfs_distance",
+    "multimodal_phash_neardup",
 ]
 # stdout-line budget: the driver tail-captures 2000 bytes of stdout, so
 # the one-line JSON must stay under this (full detail goes to the file)
