@@ -1,0 +1,215 @@
+"""Spatial analytics via grid-cell bucketing — the radius self-join and
+the neighborhood-density hotspot scan.
+
+No anchor in the reference (it stops at sync); this is the analytics
+extension surface, covering the join shape the banded interval join
+(`relational.py::join_interval_banded`) handles in one dimension, lifted
+to two: quantize the plane into cells sized to the query radius, turn
+the O(N²) distance theta-join into an equi hash join on the cell key,
+then refine with the exact integer distance predicate.
+
+Coordinates are derived from customer keys by a fixed multiplicative
+hash-scatter into a 1000×1000 integer plane — the tables carry no
+geography, so the POINT SET is synthetic but the OPERATOR is the real
+thing: every step (cell assignment, 3×3 replication, equi-join, refine)
+is exactly what an IP-geolocation or store-catchment join runs at scale.
+All arithmetic is int64, so Spark and DuckDB agree bit-for-bit and the
+oracle can afford the naive quadratic join at verification scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._helpers import t
+
+#: plane is GRID_SIZE × GRID_SIZE integer cells of CELL px; the radius
+#: query uses R = CELL so a point's candidates live in its 3×3
+#: neighborhood — cell size ≥ radius is the invariant that makes the
+#: 9-cell replication a candidate SUPERSET (no match can be lost).
+_CELL = 25
+_RADIUS_SQ = _CELL * _CELL
+_PLANE = 1000
+
+# multiplicative scatter constants (Lehmer / Park–Miller multipliers,
+# public-domain); primes just above 1e5 decorrelate x from y.
+_AX, _PX = 48271, 100003
+_AY, _PY = 69621, 100019
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic point set: one point per customer, int64 coords in
+    [0, _PLANE)²."""
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    return c.select(
+        k.alias("k"),
+        ((k * _AX) % _PX % _PLANE).alias("x"),
+        ((k * _AY) % _PY % _PLANE).alias("y"),
+    )
+
+
+def _pts_sql() -> str:
+    return f"""
+      SELECT CAST(c_custkey AS BIGINT) AS k,
+             (CAST(c_custkey AS BIGINT) * {_AX}) % {_PX} % {_PLANE} AS x,
+             (CAST(c_custkey AS BIGINT) * {_AY}) % {_PY} % {_PLANE} AS y
+      FROM customer
+    """
+
+
+@register(
+    "spatial_grid_neighbors",
+    category="spatial",
+    oracle=f"""
+    WITH pts AS ({_pts_sql()}),
+    pairs AS (
+      SELECT a.k AS cust_a, b.k AS cust_b,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq
+      FROM pts a JOIN pts b ON a.k < b.k
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_RADIUS_SQ}
+    )
+    SELECT cust_a, cust_b, dist_sq,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs
+    FROM pairs
+    ORDER BY dist_sq, cust_a, cust_b
+    LIMIT 20
+    """,
+)
+def spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (all point pairs within distance R) via the grid
+    rewrite: assign each point its cell (x DIV R, y DIV R), replicate ONE
+    side into the 3×3 neighboring cells, equi-join on the cell key, then
+    refine with the exact integer distance predicate. Because cell size
+    equals R, any pair within R shares a's 3×3 neighborhood with b's home
+    cell — the candidate set is a superset by construction and the refine
+    decides membership exactly; `a.k < b.k` keeps each unordered pair
+    exactly once. Output: the 20 nearest pairs plus the total in-radius
+    pair count. The oracle runs the naive quadratic theta-join.
+
+    Scale: the naive form is a broadcast-nested-loop — O(N²) distance
+    evaluations with no pruning; at 10⁹ points it never finishes. The
+    grid form is an equi hash join: the build side replicates exactly 9×
+    (data-independent), each probe touches one cell, so cost is
+    O(9N + true_candidates·refine) and both sides shuffle ONCE on the
+    cell key. Density skew (urban hotspots) concentrates a cell's
+    candidates; the cell key is two-dimensional so AQE's skew split
+    handles a hot cell the same way it splits any hot join key. The
+    total-count column is a broadcast one-row cross join, not a second
+    scan of the pair set."""
+    pts = _points(spark, sf_dir)
+    cx = (F.col("x") / _CELL).cast("long")
+    cy = (F.col("y") / _CELL).cast("long")
+    home = pts.select("k", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    repl = home.select(
+        F.col("k").alias("cust_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "cust_a", "ax", "ay",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    pairs = (
+        repl.join(home.withColumnRenamed("k", "cust_b"), ["cx", "cy"])
+        .filter((F.col("cust_a") < F.col("cust_b")) & (d2 <= _RADIUS_SQ))
+        .select("cust_a", "cust_b", d2.alias("dist_sq"))
+    )
+    pairs = pairs.localCheckpoint()
+    total = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .orderBy("dist_sq", "cust_a", "cust_b")
+        .limit(20)
+    )
+
+
+@register(
+    "spatial_cell_density",
+    category="spatial",
+    oracle=f"""
+    WITH pts AS ({_pts_sql()}),
+    cells AS (
+      SELECT x // {_CELL} AS cx, y // {_CELL} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT c.cx + dx.d AS cx, c.cy + dy.d AS cy,
+             CAST(SUM(c.n) AS BIGINT) AS n_neighborhood
+      FROM cells c,
+           (VALUES (-1), (0), (1)) dx(d),
+           (VALUES (-1), (0), (1)) dy(d)
+      GROUP BY 1, 2
+    )
+    SELECT sm.cx, sm.cy,
+           COALESCE(c2.n, 0) AS n_points,
+           sm.n_neighborhood
+    FROM sm LEFT JOIN cells c2 ON sm.cx = c2.cx AND sm.cy = c2.cy
+    ORDER BY sm.n_neighborhood DESC, sm.cx, sm.cy
+    LIMIT 15
+    """,
+)
+def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspot scan: per-cell point counts smoothed over the 3×3
+    neighborhood (kernel density with a box kernel on the grid), top 15
+    cells by smoothed count. A cell with no points of its own still
+    appears when its neighbors are dense — the left join back to the raw
+    counts fills `n_points` with 0 there.
+
+    Scale: the point-sized work is ONE partial-aggregated groupBy to
+    cell grain; everything after operates on the CELL table (≤ (plane/
+    cell)² rows regardless of point count — here 1600, at planet scale
+    maybe 10⁸ for meter cells, still tiny next to the points). The
+    smoothing is explode×9 + a second groupBy over cells, the final
+    ranking a TakeOrdered. This shuffle-carries-cells-not-points
+    structure is the same sketch-rollup discipline as the distinct/
+    quantile rollups: aggregate early, move summaries."""
+    pts = _points(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            (F.col("x") / _CELL).cast("long").alias("cx"),
+            (F.col("y") / _CELL).cast("long").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    sm = (
+        cells.select("cx", "cy", "n", F.explode(offsets).alias("o"))
+        .groupBy(
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+        .agg(F.sum("n").alias("n_neighborhood"))
+    )
+    return (
+        sm.join(cells.withColumnRenamed("n", "n_points"), ["cx", "cy"], "left")
+        .select(
+            "cx", "cy",
+            F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+            "n_neighborhood",
+        )
+        .orderBy(F.col("n_neighborhood").desc(), "cx", "cy")
+        .limit(15)
+    )

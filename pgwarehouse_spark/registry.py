@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         pipeline,
         graph,
         zorder,
+        spatial,
     )
 
     _LOADED = True
