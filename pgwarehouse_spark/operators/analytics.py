@@ -2302,3 +2302,111 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         (F.col("share") - F.lag("share").over(w_lag)).alias("share_delta"),
     ).orderBy("quarter", "o_orderpriority")
+
+
+@register(
+    "skyline_pareto_frontier",
+    category="analytics",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    sup AS (
+      SELECT s.s_suppkey, s.s_name, r.total_revenue, s.s_acctbal
+      FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue, s_acctbal
+    FROM sup a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sup b
+      WHERE b.total_revenue >= a.total_revenue
+        AND b.s_acctbal >= a.s_acctbal
+        AND (b.total_revenue > a.total_revenue OR b.s_acctbal > a.s_acctbal)
+    )
+    ORDER BY total_revenue DESC, s_suppkey
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Börzsönyi et al., ICDE'01): suppliers not dominated
+    on (total lineitem revenue ↑, account balance ↑) — the multi-criteria
+    shortlist ("no other supplier is at least as good on both axes and
+    strictly better on one"). The oracle is the literal NOT EXISTS
+    dominance test, a quadratic nested-loop only a verifier can afford.
+
+    In 2-D the skyline reduces to an exclusive prefix max: order by
+    revenue DESC; a supplier survives iff no strictly-higher-revenue row
+    has balance >= its own AND no equal-revenue row has balance strictly
+    greater. Both maxima come from one per-revenue aggregation plus a
+    DISTRIBUTED prefix max — the same two-pass shape as
+    `_helpers.global_rank_cumsum`: range-partition on the sort key,
+    windows partitioned by `spark_partition_id()` (every window bounded,
+    NO single-partition exchange), one O(P) driver collect of partition
+    maxima folded into exclusive offsets and broadcast back. Equal sort
+    keys land in one range partition, so the exclusive frame never leaks
+    a same-key row into the strict prefix.
+
+    Scale: cost is one groupBy to per-revenue grain, one sampled range
+    exchange over that (distinct-key-sized) table, one broadcast of P
+    offset rows, one equi-join back — every step linear and parallel;
+    the classic sort-filter skyline's sequential scan is replaced by
+    partition-local scans + an O(P) fold. Suppliers with no lineitem
+    are excluded by the inner join (documented; the oracle matches)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    sup = s.join(rev, s.s_suppkey == F.col("k")).select(
+        "s_suppkey", "s_name", "total_revenue", "s_acctbal"
+    )
+    # per-revenue max balance (M2): the strict same-key dominator test
+    per = sup.groupBy("total_revenue").agg(F.max("s_acctbal").alias("m2"))
+    # distributed exclusive prefix max of m2 over revenue DESC (M1)
+    P = spark.sparkContext.defaultParallelism
+    part = per.repartitionByRange(P, F.col("total_revenue").desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.col("total_revenue").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = part.withColumn("_lmax", F.max("m2").over(w)).persist()
+    pmax = sorted(
+        local.groupBy("_pid").agg(F.max("m2").alias("_m")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    run = None
+    offsets = []
+    for row in pmax:
+        offsets.append((row["_pid"], run))
+        if row["_m"] is not None:
+            run = row["_m"] if run is None else max(run, row["_m"])
+    bal_t = sup.schema["s_acctbal"].dataType.simpleString()
+    offs = spark.createDataFrame(
+        [(p, m) for p, m in offsets], f"_pid int, _off {bal_t}"
+    )
+    m1 = (
+        local.join(F.broadcast(offs), "_pid")
+        .select(
+            "total_revenue",
+            "m2",
+            F.greatest(
+                F.coalesce("_lmax", F.lit(None).cast(bal_t)),
+                F.coalesce("_off", F.lit(None).cast(bal_t)),
+            ).alias("m1"),
+        )
+    )
+    return (
+        sup.join(m1, "total_revenue")
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("s_acctbal")))
+            & (F.col("m2") <= F.col("s_acctbal"))
+        )
+        .select("s_suppkey", "s_name", "total_revenue", "s_acctbal")
+        .orderBy(F.col("total_revenue").desc(), "s_suppkey")
+    )
