@@ -2352,3 +2352,363 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "timeseries_acf",
+    category="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    s0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx,
+             CAST(FLOOR(rev_dec / 1000) AS BIGINT) AS x
+      FROM daily
+    ),
+    st AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS m FROM s0),
+    s AS (SELECT idx, x - (SELECT m FROM st) AS dev FROM s0),
+    den AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM s),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag_k FROM range(1, 11)),
+    pairs AS (
+      SELECT l.lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.dev * b.dev) AS BIGINT) AS num
+      FROM lags l
+      CROSS JOIN s a
+      JOIN s b ON b.idx = a.idx - l.lag_k
+      GROUP BY l.lag_k
+    )
+    SELECT p.lag_k, p.n_pairs, p.num, d.den,
+           CAST(FLOOR(1000.0 * p.num / d.den) AS BIGINT) AS acf_milli
+    FROM pairs p, den d
+    ORDER BY p.lag_k
+    """,
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue at lags 1-10 —
+    the seasonality/persistence detector that picks the window for the
+    seasonal decomposition (a weekly cycle shows as a lag-7 peak) and
+    the forecasting-model order (Box-Jenkins identification step).
+
+    Fixed-point contract: the series is FLOOR(daily_revenue / 1000)
+    int64 (kilodollar grain keeps dev^2 sums far from overflow at any
+    shipped sf while the correlation RATIO loses nothing measurable);
+    deviations use the FLOORed integer mean — a deterministic statistic
+    both engines compute identically, documented as such. num/den are
+    exact int64 sums; acf_milli = FLOOR(1000.0*num/den) is one IEEE
+    division of exactly-representable integers (<2^53), correctly
+    rounded and so bit-identical cross-engine even for negative
+    correlations (FLOOR, not integer DIV, whose negative semantics
+    differ between engines).
+
+    Scale: the data-sized pass is ONE partial-aggregated groupBy to day
+    grain; everything downstream operates on the calendar-bounded day
+    SERIES (a decade ~ 3.7k rows, independent of row volume — same
+    contract as timeseries_seasonal_decompose, which documents the
+    bounded single-partition series window). The lag alignment is an
+    equi self-join on the shifted row index against a 10-row broadcast
+    lag table, not 10 sequential window passes."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
+    s0 = daily.select(
+        F.row_number().over(W.orderBy("day")).alias("idx"),
+        F.floor(F.col("rev_dec") / 1000).cast("long").alias("x"),
+    )
+    st = s0.agg(F.expr("CAST(SUM(x) AS BIGINT) DIV COUNT(*)").alias("m"))
+    s = (
+        s0.crossJoin(F.broadcast(st))
+        .select("idx", (F.col("x") - F.col("m")).alias("dev"))
+        .localCheckpoint()
+    )
+    den = s.agg(F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den"))
+    lags = spark.range(1, 11).select(F.col("id").alias("lag_k"))
+    a = s.select(F.col("idx").alias("a_idx"), F.col("dev").alias("a_dev"))
+    b = s.select(F.col("idx").alias("b_idx"), F.col("dev").alias("b_dev"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_idx") == F.col("a_idx") - F.col("lag_k"))
+        .groupBy("lag_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a_dev") * F.col("b_dev")).cast("bigint").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag_k",
+            "n_pairs",
+            "num",
+            "den",
+            F.floor(1000.0 * F.col("num") / F.col("den")).cast("bigint").alias(
+                "acf_milli"
+            ),
+        )
+        .orderBy("lag_k")
+    )
+
+
+#: count-min sketch geometry + per-row hash constants (MINSTD-family
+#: multipliers, public domain). Depth 3 × width 512 integer counters;
+#: the SAME literals appear in the oracle so the sketch — unlike a
+#: seeded-HLL binary — is replayed bit-for-bit by DuckDB.
+_CMS_HASHES = [(0, 48271, 11), (1, 69621, 25), (2, 40692, 7)]
+_CMS_P = 2147483647
+_CMS_W = 512
+
+
+@register(
+    "events_countmin_rollup_sketch",
+    category="events",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    hcfg AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({r}, {a}, {b})' for r, a, b in _CMS_HASHES)}
+      ) h(r, a, b)
+    ),
+    daily AS (
+      SELECT day, h.r,
+             ((h.a * user_id + h.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base CROSS JOIN hcfg h GROUP BY 1, 2, 3
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', day) AS DATE) AS week_start, r, bucket,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start, user_id,
+             CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT week_start, user_id, exact_n FROM (
+        SELECT week_start, user_id, exact_n,
+               ROW_NUMBER() OVER (PARTITION BY week_start
+                                  ORDER BY exact_n DESC, user_id) AS rk
+        FROM exact
+      ) WHERE rk <= 5
+    ),
+    probe AS (
+      SELECT t.week_start, t.user_id, t.exact_n, h.r,
+             ((h.a * t.user_id + h.b) % {_CMS_P}) % {_CMS_W} AS bucket
+      FROM top t CROSS JOIN hcfg h
+    ),
+    est AS (
+      SELECT p.week_start, p.user_id, p.exact_n,
+             CAST(MIN(w.cnt) AS BIGINT) AS cms_est
+      FROM probe p
+      JOIN weekly w ON w.week_start = p.week_start
+                   AND w.r = p.r AND w.bucket = p.bucket
+      GROUP BY 1, 2, 3
+    )
+    SELECT week_start, user_id, exact_n, cms_est,
+           cms_est - exact_n AS overcount
+    FROM est ORDER BY week_start, exact_n DESC, user_id
+    """,
+)
+def events_countmin_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency rollup — the heavy-count sibling of the HLL
+    distinct rollup and the log-grid quantile rollup, completing the
+    mergeable-sketch trio (distinct / quantile / frequency). Per-day
+    depth-3 × width-512 integer counter grids roll day→week by plain
+    vector ADDITION (associative, re-aggregable without touching raw
+    events); each week's top-5 users by exact count are then probed
+    against the merged sketch, showing est = min over rows of the hashed
+    counter, the one-sided overestimate (`overcount` ≥ 0 always — the
+    CMS guarantee), and its magnitude against the exact truth.
+
+    Unlike the seeded-HLL binary, the whole sketch is integer arithmetic
+    on literal hash constants, so DuckDB replays BUILD, MERGE, and PROBE
+    bit-for-bit — no bounded-error verdict needed.
+
+    Scale: the raw pass explodes each event into 3 (row, bucket) cells
+    whose counts partial-aggregate MAP-SIDE — the shuffle carries at
+    most days × 3 × 512 counter rows regardless of event volume, and the
+    week merge moves only sketch rows. The probe is a 15-row-per-week
+    broadcast-sized join against the sketch. This is the shape that lets
+    a 100 TB event store keep per-shard sketches and answer 'roughly how
+    often did X occur last week' without a raw re-scan."""
+    e = t(spark, sf_dir, "events")
+    hexpr = lambda u: [
+        F.struct(
+            F.lit(r).alias("r"),
+            ((F.lit(a) * u + F.lit(b)) % _CMS_P % _CMS_W).alias("bucket"),
+        )
+        for r, a, b in _CMS_HASHES
+    ]
+    daily = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.explode(F.array(*hexpr(F.col("user_id")))).alias("h"),
+        )
+        .groupBy("day", "h.r", "h.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week_start"),
+        "r",
+        "bucket",
+    ).agg(F.sum("cnt").alias("cnt"))
+    exact = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week_start"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("exact_n"))
+    wk = W.partitionBy("week_start").orderBy(F.col("exact_n").desc(), "user_id")
+    top = (
+        exact.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+    probe = top.select(
+        "week_start",
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*hexpr(F.col("user_id")))).alias("h"),
+    ).select("week_start", "user_id", "exact_n", "h.r", "h.bucket")
+    est = (
+        probe.join(weekly, ["week_start", "r", "bucket"])
+        .groupBy("week_start", "user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "week_start",
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy("week_start", F.col("exact_n").desc(), "user_id")
+
+
+@register(
+    "timeseries_trend_mann_kendall",
+    category="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx,
+             CAST(FLOOR(rev_dec / 1000) AS BIGINT) AS x
+      FROM daily
+    ),
+    stat AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_stat
+      FROM s a JOIN s b ON b.idx > a.idx
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM s),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+             AS tie_corr
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY x)
+      WHERE t > 1
+    ),
+    agg AS (
+      SELECT nn.n_days, stat.s_stat,
+             nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+               - ties.tie_corr AS var18
+      FROM nn, stat, ties
+    )
+    SELECT n_days, s_stat, var18,
+           CAST(FLOOR(1000.0 * (s_stat - CASE WHEN s_stat > 0 THEN 1
+                                              WHEN s_stat < 0 THEN -1
+                                              ELSE 0 END)
+                      / sqrt(var18 / 18.0)) AS BIGINT) AS z_milli
+    FROM agg
+    """,
+)
+def timeseries_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily revenue — the nonparametric
+    'is there a monotonic trend?' statistic (S = sum of pairwise
+    sign(x_j - x_i), j later than i), with the tie-corrected variance
+    n(n-1)(2n+5) - Σ t(t-1)(2t+5) over 18 and the continuity-corrected
+    z-score. Complements the CUSUM changepoint (level SHIFT) and the ACF
+    (periodicity) with monotone DRIFT detection; |z_milli| > 1960 is the
+    5% significance call.
+
+    Determinism: the series is the same FLOOR(revenue/1000) int64 grain
+    as timeseries_acf; S, n, and var18 are exact integer folds; the only
+    float step is one sqrt + divide + FLOOR over exactly-representable
+    integers (< 2^53), which IEEE semantics make bit-identical in both
+    engines.
+
+    Scale: the data-sized pass is ONE groupBy to day grain. The O(n²)
+    pairwise comparison runs on the calendar-bounded day SERIES (n ≈
+    2.4k for TPC-H's seven years — ~3M sign evaluations, constant in
+    row volume; a decade of days is n=3.7k regardless of whether the
+    table is 1 GB or 100 TB). Spark executes it as a nested-loop join
+    of a broadcast series against itself — bounded by the calendar, the
+    documented contract of every timeseries_* query here."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
+    s = daily.select(
+        F.row_number().over(W.orderBy("day")).alias("idx"),
+        F.floor(F.col("rev_dec") / 1000).cast("long").alias("x"),
+    ).localCheckpoint()
+    a = s.select(F.col("idx").alias("a_idx"), F.col("x").alias("a_x"))
+    b = s.select(F.col("idx").alias("b_idx"), F.col("x").alias("b_x"))
+    sign = (
+        F.when(F.col("b_x") > F.col("a_x"), F.lit(1))
+        .when(F.col("b_x") < F.col("a_x"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    stat = (
+        a.join(b, F.col("b_idx") > F.col("a_idx"))
+        .agg(F.sum(sign).cast("bigint").alias("s_stat"))
+    )
+    nn = s.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        s.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+        .filter(F.col("tcnt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tcnt")
+                    * (F.col("tcnt") - 1)
+                    * (2 * F.col("tcnt") + 5)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tie_corr")
+        )
+    )
+    agg = (
+        nn.crossJoin(F.broadcast(stat))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_corr")
+            ).alias("var18"),
+        )
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, F.lit(1))
+        .when(F.col("s_stat") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return agg.select(
+        "n_days",
+        "s_stat",
+        "var18",
+        F.floor(
+            1000.0 * (F.col("s_stat") - cc) / F.sqrt(F.col("var18") / 18.0)
+        ).cast("bigint").alias("z_milli"),
+    )

@@ -1107,3 +1107,199 @@ def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_distinct_sensitive"
         ),
     )
+
+
+#: Benford expected leading-digit shares, integer ppm of log10(1+1/d).
+#: Rounded independently per digit yet summing to exactly 1_000_000 —
+#: embedded as the SAME literal table in both engines so the fixed-point
+#: chi-square below is bit-exact.
+_BENFORD_PPM = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+
+@register(
+    "audit_benford_digits",
+    category="audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS cents
+      FROM orders
+    ),
+    d AS (
+      SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM v
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    expd AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM)}
+      ) e(digit, exp_ppm)
+    ),
+    j AS (
+      SELECT e.digit,
+             COALESCE(o.n_obs, 0) AS n_obs,
+             CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             CAST((COALESCE(o.n_obs, 0) * 1000000)
+                  // (SELECT SUM(n_obs) FROM obs) AS BIGINT) AS obs_ppm
+      FROM expd e LEFT JOIN obs o ON o.digit = e.digit
+    ),
+    chi AS (
+      SELECT CAST(SUM(
+               ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000)
+               // exp_ppm) AS BIGINT) AS chi2_nano
+      FROM j
+    )
+    SELECT j.digit, j.n_obs, j.obs_ppm, j.exp_ppm, c.chi2_nano
+    FROM j, chi c ORDER BY j.digit
+    """,
+)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed leading-digit
+    distribution vs the log10(1+1/d) expectation, with a fixed-point
+    chi-square fit statistic — the forensic-accounting / fraud-detection
+    audit (fabricated amounts rarely match Benford; a synthetic-uniform
+    column like TPC-H's totalprice fails loudly, which is itself the
+    demonstration). Output: per-digit observed counts and ppm shares
+    beside the expectation, plus the total chi2 (nano-units) on every
+    row. All arithmetic is int64 — the leading digit comes from the
+    exact cents value via string head, not log10 (float log at a power-
+    of-ten boundary is an engine-dependent coin flip), and shares use
+    integer DIV — so Spark and DuckDB agree bit-for-bit.
+
+    Scale: one map-side-combinable groupBy to a ≤9-row digit table; the
+    expectation is a 9-row literal broadcast; the chi-square folds 9
+    rows. The only data-sized work is the scan."""
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    obs = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").alias("_n"))
+    expd = spark.createDataFrame(_BENFORD_PPM, "digit int, exp_ppm bigint")
+    j = (
+        F.broadcast(expd)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("COALESCE(n_obs, 0) * 1000000 DIV _n").cast("bigint").alias(
+                "obs_ppm"
+            ),
+            "exp_ppm",
+        )
+    )
+    chi = j.agg(
+        F.sum(
+            F.expr(
+                "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) * 1000 DIV exp_ppm"
+            )
+        ).cast("bigint").alias("chi2_nano")
+    )
+    return (
+        j.crossJoin(F.broadcast(chi))
+        .select("digit", "n_obs", "obs_ppm", "exp_ppm", "chi2_nano")
+        .orderBy("digit")
+    )
+
+
+@register(
+    "sync_table_diff",
+    category="sync",
+    oracle="""
+    WITH oldv AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|',
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS VARCHAR),
+                 o_orderstatus, o_orderpriority)) AS dig
+      FROM orders WHERE o_orderkey % 17 <> 0
+    ),
+    newv AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|',
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END
+                      AS VARCHAR),
+                 o_orderstatus, o_orderpriority)) AS dig
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.dig <> n.dig THEN 'changed'
+                  ELSE 'unchanged' END AS diff_class
+      FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+    )
+    SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM j GROUP BY diff_class ORDER BY diff_class
+    """,
+)
+def sync_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the added/removed/changed/unchanged census between
+    two table versions, the reconciliation primitive behind 'did the
+    incremental sync land exactly the delta?' (the reference answers
+    this only with whole-table row counts; a class-wise diff localizes
+    WHERE a sync drifted). Two snapshots are derived deterministically
+    from orders: the old version lacks keys ≡0 (mod 17) (these become
+    adds), the new version drops keys ≡0 (mod 13) (removes) and bumps
+    the price one dollar on keys ≡0 (mod 11) (changes).
+
+    Rows compare by PK + row DIGEST (md5 over a canonical rendering —
+    prices as exact cents, so double-formatting divergence can't fake a
+    diff), which is what makes the shape scale: the full-outer join
+    shuffles (key, 32-byte digest) pairs, never row width, and both
+    sides hash-partition on the same PK so a bucketed layout co-locates
+    them without exchange. Output: per-class row counts and key ranges.
+    The oracle replays the same digests — md5 over identical canonical
+    strings — in SQL."""
+    o = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+
+    def dig(cents_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                cents_col.cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    oldv = o.filter(key % 17 != 0).select(key.alias("k"), dig(cents).alias("dig"))
+    bump = F.when(key % 11 == 0, F.lit(100)).otherwise(F.lit(0))
+    newv = o.filter(key % 13 != 0).select(
+        key.alias("k"), dig(cents + bump).alias("dig")
+    )
+    j = oldv.alias("o").join(
+        newv.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    cls = (
+        F.when(F.col("o.k").isNull(), F.lit("added"))
+        .when(F.col("n.k").isNull(), F.lit("removed"))
+        .when(F.col("o.dig") != F.col("n.dig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+            cls.alias("diff_class"),
+        )
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("diff_class")
+    )

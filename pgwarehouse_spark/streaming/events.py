@@ -747,3 +747,60 @@ def stream_quantile_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_countmin_maintenance(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained COUNT-MIN state (r4): every micro-batch
+    hashes its events into the depth-3 × width-512 counter grid of
+    `events_countmin_rollup_sketch` and additively merges the per-(day,
+    row, bucket) cell counts into the bucketed rollup — the streaming
+    feed of the frequency sketch, completing the maintained-sketch trio
+    beside `stream_rollup_maintenance` (distinct) and
+    `stream_quantile_maintenance` (quantile). Counters are plain
+    integers keyed by cell, so maintenance is `update_rollup` with the
+    hash cell as a group key: per-batch work is O(cells touched ≤ 3 ×
+    batch rows, post-combine ≤ days × 1536), and serving a frequency
+    estimate is a 3-row MIN probe of the table, never a raw-event scan.
+    Exactly-once via the streaming checkpoint (additive counters
+    double-count on replay, same contract as the other two)."""
+    from ..operators.eventwindows import _CMS_HASHES, _CMS_P, _CMS_W
+    from ..sync.rollup import update_rollup
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.select(
+            F.to_date("ts").alias("day"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                (F.lit(a) * F.col("user_id") + F.lit(b))
+                                % _CMS_P
+                                % _CMS_W
+                            ).alias("bucket"),
+                        )
+                        for r, a, b in _CMS_HASHES
+                    ]
+                )
+            ).alias("h"),
+        ).select("day", "h.r", "h.bucket")
+        update_rollup(
+            batch_df.sparkSession,
+            rollup_path,
+            delta,
+            group_keys=["day", "r", "bucket"],
+            measures=[("n", F.count(F.lit(1)))],
+            num_buckets=8,
+        )
+
+    writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

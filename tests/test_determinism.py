@@ -179,3 +179,57 @@ def test_quantile_rollup_merge_equals_direct_and_bounded(spark, sf_dir):
         x50, x90 = exact[k]
         assert abs(e50 - x50) / x50 <= _QSK_REL_ERR, (k, e50, x50)
         assert abs(e90 - x90) / x90 <= _QSK_REL_ERR, (k, e90, x90)
+
+
+def test_countmin_rollup_merge_equals_direct_and_overestimates(spark, sf_dir):
+    """Count-min sketch mergeability (r4): the weekly counter grid summed
+    from DAILY grids must equal the grid built directly over the week
+    (integer vector addition, exact), and every probe estimate must
+    dominate the exact count — the CMS one-sided-error guarantee."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.eventwindows import (
+        _CMS_HASHES,
+        _CMS_P,
+        _CMS_W,
+        events_countmin_rollup_sketch,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.to_date("ts").alias("d"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            (F.lit(a) * F.col("user_id") + F.lit(b))
+                            % _CMS_P
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for r, a, b in _CMS_HASHES
+                ]
+            )
+        ).alias("h"),
+    )
+    daily_then_week = (
+        cells.groupBy("week_start", "d", "h.r", "h.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("week_start", "r", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct_week = cells.groupBy("week_start", "h.r", "h.bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert (
+        daily_then_week.exceptAll(direct_week).count() == 0
+        and direct_week.exceptAll(daily_then_week).count() == 0
+    )
+    rows = events_countmin_rollup_sketch(spark, sf_dir).collect()
+    assert rows, "sketch probe returned no rows"
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)

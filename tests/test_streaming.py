@@ -743,3 +743,62 @@ def test_stream_quantile_maintenance_matches_batch(
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_countmin_maintenance_matches_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Streaming count-min state (r4): after draining the stream through
+    per-batch cell merges, the maintained (day, r, bucket) counters
+    equal the one-shot batch grid EXACTLY (integer vector addition is
+    order/batching-independent), so any frequency estimate served from
+    the table matches the batch sketch."""
+    from pgwarehouse_spark.operators.eventwindows import (
+        _CMS_HASHES,
+        _CMS_P,
+        _CMS_W,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_countmin_maintenance,
+    )
+    from pgwarehouse_spark.sync.rollup import read_rollup
+
+    rollup = str(tmp_path / "cmrollup")
+    ckpt = str(tmp_path / "cmckpt")
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    q = stream_countmin_maintenance(stream, rollup, checkpoint=ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.day, r.r, r.bucket): r.n
+        for r in read_rollup(spark, rollup).collect()
+    }
+    want = {
+        (r.day, r.r, r.bucket): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(h_r).alias("r"),
+                            (
+                                (F.lit(a) * F.col("user_id") + F.lit(b))
+                                % _CMS_P
+                                % _CMS_W
+                            ).alias("bucket"),
+                        )
+                        for h_r, a, b in _CMS_HASHES
+                    ]
+                )
+            ).alias("h"),
+        )
+        .groupBy("day", "h.r", "h.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
