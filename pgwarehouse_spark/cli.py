@@ -77,7 +77,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "command",
         choices=["init", "list", "listwh", "extract", "load", "sync", "reload",
-                 "compact", "optimize", "publish", "verify", "query", "queries", "audit",
+                 "compact", "optimize", "publish", "verify", "diff", "query", "queries", "audit",
                  "explain", "sql", "history", "vacuum"],
     )
     p.add_argument("table", nargs="?",
@@ -122,7 +122,7 @@ def _build_parser() -> argparse.ArgumentParser:
 #: optimize, tx history/vacuum, publish) errors clearly
 _DUCKDB_WAREHOUSE_COMMANDS = {
     "init", "list", "listwh", "extract", "load", "sync", "reload",
-    "verify", "query", "queries", "audit", "explain", "sql",
+    "verify", "diff", "query", "queries", "audit", "explain", "sql",
 }
 
 
@@ -438,6 +438,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 rc = 1
                 print(f"{t}: DIVERGED buckets {report['buckets']}")
+        return rc
+
+    if args.command == "diff":
+        # Key-level drill-down behind `verify`: names the keys that are
+        # missing / extra / mismatched warehouse-side (live-warehouse
+        # configs only — a lake table has no second copy to diff).
+        if not hasattr(eng, "diff"):
+            print(
+                "diff requires a live warehouse config "
+                "(warehouse: {type: duckdb})",
+                file=sys.stderr,
+            )
+            return 1
+        rc = 0
+        for t in tables:
+            rep = eng.diff(t)
+            if rep["ok"]:
+                print(f"{t}: identical ({rep['counts'].get('identical', 0)} rows)")
+            else:
+                rc = 1
+                bad = ", ".join(
+                    f"{k}={v}"
+                    for k, v in sorted(rep["counts"].items())
+                    if k != "identical"
+                )
+                print(f"{t}: DIVERGED {bad}")
+                for k, keys in sorted(rep["sample_keys"].items()):
+                    print(f"  {k} keys: {keys}")
         return rc
 
     if args.command == "publish":

@@ -210,6 +210,25 @@ class DuckDBWarehouse:
             con.close()
         return spark.read.parquet(os.path.join(out, "data.parquet"))
 
+    def read_sql(self, spark: SparkSession, sql: str, tag: str = "q") -> DataFrame:
+        """Distributed read of an arbitrary warehouse QUERY: DuckDB COPYs
+        the result to parquet, Spark reads it. The point over `query()`
+        (fetchall → driver list) is that only the projected columns cross
+        the boundary and land as splittable parquet — e.g. `diff` exports
+        (pk, digest) pairs, never row width."""
+        out = os.path.join(self.staging_dir, f"_read_sql_{tag}")
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        con = self._con()
+        try:
+            con.execute(
+                f"COPY ({sql}) "
+                f"TO '{os.path.join(out, 'data.parquet')}' (FORMAT PARQUET)"
+            )
+        finally:
+            con.close()
+        return spark.read.parquet(os.path.join(out, "data.parquet"))
+
     def count(self, spark: SparkSession, table: str) -> int:
         return self.query(
             f"SELECT COUNT(*) FROM {self.dialect.quote_ident(table)}"
@@ -441,6 +460,86 @@ class DuckDBSyncEngine:
             if src_side.get(g) != wh_side.get(g)
         )
         return {"ok": not bad, "groups": bad, "buckets": bad}
+
+    def diff(self, table: str, sample: int = 10) -> dict:
+        """Key-level source↔warehouse reconciliation — the drill-down
+        behind `verify`: where verify says 'digest group 17 diverged',
+        diff names the KEYS. Classes (warehouse-centric):
+        `missing_in_warehouse` (source row never landed),
+        `extra_in_warehouse` (row the source no longer has),
+        `mismatched` (same key, different row digest), `identical`.
+
+        Scale contract: the source side reduces to (pk, digest) in
+        Spark; the warehouse side computes the SAME canonical digest
+        INSIDE DuckDB and exports only (pk, digest) via `read_sql` —
+        row width never crosses the boundary, and the full-outer join
+        shuffles 8-byte digests on the PK both layouts already cluster
+        on. Digest portability is the verify() contract
+        (`canon_row_digest` ≡ the SQL md5-prefix form, oracle-pinned).
+
+        Returns {'ok', 'counts': {class: n}, 'sample_keys': {class:
+        [first `sample` keys]}}."""
+        from pyspark.sql import functions as F
+
+        from ..operators.syncshapes import canon_row_digest
+
+        spec = self.spec(table)
+        pk = spec.primary_key
+        if not pk:
+            raise ValueError(f"diff requires a primary key for {table}")
+        pk_cols = [pk] if isinstance(pk, str) else list(pk)
+        src = self.extract(table)
+        cols = sorted(src.columns)
+        h = canon_row_digest(*[F.col(c).cast("string") for c in cols])
+        s = src.select(*pk_cols, h.alias("_dig_src"))
+        qi = self.wh.dialect.quote_ident
+        canon_sql = " || '|' || ".join(
+            f"COALESCE(CAST({qi(c)} AS VARCHAR), '<NULL>')" for c in cols
+        )
+        h_sql = f"CAST('0x' || SUBSTR(md5({canon_sql}), 1, 15) AS BIGINT)"
+        pk_sql = ", ".join(qi(c) for c in pk_cols)
+        w = self.wh.read_sql(
+            self.spark,
+            f"SELECT {pk_sql}, {h_sql} AS _dig_wh FROM {qi(table)}",
+            tag=f"diff_{table}",
+        )
+        cls = (
+            F.when(F.col("_dig_wh").isNull(), F.lit("missing_in_warehouse"))
+            .when(F.col("_dig_src").isNull(), F.lit("extra_in_warehouse"))
+            .when(F.col("_dig_src") != F.col("_dig_wh"), F.lit("mismatched"))
+            .otherwise(F.lit("identical"))
+        )
+        lab = (
+            s.join(w, pk_cols, "full_outer")
+            .select(*pk_cols, cls.alias("_class"))
+            .persist()
+        )
+        try:
+            counts = {
+                r["_class"]: r["n"]
+                for r in lab.groupBy("_class")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            samples = {}
+            for c in ("missing_in_warehouse", "extra_in_warehouse", "mismatched"):
+                if counts.get(c):
+                    rows = (
+                        lab.filter(F.col("_class") == c)
+                        .orderBy(*pk_cols)
+                        .limit(sample)
+                        .collect()
+                    )
+                    samples[c] = [
+                        tuple(r[k] for k in pk_cols)
+                        if len(pk_cols) > 1
+                        else r[pk_cols[0]]
+                        for r in rows
+                    ]
+        finally:
+            lab.unpersist()
+        ok = set(counts) <= {"identical"}
+        return {"ok": ok, "counts": counts, "sample_keys": samples}
 
     def sync_all(self, today=None):
         from .engine import SyncResult

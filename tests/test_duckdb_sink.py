@@ -361,3 +361,48 @@ def test_verify_against_live_duckdb_detects_divergence(spark, sf_dir, tmp_path):
     assert not report["ok"]
     # exactly the tampered row's group(s) flagged, counts still equal
     assert 1 <= len(report["groups"]) <= 2
+
+
+def test_diff_names_divergent_keys_live_duckdb(spark, sf_dir, tmp_path):
+    """Key-level diff drill-down (r4): green after a faithful sync; after
+    a warehouse-side UPDATE + DELETE + INSERT, `diff` reports exactly one
+    mismatched, one missing_in_warehouse, one extra_in_warehouse — each
+    with the right key — while only (pk, digest) pairs ever cross the
+    warehouse boundary (read_sql exports the projection, not the rows)."""
+    from pgwarehouse_spark import cli
+    from pgwarehouse_spark.catalog import Config
+    from pgwarehouse_spark.sync.duckdb_sink import DuckDBSyncEngine
+
+    src_dir = tmp_path / "src"
+    _orders(spark, sf_dir, n=120).write.parquet(str(src_dir / "my_orders"))
+    cfg, db = _duck_cfg(
+        tmp_path, src_dir, {"my_orders": {"primary_key": "o_orderkey"}}
+    )
+    assert cli.main(["sync", "my_orders", "--config", cfg], spark=spark) == 0
+    assert cli.main(["diff", "my_orders", "--config", cfg], spark=spark) == 0
+
+    wh = DuckDBWarehouse(db)
+    k_upd = wh.query("SELECT MIN(o_orderkey) FROM my_orders")[0][0]
+    k_del = wh.query("SELECT MAX(o_orderkey) FROM my_orders")[0][0]
+    k_ins = k_del + 1_000_000
+    wh.query(
+        f"UPDATE my_orders SET o_totalprice = o_totalprice + 1 "
+        f"WHERE o_orderkey = {k_upd}"
+    )
+    wh.query(f"DELETE FROM my_orders WHERE o_orderkey = {k_del}")
+    wh.query(
+        f"INSERT INTO my_orders SELECT {k_ins}, o_custkey, o_totalprice, "
+        f"o_orderdate FROM my_orders WHERE o_orderkey = {k_upd}"
+    )
+
+    eng = DuckDBSyncEngine.from_config(spark, Config.from_yaml(cfg))
+    rep = eng.diff("my_orders")
+    assert not rep["ok"]
+    assert rep["counts"]["mismatched"] == 1
+    assert rep["counts"]["missing_in_warehouse"] == 1
+    assert rep["counts"]["extra_in_warehouse"] == 1
+    assert rep["counts"]["identical"] == 118
+    assert rep["sample_keys"]["mismatched"] == [k_upd]
+    assert rep["sample_keys"]["missing_in_warehouse"] == [k_del]
+    assert rep["sample_keys"]["extra_in_warehouse"] == [k_ins]
+    assert cli.main(["diff", "my_orders", "--config", cfg], spark=spark) == 1
