@@ -215,3 +215,55 @@ def scalar_multiformat_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp("mdy", "MM/dd/yyyy").alias("parsed"),
         F.try_to_timestamp(F.lit("not a date"), F.lit("MM/dd/yyyy")).alias("bad_parse"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "recursive_cte_hierarchy",
+    category="recursive",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur,
+             0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT depth AS root_depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(node) AS min_key, MAX(node) AS max_key
+    FROM walk WHERE cur = 1
+    GROUP BY depth ORDER BY depth
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine `WITH RECURSIVE` in Spark SQL (new in Spark 4) — the
+    iterative-traversal QUERY SURFACE, complementing the hand-unrolled
+    DataFrame iterations (PageRank, connected components, BFS) with the
+    declarative form a SQL user migrating from a recursive-CTE warehouse
+    writes. Each customer key walks its binary-heap ancestry (k → k DIV
+    2) to the root; output is the census of root distances. DuckDB runs
+    the same recursion natively (`//` vs `DIV` is the one dialect
+    split), so the oracle is a true recursive-engine cross-check, not a
+    replay.
+
+    Scale: the recursive step is a pure PROJECTION (no join, no
+    shuffle) — each iteration rewrites (node, cur, depth) narrowly, and
+    rows exit as they reach the root, so total work is N·log(maxkey)
+    with log-bounded iteration count; Spark's recursion executes as
+    iterative union steps over the same partitioning. Integer-only
+    arithmetic ⇒ bit-identical across engines."""
+    views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur,
+                 0 AS depth
+          FROM customer
+          UNION ALL
+          SELECT node, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT depth AS root_depth, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               MIN(node) AS min_key, MAX(node) AS max_key
+        FROM walk WHERE cur = 1
+        GROUP BY depth ORDER BY depth
+        """
+    )
