@@ -128,6 +128,14 @@ HEADLINE = [
     "events_attribution_touch",
     "multimodal_phash_neardup",
     "join_cardinality_estimate",
+    "spatial_grid_neighbors",
+    "spatial_cell_density",
+    "skyline_pareto_frontier",
+    "audit_benford_digits",
+    "timeseries_acf",
+    "events_countmin_rollup_sketch",
+    "timeseries_trend_mann_kendall",
+    "recursive_cte_hierarchy",
 ]
 
 
@@ -155,6 +163,7 @@ HEAVY = [
     "graph_kcore",
     "graph_bfs_distance",
     "multimodal_phash_neardup",
+    "spatial_grid_neighbors",
 ]
 # stdout-line budget: the driver tail-captures 2000 bytes of stdout, so
 # the one-line JSON must stay under this (full detail goes to the file)
