@@ -1001,3 +1001,267 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_phash_neardup.__doc__ = multimodal_phash_neardup.__doc__.replace(
     "{hd}", str(_PHASH_HD_MAX)
 ).replace("{cap}", str(_PHASH_BUCKET_CAP))
+
+
+_WAV_RATE = 8000  # synth sample rate; duration_ms derives from it
+
+
+def wav_roundtrip_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> decoded-sample statistics: a deterministic
+    square wave (period/amplitude derived from doc_id, length from the
+    text) is ENCODED to real RIFF/WAVE bytes and DECODED back via the
+    stdlib `wave` codec executor-side, then n_samples / rate / energy /
+    zero-crossings are computed FROM THE DECODED SAMPLES. The paired
+    oracle derives the same statistics in closed form from (doc_id,
+    length) — so any bug in the encode, the decode, or the sample
+    arithmetic breaks the hash match downstream. Arrow-batched
+    mapInPandas; one Python hop, the multimodal contract."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = int(doc_id)
+                n = min(512, max(16, len(text)))
+                per = 20 + k % 32
+                amp = 1000 + k % 1000
+                samples = [
+                    amp if (i // per) % 2 == 0 else -amp for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_RATE)
+                    w.writeframes(struct.pack("<%dh" % n, *samples))
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as r:
+                    nf = r.getnframes()
+                    rate = r.getframerate()
+                    dec = struct.unpack("<%dh" % nf, r.readframes(nf))
+                zc = sum(
+                    1
+                    for i in range(1, nf)
+                    if (dec[i] >= 0) != (dec[i - 1] >= 0)
+                )
+                rows.append(
+                    (
+                        k,
+                        nf,
+                        rate,
+                        sum(v * v for v in dec),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "rate", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(
+        _batches,
+        schema="doc_id bigint, n_samples bigint, rate int, "
+        "sum_sq bigint, zero_crossings bigint",
+    )
+
+
+@register(
+    "multimodal_wav_energy",
+    category="multimodal",
+    oracle=f"""
+    WITH au AS (
+      SELECT doc_id, LENGTH(text) AS tl FROM documents WHERE doc_id % 3 = 1
+    ),
+    p AS (
+      SELECT doc_id,
+             LEAST(512, GREATEST(16, tl)) AS n,
+             20 + doc_id % 32 AS per,
+             1000 + doc_id % 1000 AS amp
+      FROM au
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST(n * amp * amp AS BIGINT) AS sum_sq,
+           CAST((n - 1) // per AS BIGINT) AS zero_crossings
+    FROM p ORDER BY doc_id LIMIT 25
+    """,
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through a GENUINE codec round-trip — the
+    WAV sibling of the PNG phash query: per audio-slice document, a
+    deterministic square wave is encoded to real RIFF/WAVE bytes and
+    decoded back with the stdlib `wave` codec executor-side, and the
+    reported energy (sum of squared samples), zero-crossing count,
+    sample count, and duration come from the DECODED frames. The DuckDB
+    oracle computes the same statistics in CLOSED FORM from (doc_id,
+    text length) — n·A² energy, floor((n-1)/period) crossings — so the
+    correctness gate red-flags any codec defect end-to-end instead of
+    smoke-testing 'it didn't crash'. (With soundfile installed the same
+    plumbing consumes genuine recordings; the square-wave synth stands
+    in for the waveform, not for the codec, which is real.)
+
+    Scale: one Arrow-batched mapInPandas pass over the audio slice —
+    the slice predicate lands in the parquet scan; per-doc work is
+    bounded by the 512-sample cap; the output is 5 integers per doc,
+    TakeOrdered to the 25-row report."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+    )
+    s = wav_roundtrip_stats(d)
+    return (
+        s.select(
+            "doc_id",
+            "n_samples",
+            F.expr(f"n_samples * 1000 DIV {_WAV_RATE}").cast("bigint").alias(
+                "duration_ms"
+            ),
+            "sum_sq",
+            "zero_crossings",
+        )
+        .orderBy("doc_id")
+        .limit(25)
+    )
+
+
+def build_mp4_container(
+    width: int, height: int, duration_ms: int, version: int = 0
+) -> bytes:
+    """Minimal valid ISO-BMFF container from first principles: ftyp +
+    moov(mvhd + trak(tkhd)), spec-complete v0/v1 field layouts, 1 kHz
+    movie timescale so duration_ms IS the mvhd duration. The executor-
+    side producer for `multimodal_mp4_meta`'s genuine parse round-trip
+    (tests build their own copy independently)."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    if version == 0:
+        mvhd = (
+            bytes([0]) + b"\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000, duration_ms)
+        )
+        tkhd_times = struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(
+            ">I", duration_ms
+        )
+        tk_ver = bytes([0])
+    else:
+        mvhd = (
+            bytes([1]) + b"\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 1000)
+            + struct.pack(">Q", duration_ms)
+        )
+        tkhd_times = (
+            struct.pack(">QQ", 0, 0)
+            + struct.pack(">II", 1, 0)
+            + struct.pack(">Q", duration_ms)
+        )
+        tk_ver = bytes([1])
+    mvhd += (
+        struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+        + struct.pack(">I", 2)
+    )
+    tkhd = (
+        tk_ver + b"\x00\x00\x07" + tkhd_times
+        + b"\x00" * 8
+        + b"\x00" * 8
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd))
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        + box(b"moov", moov)
+    )
+
+
+@register(
+    "multimodal_mp4_meta",
+    category="multimodal",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+    ),
+    p AS (
+      SELECT doc_id,
+             160 + (doc_id % 16) * 8 AS width,
+             120 + (doc_id % 9) * 8 AS height,
+             500 + (doc_id % 100) * 10 AS duration_ms
+      FROM vid
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(duration_ms AS INT) AS duration_ms,
+           CAST(width * 1000 // height AS BIGINT) AS aspect_milli
+    FROM p ORDER BY doc_id LIMIT 25
+    """,
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata through a GENUINE ISO-BMFF round-trip —
+    the MP4 sibling of the WAV energy and PNG phash queries: per
+    video-slice document, a spec-complete container (v0 for even keys,
+    v1 for odd — both mvhd/tkhd layouts exercised in the gate) is BUILT
+    executor-side and parsed back with the first-principles box-tree
+    parser (`_decode_mp4_stdlib`: coherent-chain validation, 16.16
+    fixed-point dims, timescale-normalized duration); the reported
+    width/height/duration come from the PARSE. The DuckDB oracle
+    computes the same fields in closed form from doc_id, so a parser
+    or builder defect turns the correctness gate red.
+
+    Scale: one Arrow-batched mapInPandas pass over the video slice
+    (predicate in the parquet scan); per-doc work is a ~200-byte
+    container; 5 integers per doc out, TakeOrdered to 25."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                payload = build_mp4_container(
+                    160 + (k % 16) * 8,
+                    120 + (k % 9) * 8,
+                    500 + (k % 100) * 10,
+                    version=k % 2,
+                )
+                meta = _decode_mp4_stdlib(payload)
+                if meta is None:
+                    raise ValueError(f"mp4 round-trip failed for doc {k}")
+                rows.append((k, meta[0], meta[1], meta[2]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "duration_ms"]
+            )
+
+    s = d.mapInPandas(
+        _batches,
+        schema="doc_id bigint, width int, height int, duration_ms int",
+    )
+    return (
+        s.select(
+            "doc_id",
+            "width",
+            "height",
+            "duration_ms",
+            F.expr("width * 1000 DIV height").cast("bigint").alias(
+                "aspect_milli"
+            ),
+        )
+        .orderBy("doc_id")
+        .limit(25)
+    )
