@@ -754,28 +754,13 @@ graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.replace(
 ).replace("{m}", str(_BFS_SEED_MOD))
 
 
-@register("graph_label_propagation", category="graph", oracle=_LABELPROP_ORACLE)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation over one
-    shipping year's co-purchase graph (4 unrolled rounds): every
-    part starts in its own community, then repeatedly adopts the most
-    frequent label among its neighbors (ties -> smallest label, so the
-    fixpoint is deterministic — raw LPA's random tie-break is the
-    classic nondeterminism trap). The third iterative-graph shape next
-    to PageRank (influence) and connected components (reachability):
-    communities respect edge DENSITY, not mere connectivity, which is
-    what basket-segment discovery and near-dup cluster splitting
-    actually need.
-
-    Scale: the slice-then-analyze pattern — the date predicate lands in
-    the parquet scan (PushedFilters), so the self-join sees one year,
-    not the full history. Each round is one equi-join of edges with the
-    |V|-row label frame plus a (dst, label) count whose map-side partial
-    aggregation bounds hub fan-in BEFORE the shuffle, then a per-node
-    argmax via max(struct(cnt, -label)) — a second partial-aggregated
-    exchange, no window over raw edges, no degree-sized arrays.
-    Integer-only arithmetic keeps every round bit-identical to the
-    oracle's CTE replay at any partition count."""
+def _lpa_final_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA core: the one-year co-purchase edge set (both
+    directions, localCheckpointed — the label rounds re-reference it
+    4x, same rationale as PageRank's adjacency) and the labels after
+    `_LP_ITERS` synchronous rounds with the deterministic (cnt desc,
+    label asc) argmax. Consumed by graph_label_propagation (community
+    census) and graph_modularity_score (partition quality)."""
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(
@@ -798,8 +783,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
-        # the label rounds below re-reference edges 4x — materialize the
-        # self-join once (same rationale as PageRank's adjacency)
         .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
@@ -824,6 +807,32 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = pick.select(
             "node", (-F.col("m.neg_label")).alias("label")
         )
+    return edges, labels
+
+
+@register("graph_label_propagation", category="graph", oracle=_LABELPROP_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over one
+    shipping year's co-purchase graph (4 unrolled rounds): every
+    part starts in its own community, then repeatedly adopts the most
+    frequent label among its neighbors (ties -> smallest label, so the
+    fixpoint is deterministic — raw LPA's random tie-break is the
+    classic nondeterminism trap). The third iterative-graph shape next
+    to PageRank (influence) and connected components (reachability):
+    communities respect edge DENSITY, not mere connectivity, which is
+    what basket-segment discovery and near-dup cluster splitting
+    actually need.
+
+    Scale: the slice-then-analyze pattern — the date predicate lands in
+    the parquet scan (PushedFilters), so the self-join sees one year,
+    not the full history. Each round is one equi-join of edges with the
+    |V|-row label frame plus a (dst, label) count whose map-side partial
+    aggregation bounds hub fan-in BEFORE the shuffle, then a per-node
+    argmax via max(struct(cnt, -label)) — a second partial-aggregated
+    exchange, no window over raw edges, no degree-sized arrays.
+    Integer-only arithmetic keeps every round bit-identical to the
+    oracle's CTE replay at any partition count."""
+    edges, labels = _lpa_final_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -833,4 +842,108 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
         .limit(_LP_TOP)
+    )
+
+
+_MODULARITY_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '{_LP_DATE_LO}' AND DATE '{_LP_DATE_HI}'
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LP_ITER_SQL},
+    fin AS MATERIALIZED (SELECT node, label FROM l{_LP_ITERS}),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    dsum AS (
+      SELECT f.label, CAST(SUM(d.deg) AS BIGINT) AS d_c
+      FROM fin f JOIN deg d ON d.node = f.node GROUP BY f.label
+    ),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+    e2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS e2
+      FROM edges e
+      JOIN fin a ON e.src = a.node
+      JOIN fin b ON e.dst = b.node
+      WHERE a.label = b.label
+    ),
+    dd AS (
+      SELECT CAST(SUM(d_c * d_c) AS BIGINT) AS sum_d2,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM dsum
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM fin)
+    SELECT nn.n_nodes, dd.n_communities,
+           m2.m2 // 2 AS m_edges, e2.e2 // 2 AS intra_edges,
+           CAST(FLOOR(1000000.0 * (m2.m2 * e2.e2 - dd.sum_d2)
+                      / (m2.m2 * m2.m2)) AS BIGINT) AS modularity_micro
+    FROM nn, dd, m2, e2
+"""
+
+
+@register("graph_modularity_score", category="graph", oracle=_MODULARITY_ORACLE)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    quality score that tells you whether the communities LPA found are
+    real structure or noise: Q = sum_c [e_c/m - (d_c/2m)^2], computed
+    over the SAME 4-round LPA labels as graph_label_propagation (shared
+    core, one code path — the census and its quality metric cannot
+    drift apart). Reported in exact micro-units via integer-only
+    counts: with M2 = ordered-pair count and E2 = intra-community
+    ordered pairs, Q = (M2*E2 - sum_c D_c^2) / M2^2 — numerator and
+    denominator are exact int64, the one float step (multiply/divide/
+    FLOOR over <2^53 integers) IEEE-identical cross-engine.
+
+    Scale: on top of the LPA rounds (see graph_label_propagation), the
+    score adds one degree count over edges, one label-sum groupBy over
+    the |V|-row label frame, and one intra-pair count — each a
+    partial-aggregated equi-join/exchange over already-built frames; no
+    new quadratic term anywhere (the d_c^2 fold runs over communities,
+    not nodes)."""
+    edges, labels = _lpa_final_labels(spark, sf_dir)
+    labels = labels.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dsum = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    e2 = (
+        edges.join(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e2"))
+    )
+    dd = dsum.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast("bigint").alias("sum_d2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    )
+    nn = labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        nn.crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(e2))
+        .select(
+            "n_nodes",
+            "n_communities",
+            F.expr("m2 DIV 2").alias("m_edges"),
+            F.expr("e2 DIV 2").alias("intra_edges"),
+            F.floor(
+                1000000.0
+                * (F.col("m2") * F.col("e2") - F.col("sum_d2"))
+                / (F.col("m2") * F.col("m2"))
+            ).cast("bigint").alias("modularity_micro"),
+        )
     )
