@@ -2712,3 +2712,147 @@ def timeseries_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame
             1000.0 * (F.col("s_stat") - cc) / F.sqrt(F.col("var18") / 18.0)
         ).cast("bigint").alias("z_milli"),
     )
+
+
+@register(
+    "timeseries_linear_interpolate",
+    category="timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             CAST(FLOOR(1000 * SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT)
+               AS v
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT d.event_type, s.g AS day_idx
+      FROM (SELECT event_type, MIN(day_idx) AS lo, MAX(day_idx) AS hi
+            FROM daily GROUP BY event_type) d
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(d.lo, d.hi)) AS g
+      ) s
+    ),
+    obs AS (
+      SELECT sp.event_type, sp.day_idx,
+             CASE WHEN sp.day_idx % 3 <> 0 THEN da.v END AS v
+      FROM spine sp LEFT JOIN daily da
+        ON da.event_type = sp.event_type AND da.day_idx = sp.day_idx
+    ),
+    ctx AS (
+      SELECT event_type, day_idx, v,
+             LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN day_idx END
+                        IGNORE NULLS) OVER w_prev AS pd,
+             FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day_idx END
+                         IGNORE NULLS) OVER w_next AS nd
+      FROM obs
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day_idx,
+           CAST(v IS NOT NULL AS INT) AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CAST(FLOOR((1.0 * pv * (nd - day_idx)
+                           + 1.0 * nv * (day_idx - pd))
+                          / (nd - pd)) AS BIGINT)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END AS value_milli
+    FROM ctx
+    ORDER BY event_type, day_idx
+    """,
+)
+def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing points in a daily series — the
+    step beyond LOCF gap-fill (`timeseries_gap_fill`): dropped readings
+    (a simulated every-third-day sensor dropout over one year) are
+    reconstructed as the line between the flanking observations, with
+    LOCF/backfill only at the edges. The window-function idiom is the
+    IGNORE NULLS pair: last-non-null value+day over the strict prefix,
+    first-non-null over the strict suffix, then one arithmetic blend —
+    no self-join against the observation list.
+
+    Determinism: daily values are FLOOR(1000·Σ decimal) int64; the
+    interpolated value FLOOR((pv·(nd−d) + nv·(d−pd))/(nd−pd)) is one
+    correctly-rounded IEEE divide over exact <2^53 integers, so both
+    engines agree bit-for-bit.
+
+    Scale: one partial-aggregated groupBy to (type, day) grain is the
+    only data-sized pass; the spine, the four IGNORE-NULLS windows, and
+    the blend all run on the calendar-bounded per-type day series
+    (same contract as every timeseries_* query here)."""
+    e = t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = (
+        e.filter(day.between(F.lit("1995-01-01"), F.lit("1995-12-31")))
+        .groupBy(
+            "event_type",
+            F.datediff(day, F.lit("1970-01-01").cast("date")).alias("day_idx"),
+        )
+        .agg(
+            F.floor(
+                1000 * F.sum(F.col("value").cast("decimal(18,6)"))
+            ).cast("bigint").alias("v")
+        )
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day_idx"),
+        )
+    )
+    obs = spine.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type",
+        "day_idx",
+        F.when(F.col("day_idx") % 3 != 0, F.col("v")).alias("v"),
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day_idx"))
+    ctx = obs.select(
+        "event_type",
+        "day_idx",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.floor(
+        (
+            1.0 * F.col("pv") * (F.col("nd") - F.col("day_idx"))
+            + 1.0 * F.col("nv") * (F.col("day_idx") - F.col("pd"))
+        )
+        / (F.col("nd") - F.col("pd"))
+    ).cast("bigint")
+    return ctx.select(
+        "event_type",
+        "day_idx",
+        F.col("v").isNotNull().cast("int").alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("value_milli"),
+    ).orderBy("event_type", "day_idx")
