@@ -2470,3 +2470,131 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select("rank", "vec_id", "rel", "mmr_score").orderBy(
         "rank"
     )
+
+
+@register(
+    "embedding_drift_monitor",
+    category="vector",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id % 2 AS split,
+             CAST(pos AS INTEGER) AS pos,
+             CAST(FLOOR(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               unnest(embedding) AS val,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+      )
+    ),
+    sums AS (
+      SELECT split, pos, CAST(SUM(q) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY split, pos
+    ),
+    means AS (
+      SELECT pos,
+             MAX(CASE WHEN split = 0 THEN
+               CAST(FLOOR(1.0 * s / n) AS BIGINT) END) AS m_ref,
+             MAX(CASE WHEN split = 1 THEN
+               CAST(FLOOR(1.0 * s / n) AS BIGINT) END) AS m_prod
+      FROM sums GROUP BY pos
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+             CAST(SUM(m_ref * m_prod) AS BIGINT) AS dot,
+             CAST(SUM(m_ref * m_ref) AS BIGINT) AS qr,
+             CAST(SUM(m_prod * m_prod) AS BIGINT) AS qp,
+             CAST(MAX(ABS(m_ref - m_prod)) AS BIGINT) AS max_abs_delta
+      FROM means
+    ),
+    top AS (
+      SELECT CAST(MIN(m.pos) AS INTEGER) AS top_drift_dim
+      FROM means m, agg a
+      WHERE ABS(m.m_ref - m.m_prod) = a.max_abs_delta
+    ),
+    counts AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 0
+                                      THEN vec_id END) AS BIGINT) AS n_ref,
+             CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 1
+                                      THEN vec_id END) AS BIGINT) AS n_prod
+      FROM embeddings
+    )
+    SELECT c.n_ref, c.n_prod, a.n_dims,
+           CAST(FLOOR(1000.0 * a.dot / (SQRT(a.qr) * SQRT(a.qp)))
+                AS BIGINT) AS cos_milli,
+           a.max_abs_delta, tp.top_drift_dim
+    FROM counts c, agg a, top tp
+    """,
+)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the MLOps check that a
+    freshly-embedded production slice still lives where the reference
+    corpus does (encoder version skew, upstream text drift): centroid
+    cosine between the even-keyed (reference) and odd-keyed
+    (production) halves, the largest per-dimension mean shift, and
+    which dimension moved most. The embedding sibling of
+    `corpus_drift_kl` (which monitors token distributions).
+
+    Determinism: per-dimension sums fold FLOOR(val·1e6) int64 (the
+    functions/vector.py fixed-point pattern); means divide via one
+    correctly-rounded IEEE divide then FLOOR (exact <2^53 operands);
+    the centroid cosine works on the int64 mean vectors — dot and norms
+    exact, one sqrt/divide/FLOOR at the end. Argmax dimension breaks
+    ties to the smallest index via max(struct(delta, -pos)).
+
+    Scale: posexplode → groupBy(split, pos) partial-aggregates map-side
+    — the shuffle carries 2·dims partial rows per task, independent of
+    vector count (a billion vectors cost the same shuffle as a
+    million); everything after runs on the dims-row mean table."""
+    e = t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        (F.col("vec_id") % 2).alias("split"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "split",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    sums = cells.groupBy("split", "pos").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.floor(1.0 * F.col("s") / F.col("n")).cast("bigint")
+    means = (
+        sums.select("split", "pos", mean.alias("m"))
+        .groupBy("pos")
+        .agg(
+            F.max(F.when(F.col("split") == 0, F.col("m"))).alias("m_ref"),
+            F.max(F.when(F.col("split") == 1, F.col("m"))).alias("m_prod"),
+        )
+    )
+    delta = F.abs(F.col("m_ref") - F.col("m_prod"))
+    agg = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(F.col("m_ref") * F.col("m_prod")).cast("bigint").alias("dot"),
+        F.sum(F.col("m_ref") * F.col("m_ref")).cast("bigint").alias("qr"),
+        F.sum(F.col("m_prod") * F.col("m_prod")).cast("bigint").alias("qp"),
+        F.max(delta).cast("bigint").alias("max_abs_delta"),
+        (-F.max(F.struct(delta.alias("d"), (-F.col("pos")).alias("np"))).getField("np"))
+        .cast("int")
+        .alias("top_drift_dim"),
+    )
+    counts = e.agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        ).cast("bigint").alias("n_ref"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        ).cast("bigint").alias("n_prod"),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_ref",
+        "n_prod",
+        "n_dims",
+        F.floor(
+            1000.0 * F.col("dot") / (F.sqrt("qr") * F.sqrt("qp"))
+        ).cast("bigint").alias("cos_milli"),
+        "max_abs_delta",
+        "top_drift_dim",
+    )
