@@ -136,6 +136,11 @@ HEADLINE = [
     "events_countmin_rollup_sketch",
     "timeseries_trend_mann_kendall",
     "recursive_cte_hierarchy",
+    "multimodal_wav_energy",
+    "multimodal_mp4_meta",
+    "graph_modularity_score",
+    "timeseries_linear_interpolate",
+    "embedding_drift_monitor",
 ]
 
 
