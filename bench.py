@@ -141,6 +141,8 @@ HEADLINE = [
     "graph_modularity_score",
     "timeseries_linear_interpolate",
     "embedding_drift_monitor",
+    "spatial_knn_within_radius",
+    "graph_link_prediction",
 ]
 
 

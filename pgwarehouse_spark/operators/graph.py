@@ -947,3 +947,125 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("modularity_micro"),
         )
     )
+
+
+#: wedge centers above this degree are excluded from common-neighbor
+#: counting — a hub shared by everyone carries no link signal (standard
+#: practice in production link prediction) and, mechanically, caps the
+#: wedge fan-out at cap * 2E instead of sum(deg^2)
+_LINKPRED_HUB_CAP = 64
+
+
+_LINKPRED_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % {_CC_SLICE} = 0
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    centers AS (SELECT src FROM deg WHERE d <= {_LINKPRED_HUB_CAP}),
+    wedges AS (
+      SELECT e1.dst AS a, e2.dst AS b
+      FROM edges e1
+      JOIN centers c ON c.src = e1.src
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM wedges GROUP BY a, b
+    ),
+    nonedge AS (
+      SELECT c.a, c.b, c.n_common
+      FROM cand c
+      LEFT JOIN edges e ON e.src = c.a AND e.dst = c.b
+      WHERE e.src IS NULL
+    ),
+    scored AS (
+      SELECT n.a, n.b, n.n_common,
+             da.d + db.d - n.n_common AS n_union,
+             1000 * n.n_common // (da.d + db.d - n.n_common)
+               AS jaccard_milli
+      FROM nonedge n
+      JOIN deg da ON da.src = n.a
+      JOIN deg db ON db.src = n.b
+    )
+    SELECT a AS part_a, b AS part_b, n_common, n_union,
+           CAST(jaccard_milli AS BIGINT) AS jaccard_milli
+    FROM scored
+    ORDER BY jaccard_milli DESC, part_a, part_b
+    LIMIT 20
+"""
+
+
+@register("graph_link_prediction", category="graph", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the sparse co-purchase
+    slice: for part pairs NOT yet bought together, the Jaccard overlap
+    of their neighborhoods — the 'customers who bought these also
+    bought' recommender primitive, and the classic graph-ML baseline
+    (Liben-Nowell & Kleinberg). Candidates come from two-hop wedges;
+    the score is hub-discounted: wedge CENTERS above degree
+    {_LINKPRED_HUB_CAP} are excluded (a part in every basket links
+    everything to everything and carries no signal), while the union
+    term uses full degrees. Existing edges are removed by an anti-join.
+
+    Scale: the wedge self-join is the quadratic hazard — sum(deg²) over
+    centers explodes on hubs — and the cap bounds it at cap·2E, linear
+    in edges (the same hub discipline as the degree-ordered triangle
+    orientation and the PageRank adjacency split). Wedge pairs
+    partial-aggregate map-side into (a, b, count) before the shuffle;
+    the anti-join and two degree joins run on the candidate table, and
+    the report is a TakeOrdered. Integer-only arithmetic (counts,
+    integer-DIV milli score) ⇒ bit-identical to the oracle replay."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _CC_SLICE == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = _copurchase_edges(li).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= _LINKPRED_HUB_CAP).select("src")
+    e1 = edges.join(centers, "src").select(
+        "src", F.col("dst").alias("a")
+    )
+    e2 = edges.select("src", F.col("dst").alias("b"))
+    wedges = e1.join(e2, "src").filter(F.col("a") < F.col("b"))
+    cand = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    nonedge = cand.join(
+        edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
+    scored = (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            (F.col("da") + F.col("db") - F.col("n_common")).alias("n_union"),
+            F.expr("1000 * n_common DIV (da + db - n_common)")
+            .cast("bigint")
+            .alias("jaccard_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_milli").desc(), "part_a", "part_b"
+    ).limit(20)
+
+
+graph_link_prediction.__doc__ = graph_link_prediction.__doc__.replace(
+    "{_LINKPRED_HUB_CAP}", str(_LINKPRED_HUB_CAP)
+)

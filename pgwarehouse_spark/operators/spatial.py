@@ -213,3 +213,85 @@ def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_neighborhood").desc(), "cx", "cy")
         .limit(15)
     )
+
+
+@register(
+    "spatial_knn_within_radius",
+    category="spatial",
+    oracle=f"""
+    WITH pts AS ({_pts_sql()}),
+    pairs AS (
+      SELECT a.k AS cust_a, b.k AS cust_b,
+             (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq
+      FROM pts a JOIN pts b ON a.k <> b.k
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_RADIUS_SQ}
+    ),
+    ranked AS (
+      SELECT cust_a, cust_b, dist_sq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cust_a
+                                     ORDER BY dist_sq, cust_b) AS BIGINT)
+               AS rk
+      FROM pairs
+    )
+    SELECT cust_a, rk, cust_b, dist_sq
+    FROM ranked WHERE rk <= 3
+    ORDER BY cust_a, rk
+    LIMIT 60
+    """,
+)
+def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-nearest-neighbor join: each point's 3 nearest neighbors
+    WITHIN radius R — the per-point form of the radius self-join
+    (store-to-nearest-competitors, sensor-to-calibration-peers). The
+    radius bound is what keeps a grid kNN exact: candidates beyond one
+    cell ring cannot be within R, so the 3×3 replication join is a
+    complete candidate set and the per-point top-3 is a WindowGroupLimit
+    over it (rank pushed into the shuffle, no global sort). An unbounded
+    kNN would need expanding ring probes; bounding by R is the standard
+    scale-out contract (and what a real catchment analysis wants anyway).
+
+    Scale: identical join cost to spatial_grid_neighbors (one shuffle on
+    the cell key, 9× bounded replication) plus one per-point window over
+    in-radius candidates only — never over the point set. Output is
+    TakeOrdered-limited for the report."""
+    pts = _points(spark, sf_dir)
+    cx = (F.col("x") / _CELL).cast("long")
+    cy = (F.col("y") / _CELL).cast("long")
+    home = pts.select("k", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    repl = home.select(
+        F.col("k").alias("cust_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "cust_a", "ax", "ay",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    pairs = (
+        repl.join(home.withColumnRenamed("k", "cust_b"), ["cx", "cy"])
+        .filter((F.col("cust_a") != F.col("cust_b")) & (d2 <= _RADIUS_SQ))
+        .select("cust_a", "cust_b", d2.alias("dist_sq"))
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("cust_a").orderBy("dist_sq", "cust_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("cust_a", "rk", "cust_b", "dist_sq")
+        .orderBy("cust_a", "rk")
+        .limit(60)
+    )

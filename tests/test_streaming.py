@@ -518,9 +518,17 @@ def test_stream_cdc_apply_opcodes(spark, sf_dir, tmp_path):
             )
         )
     )
+    # ONE file for the whole second wave: the file source orders new
+    # files by (mtime, path), and parallel write tasks finish in
+    # arbitrary order under load — split across files, D(700) could get
+    # an earlier mtime than I(700), land in an earlier micro-batch, and
+    # the insert would survive (observed as a 551-row flake in a full-
+    # suite run under CPU contention). A CDC feed's per-key ordering
+    # guarantee maps to one file here; the same-batch net-effect
+    # collapse is exactly what this wave exists to exercise.
     updates.unionByName(deletes).unionByName(inserts).unionByName(
         ephemeral
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
 
