@@ -143,6 +143,9 @@ HEADLINE = [
     "embedding_drift_monitor",
     "spatial_knn_within_radius",
     "graph_link_prediction",
+    "corpus_boilerplate_removal",
+    "spatial_dbscan_grid",
+    "contamination_semantic",
 ]
 
 

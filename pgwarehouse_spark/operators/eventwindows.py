@@ -2796,7 +2796,9 @@ def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
         e.filter(day.between(F.lit("1995-01-01"), F.lit("1995-12-31")))
         .groupBy(
             "event_type",
-            F.datediff(day, F.lit("1970-01-01").cast("date")).alias("day_idx"),
+            F.datediff(day, F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_idx"),
         )
         .agg(
             F.floor(

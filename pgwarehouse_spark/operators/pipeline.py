@@ -1466,3 +1466,110 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * (n_docs - n_unique_texts)) DIV n_docs AS BIGINT)"
         ).alias("exact_dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) train/test contamination
+# ---------------------------------------------------------------------------
+
+#: every 10th vector is "held out" — the same deterministic hash-split
+#: convention split_train_test uses, applied to the embedding corpus
+_SEMCON_TEST_MOD = 10
+#: cross-split cosine at or above this flags a semantic leak (the
+#: corpus's max pair cosine is ~0.48, so 0.4 demonstrates real matches;
+#: production leak scans run at 0.95+ where paraphrase-level dups live)
+_SEMCON_THRESHOLD = 0.4
+
+
+from .dedup import COSINE_MAX_VECTORS as _SEMCON_MV
+from ..functions.vector import sql_cosine_fixed as _semcon_cos
+
+_SEMCON_COS = _semcon_cos("t.embedding", "r.embedding")
+
+
+@register(
+    "contamination_semantic",
+    category="pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT * FROM embeddings
+      WHERE vec_id % (SELECT GREATEST(1,
+              CAST(CEIL(COUNT(*) / {_SEMCON_MV}.0) AS BIGINT))
+            FROM embeddings) = 0
+    ),
+    test AS (SELECT * FROM corpus WHERE vec_id % {_SEMCON_TEST_MOD} = 0),
+    train AS (SELECT * FROM corpus WHERE vec_id % {_SEMCON_TEST_MOD} <> 0),
+    leaks AS (
+      SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+             {_SEMCON_COS} AS cosine
+      FROM test t JOIN train r ON {_SEMCON_COS} >= {_SEMCON_THRESHOLD}
+    ),
+    tots AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM test) AS n_test_total,
+             (SELECT CAST(COUNT(DISTINCT test_id) AS BIGINT) FROM leaks)
+               AS n_leaked_total
+    )
+    SELECT l.test_id, l.train_id, l.cosine,
+           tots.n_test_total, tots.n_leaked_total
+    FROM leaks l, tots
+    ORDER BY l.cosine DESC, l.test_id, l.train_id
+    LIMIT 20
+    """,
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/test contamination scan — the embedding-level
+    sibling of contamination_check (exact fingerprints) and
+    contamination_ngram_overlap (surface n-grams): a held-out vector
+    whose cosine against ANY training vector exceeds the threshold is a
+    leak the surface checks can't see (paraphrases, translations,
+    re-encodings land nearby in embedding space; Yang et al. 2023
+    "rephrased samples" is exactly this failure). Output: the top
+    leaked pairs plus corpus totals (held-out count, leaked count).
+
+    Scale: the registered form stride-samples the corpus to the shared
+    COSINE_MAX_VECTORS gate (oracle-mirrored, inert at shipped sfs) —
+    the exact cross join is the labeled baseline; at real scale this
+    runs as the SemDeDup-style capped-centroid cell compare
+    (dedup.semdedup_centroid) or an ANN probe (similarity.sim_topk_*)
+    with the same split predicate, both already in-repo. Norms fold
+    once per vector before the pair join; the fixed-point kernel keeps
+    cross-engine bit parity."""
+    from .dedup import COSINE_MAX_VECTORS
+    from ..functions.vector import dot_fixed
+
+    e = t(spark, sf_dir, "embeddings")
+    n_total = e.count()
+    stride = max(1, -(-n_total // COSINE_MAX_VECTORS))
+    corpus = e.filter(F.col("vec_id") % stride == 0)
+    withnorm = corpus.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    ).localCheckpoint()
+    test = withnorm.filter(F.col("vec_id") % _SEMCON_TEST_MOD == 0)
+    train = withnorm.filter(F.col("vec_id") % _SEMCON_TEST_MOD != 0)
+    a, b = test.alias("a"), train.alias("b")
+    cos = dot_fixed(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    leaks = (
+        a.join(b, cos >= _SEMCON_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("test_id"),
+            F.col("b.vec_id").alias("train_id"),
+            cos.alias("cosine"),
+        )
+        .localCheckpoint()
+    )
+    tots = test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_total")
+    ).crossJoin(
+        leaks.agg(
+            F.count_distinct("test_id").cast("bigint").alias("n_leaked_total")
+        )
+    )
+    return (
+        leaks.crossJoin(tots)
+        .orderBy(F.col("cosine").desc(), "test_id", "train_id")
+        .limit(20)
+    )

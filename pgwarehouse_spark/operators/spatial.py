@@ -295,3 +295,170 @@ def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cust_a", "rk")
         .limit(60)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN (density-based clustering over cells)
+# ---------------------------------------------------------------------------
+
+#: hotspot compression: every 4th customer is mapped into a 120x120 box
+#: (a synthetic downtown) so the plane has genuine density contrast at
+#: every scale factor — uniform scatter alone never clusters
+_HOT_MOD = 4
+_HOT_BOX = 120
+_HOT_X0, _HOT_Y0 = 400, 300
+#: total cells on the fixed plane — the denominator of the adaptive
+#: density threshold (dense iff n > 2x the global mean, floor 2)
+_CELLS_TOTAL = (_PLANE // _CELL) * (_PLANE // _CELL)
+_GRID_W = _PLANE // _CELL
+
+
+def _points_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir)
+    hot = F.col("k") % _HOT_MOD == 0
+    return p.select(
+        "k",
+        F.when(hot, _HOT_X0 + F.col("x") % _HOT_BOX).otherwise(F.col("x")).alias("x"),
+        F.when(hot, _HOT_Y0 + F.col("y") % _HOT_BOX).otherwise(F.col("y")).alias("y"),
+    )
+
+
+def _pts_hotspot_sql() -> str:
+    return f"""
+      SELECT k,
+             CASE WHEN k % {_HOT_MOD} = 0
+                  THEN {_HOT_X0} + x % {_HOT_BOX} ELSE x END AS x,
+             CASE WHEN k % {_HOT_MOD} = 0
+                  THEN {_HOT_Y0} + y % {_HOT_BOX} ELSE y END AS y
+      FROM ({_pts_sql()})
+    """
+
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE pts AS ({_pts_hotspot_sql()}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pts),
+    cells AS (
+      SELECT x // {_CELL} AS cx, y // {_CELL} AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT cx, cy, cx * {_GRID_W} + cy AS cid, n
+      FROM cells, tot
+      WHERE n >= GREATEST(2, (2 * n_total) // {_CELLS_TOTAL} + 1)
+    ),
+    edges AS (
+      SELECT a.cid AS u, b.cid AS v
+      FROM dense a JOIN dense b
+        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+       AND a.cid <> b.cid
+    ),
+    closure(a, b) AS (
+      SELECT cid, cid FROM dense
+      UNION
+      SELECT c.a, e.v FROM closure c JOIN edges e ON c.b = e.u
+    ),
+    labeled AS (
+      SELECT a AS cid, MIN(b) AS cluster_id FROM closure GROUP BY a
+    ),
+    clus AS (
+      SELECT l.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(d.n) AS BIGINT) AS n_points
+      FROM labeled l JOIN dense d ON d.cid = l.cid
+      GROUP BY l.cluster_id
+    ),
+    noise AS (
+      SELECT CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_noise
+      FROM cells c, tot
+      WHERE c.n < GREATEST(2, (2 * n_total) // {_CELLS_TOTAL} + 1)
+    )
+    SELECT cluster_id, n_cells, n_points,
+           (SELECT n_noise FROM noise) AS n_noise_total
+    FROM clus
+    ORDER BY n_points DESC, cluster_id
+    LIMIT 20
+"""
+
+
+@register("spatial_dbscan_grid", category="spatial", oracle=_DBSCAN_ORACLE)
+def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN: density-based clustering where the clustering loop
+    runs over CELLS, never points. Points are bucketed once into
+    R-sized cells; a cell is dense iff its count exceeds max(2, 2x the
+    global mean) — an adaptive threshold, so the density CONTRAST (the
+    hotspot box vs the uniform background) decides, not an absolute
+    count that breaks at the next scale factor; clusters are connected
+    components of 8-adjacent dense cells (labels = component min via
+    the shared large-star/small-star contraction); points in non-dense
+    cells are noise. This is the cell-based DBSCAN approximation used
+    at scale (GriT-DBSCAN family): core-cell clustering without
+    per-point eps-neighborhood queries.
+
+    Scale: the points table is touched EXACTLY ONCE (one
+    map-side-combinable groupBy into cells). Everything after operates
+    on at most {c} cells — a quantity fixed by the plane, independent
+    of the point count — so the CC loop's joins are driver-trivial at
+    any data size; the adjacency join replicates nothing (it's a
+    bounded self-join on a <= {c}-row table, broadcast under AQE), and
+    the adaptive threshold is a broadcast one-row cross join, not a
+    collected scalar. The oracle replays the component closure with
+    WITH RECURSIVE over the same dense-cell graph."""
+    pts = _points_hotspot(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            (F.col("x") / _CELL).cast("long").alias("cx"),
+            (F.col("y") / _CELL).cast("long").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(F.sum("n").alias("n_total"))
+    thr = F.greatest(
+        F.lit(2).cast("bigint"),
+        F.expr(f"CAST((2 * n_total) DIV {_CELLS_TOTAL} + 1 AS BIGINT)"),
+    )
+    withthr = cells.crossJoin(tot)
+    dense = (
+        withthr.filter(F.col("n") >= thr)
+        .select(
+            "cx", "cy", (F.col("cx") * _GRID_W + F.col("cy")).alias("cid"), "n"
+        )
+        .localCheckpoint()
+    )
+    noise = withthr.filter(F.col("n") < thr).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_noise_total")
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+            & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .select(F.col("a.cid").alias("id1"), F.col("b.cid").alias("id2"))
+    )
+    from .dedup import connected_components
+
+    labeled = connected_components(pairs).select(
+        F.col("doc_id").alias("cid"), F.col("cluster_id")
+    )
+    full = dense.join(labeled, "cid", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("cid")).alias("cluster_id"),
+        "n",
+    )
+    clus = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+    )
+    return (
+        clus.crossJoin(noise)
+        .orderBy(F.col("n_points").desc(), "cluster_id")
+        .limit(20)
+    )
+
+
+spatial_dbscan_grid.__doc__ = spatial_dbscan_grid.__doc__.replace(
+    "{c}", str(_CELLS_TOTAL)
+)
