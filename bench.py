@@ -146,6 +146,7 @@ HEADLINE = [
     "corpus_boilerplate_removal",
     "spatial_dbscan_grid",
     "contamination_semantic",
+    "sample_epoch_repetition",
 ]
 
 
@@ -174,6 +175,8 @@ HEAVY = [
     "graph_bfs_distance",
     "multimodal_phash_neardup",
     "spatial_grid_neighbors",
+    "corpus_boilerplate_removal",
+    "spatial_dbscan_grid",
 ]
 # stdout-line budget: the driver tail-captures 2000 bytes of stdout, so
 # the one-line JSON must stay under this (full detail goes to the file)

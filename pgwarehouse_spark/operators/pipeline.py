@@ -1573,3 +1573,124 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "test_id", "train_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fractional-epoch repetition sampling (per-source epoch weights)
+# ---------------------------------------------------------------------------
+
+#: per-source epoch weight in milli-epochs, derived deterministically
+#: from the source name's md5 (stand-in for the curated recipe table a
+#: real run broadcasts): 1000 + 500 * (first hex digit % 4) → 1.0, 1.5,
+#: 2.0 or 2.5 epochs. Fractional epochs are the norm in pretraining
+#: recipes (wiki ~3.3 epochs, web ~1.1 in the published LLaMA mix).
+_EPOCH_BASE_MILLI = 1000
+_EPOCH_STEP_MILLI = 500
+_EPOCH_BUCKETS = 4
+
+
+@register(
+    "sample_epoch_repetition",
+    category="pipeline",
+    oracle=f"""
+    WITH wts AS (
+      SELECT source,
+             {_EPOCH_BASE_MILLI} + {_EPOCH_STEP_MILLI} *
+               (CAST('0x' || SUBSTR(md5(source), 1, 1) AS BIGINT)
+                % {_EPOCH_BUCKETS}) AS w_milli
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    perdoc AS (
+      SELECT d.doc_id, d.source, w.w_milli,
+             w.w_milli // 1000
+             + CASE WHEN CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+                         AS BIGINT) * 1000 < (w.w_milli % 1000) * 4096
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN wts w USING (source)
+    ),
+    exploded AS (
+      SELECT p.doc_id, p.source, p.w_milli, g.epoch
+      FROM perdoc p, UNNEST(generate_series(1, p.n_copies)) AS g(epoch)
+    )
+    SELECT source, MIN(w_milli) AS w_milli,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST((1000 * COUNT(*)) // COUNT(DISTINCT doc_id) AS BIGINT)
+             AS achieved_milli
+    FROM exploded
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition sampling: each source carries an
+    epoch weight in milli-epochs (e.g. 2.5 epochs = every doc appears
+    twice, half the docs — chosen by a deterministic md5 threshold —
+    appear a third time). This is the repetition step of a pretraining
+    data recipe (LLaMA's wiki 3.3 / web 1.1 mix; Muennighoff et al.
+    2023 on repeating constrained data): up-weighting curated sources
+    by REPLAYING their docs, with the fractional remainder drawn
+    RNG-free so the realized rate is exact and append-stable. Output
+    per source: target weight, doc count, emitted copies, and the
+    achieved milli-rate (copies/doc), which the oracle pins exactly.
+
+    Scale: the weight table is per-source (tiny, broadcast); copy
+    counts are per-row expression work (md5 threshold, integer
+    compare); the replication is sequence+explode — map-side row
+    generation, the same mechanics a shuffle-shard writer consumes
+    downstream — and the summary is one map-side-combinable groupBy on
+    source. No corpus self-joins, no skew (explode factor ≤ 3)."""
+    d = t(spark, sf_dir, "documents")
+    srcw = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                _EPOCH_BASE_MILLI
+                + _EPOCH_STEP_MILLI
+                * (
+                    F.conv(
+                        F.substring(F.md5(F.col("source").cast("binary")), 1, 1),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _EPOCH_BUCKETS
+                )
+            ).alias("w_milli"),
+        )
+    )
+    h3 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 3),
+        16,
+        10,
+    ).cast("bigint")
+    perdoc = d.join(F.broadcast(srcw), "source").select(
+        "doc_id",
+        "source",
+        "w_milli",
+        (
+            F.expr("w_milli DIV 1000")
+            + F.when(h3 * 1000 < (F.col("w_milli") % 1000) * 4096, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    exploded = perdoc.select(
+        "doc_id",
+        "source",
+        "w_milli",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies").cast("int"))).alias(
+            "epoch"
+        ),
+    )
+    return (
+        exploded.groupBy("source")
+        .agg(
+            F.min("w_milli").alias("w_milli"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.expr(
+                "CAST((1000 * count(1)) DIV count(DISTINCT doc_id) AS BIGINT)"
+            ).alias("achieved_milli"),
+        )
+        .orderBy("source")
+    )
