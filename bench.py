@@ -147,6 +147,7 @@ HEADLINE = [
     "spatial_dbscan_grid",
     "contamination_semantic",
     "sample_epoch_repetition",
+    "text_quality_classifier",
 ]
 
 

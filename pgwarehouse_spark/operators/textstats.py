@@ -1228,3 +1228,158 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-shaped train + inference)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick dimensionality — token -> md5 hex prefix % D
+_QCLS_D = 64
+#: deterministic supervision: sources curated by the (stand-in) data
+#: team vs known-raw sources; every other source is scored, not trained on
+_QCLS_GOOD = ("src0", "src1", "src2", "src3", "src4")
+_QCLS_BAD = ("src15", "src16", "src17", "src18", "src19")
+
+
+def _qcls_sql_list(vals: tuple) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+_QCLS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, source,
+             CAST('0x' || SUBSTR(md5(tok), 1, 2) AS BIGINT) % {_QCLS_D}
+               AS bucket
+      FROM toks
+    ),
+    g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS gb FROM bt
+      WHERE source IN ({_qcls_sql_list(_QCLS_GOOD)}) GROUP BY bucket
+    ),
+    b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bb FROM bt
+      WHERE source IN ({_qcls_sql_list(_QCLS_BAD)}) GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(gb), 0) FROM g) AS gt,
+             (SELECT COALESCE(SUM(bb), 0) FROM b) AS bt_
+    ),
+    w AS (
+      SELECT buckets.bucket,
+             CAST(FLOOR(LN(
+               ((COALESCE(g.gb, 0) + 1.0) * (tot.bt_ + {_QCLS_D}))
+               / ((COALESCE(b.bb, 0) + 1.0) * (tot.gt + {_QCLS_D}))
+             ) * 1000000) AS BIGINT) AS w_micro
+      FROM (SELECT UNNEST(range(0, {_QCLS_D})) AS bucket) buckets
+      LEFT JOIN g ON g.bucket = buckets.bucket
+      LEFT JOIN b ON b.bucket = buckets.bucket
+      CROSS JOIN tot
+    )
+    SELECT bt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w_micro) AS BIGINT) AS sum_w_micro,
+           CAST(SUM(w.w_micro) // COUNT(*) AS BIGINT) AS score_micro
+    FROM bt JOIN w ON w.bucket = bt.bucket
+    GROUP BY bt.doc_id
+    ORDER BY bt.doc_id
+"""
+
+
+@register("text_quality_classifier", category="text", oracle=_QCLS_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier — the fasttext-shaped filter
+    every production pretraining pipeline runs (CCNet / LLaMA use
+    exactly this: a cheap linear model over hashed token features
+    scoring every crawled doc against a curated reference). TRAIN and
+    INFERENCE both live in the plan: training is one aggregate over the
+    labeled sources (curated vs known-raw) producing {d} Laplace-
+    smoothed log-odds weights; inference joins the broadcast weight
+    table onto every token and averages — per-doc quality =
+    mean log-odds, positive means curated-like.
+
+    Scale: the hashing trick (md5 prefix % {d}) makes the feature space
+    FIXED-WIDTH — the weight table is {d} rows whatever the corpus, the
+    classic way to bound model state for a broadcast join. Training is
+    one map-side-combinable groupBy over the labeled slice; scoring is
+    a broadcast hash join + one groupBy(doc_id) — no shuffle carries
+    more than one row per (doc, bucket) partial. The single LN per
+    bucket lands in a FLOOR(·1e6) micro-int, so per-doc sums are
+    integer arithmetic — order-independent and bit-identical
+    cross-engine (the PMI convention, hardened for summation)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 2), 16, 10)
+        .cast("bigint")
+        % _QCLS_D
+    )
+    bt = toks.select("doc_id", "source", bucket.alias("bucket"))
+    g = (
+        bt.filter(F.col("source").isin(*_QCLS_GOOD))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("gb"))
+    )
+    b = (
+        bt.filter(F.col("source").isin(*_QCLS_BAD))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bb"))
+    )
+    tot = g.agg(F.coalesce(F.sum("gb"), F.lit(0)).alias("gt")).crossJoin(
+        b.agg(F.coalesce(F.sum("bb"), F.lit(0)).alias("bt_"))
+    )
+    buckets = spark.range(_QCLS_D).select(F.col("id").alias("bucket"))
+    w = (
+        buckets.join(g, "bucket", "left")
+        .join(b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("gb"), F.lit(0)) + F.lit(1.0))
+                        * (F.col("bt_") + _QCLS_D)
+                    )
+                    / (
+                        (F.coalesce(F.col("bb"), F.lit(0)) + F.lit(1.0))
+                        * (F.col("gt") + _QCLS_D)
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        bt.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("sum_w_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_w_micro",
+            F.expr("CAST(sum_w_micro DIV n_tokens AS BIGINT)").alias(
+                "score_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+text_quality_classifier.__doc__ = text_quality_classifier.__doc__.replace(
+    "{d}", str(_QCLS_D)
+)
