@@ -2375,7 +2375,11 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_revenue").desc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    local = part.withColumn("_lmax", F.max("m2").over(w)).persist()
+    # localCheckpoint, not persist: the frame is referenced twice (the
+    # O(P) offsets collect and the final join), and a bare persist()
+    # with no unpersist leaks cached partitions for the session's
+    # lifetime — checkpoint files are released when the frame is GC'd
+    local = part.withColumn("_lmax", F.max("m2").over(w)).localCheckpoint()
     pmax = sorted(
         local.groupBy("_pid").agg(F.max("m2").alias("_m")).collect(),
         key=lambda r: r["_pid"],

@@ -606,20 +606,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % _CC_SLICE == 0
     ).select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li).localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.filter(F.col("c") >= _KCORE_K).select("src")
@@ -710,20 +697,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % _CC_SLICE == 0
     ).select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li).localCheckpoint()
     seeds = (
         edges.select(F.col("src").alias("node"))
         .filter(F.col("node") % _BFS_SEED_MOD == 0)
@@ -771,20 +745,7 @@ def _lpa_final_labels(spark: SparkSession, sf_dir: str):
         )
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(li).localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

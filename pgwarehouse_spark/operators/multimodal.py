@@ -839,7 +839,10 @@ def png_roundtrip_pixels(df: DataFrame) -> DataFrame:
         for pdf in batches:
             outs = []
             for text in pdf["text"]:
-                codes = [ord(c) for c in text[:n]]
+                # % 256: the raster is an 8-bit GRAYSCALE byte plane;
+                # code points past Latin-1 (em-dash, CJK) must fold into
+                # it rather than crash bytes() — mirrored in the oracle
+                codes = [ord(c) % 256 for c in text[:n]]
                 codes += [32] * (n - len(codes))
                 png = _encode_png_gray(codes, _PHASH_SIDE, _PHASH_SIDE)
                 decoded = _decode_png_gray_pixels(png)
@@ -862,7 +865,7 @@ def png_roundtrip_pixels(df: DataFrame) -> DataFrame:
       SELECT doc_id,
              list_transform(range(1, 65),
                i -> CASE WHEN i <= LENGTH(text)
-                         THEN unicode(text[i]) ELSE 32 END) AS pixels
+                         THEN unicode(text[i]) % 256 ELSE 32 END) AS pixels
       FROM img
     ),
     hashed AS (

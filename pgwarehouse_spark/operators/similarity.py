@@ -83,12 +83,14 @@ def _ivf_stride(n_vectors: int) -> int:
     return max(IVF_CENTROID_STRIDE, -(-int(n_vectors) // IVF_MAX_CENTROIDS))
 
 
-def ivf_centroids(e: DataFrame) -> DataFrame:
+def ivf_centroids(e: DataFrame, n_vectors: int | None = None) -> DataFrame:
     """Bounded IVF seed-centroid set: (centroid_id, cent_emb), at most
     ~IVF_MAX_CENTROIDS rows regardless of corpus size. The count() is a
     driver control-plane scalar (one columnar row-count scan) that sizes
-    the stride; the resulting table is always broadcast-safe."""
-    stride = _ivf_stride(e.count())
+    the stride; pass ``n_vectors`` when the caller already holds the
+    corpus count so the sizing pass runs once per query, not once per
+    helper call. The resulting table is always broadcast-safe."""
+    stride = _ivf_stride(e.count() if n_vectors is None else n_vectors)
     return e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
     )

@@ -60,6 +60,46 @@ def _pts_sql() -> str:
     """
 
 
+def _radius_candidate_pairs(pts, pair_filter):
+    """Shared grid candidate pipeline: cell assignment, 3x3 one-side
+    replication, equi hash join on the cell key, exact integer distance
+    refine. `pair_filter` distinguishes the unordered-pair form
+    (cust_a < cust_b, radius self-join) from the per-point form
+    (cust_a != cust_b, kNN) — everything else, including the cell-size
+    >= radius invariant that makes the 9-cell set a candidate SUPERSET,
+    lives here exactly once."""
+    cx = (F.col("x") / _CELL).cast("long")
+    cy = (F.col("y") / _CELL).cast("long")
+    home = pts.select("k", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    repl = home.select(
+        F.col("k").alias("cust_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "cust_a", "ax", "ay",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    return (
+        repl.join(home.withColumnRenamed("k", "cust_b"), ["cx", "cy"])
+        .filter(pair_filter & (d2 <= _RADIUS_SQ))
+        .select("cust_a", "cust_b", d2.alias("dist_sq"))
+    )
+
+
 @register(
     "spatial_grid_neighbors",
     category="spatial",
@@ -100,35 +140,8 @@ def spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-count column is a broadcast one-row cross join, not a second
     scan of the pair set."""
     pts = _points(spark, sf_dir)
-    cx = (F.col("x") / _CELL).cast("long")
-    cy = (F.col("y") / _CELL).cast("long")
-    home = pts.select("k", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    repl = home.select(
-        F.col("k").alias("cust_a"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        F.explode(offsets).alias("o"),
-        F.col("cx"),
-        F.col("cy"),
-    ).select(
-        "cust_a", "ax", "ay",
-        (F.col("cx") + F.col("o.dx")).alias("cx"),
-        (F.col("cy") + F.col("o.dy")).alias("cy"),
-    )
-    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
-        F.col("ay") - F.col("y")
-    ) * (F.col("ay") - F.col("y"))
-    pairs = (
-        repl.join(home.withColumnRenamed("k", "cust_b"), ["cx", "cy"])
-        .filter((F.col("cust_a") < F.col("cust_b")) & (d2 <= _RADIUS_SQ))
-        .select("cust_a", "cust_b", d2.alias("dist_sq"))
+    pairs = _radius_candidate_pairs(
+        pts, F.col("cust_a") < F.col("cust_b")
     )
     pairs = pairs.localCheckpoint()
     total = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -255,35 +268,8 @@ def spatial_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-radius candidates only — never over the point set. Output is
     TakeOrdered-limited for the report."""
     pts = _points(spark, sf_dir)
-    cx = (F.col("x") / _CELL).cast("long")
-    cy = (F.col("y") / _CELL).cast("long")
-    home = pts.select("k", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    repl = home.select(
-        F.col("k").alias("cust_a"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        F.explode(offsets).alias("o"),
-        F.col("cx"),
-        F.col("cy"),
-    ).select(
-        "cust_a", "ax", "ay",
-        (F.col("cx") + F.col("o.dx")).alias("cx"),
-        (F.col("cy") + F.col("o.dy")).alias("cy"),
-    )
-    d2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
-        F.col("ay") - F.col("y")
-    ) * (F.col("ay") - F.col("y"))
-    pairs = (
-        repl.join(home.withColumnRenamed("k", "cust_b"), ["cx", "cy"])
-        .filter((F.col("cust_a") != F.col("cust_b")) & (d2 <= _RADIUS_SQ))
-        .select("cust_a", "cust_b", d2.alias("dist_sq"))
+    pairs = _radius_candidate_pairs(
+        pts, F.col("cust_a") != F.col("cust_b")
     )
     from pyspark.sql import Window as W
 

@@ -46,6 +46,74 @@ def canon_row_digest(*components) -> F.Column:
     )
 
 
+def canon_float_component(col: F.Column) -> F.Column:
+    """Engine-portable canonical STRING for a float/double value — the
+    exact IEEE-754 decomposition ``sign exponent ':' mantissa`` computed
+    with only exactly-rounded FP operations, NOT a decimal rendering.
+
+    Why not CAST(x AS STRING): Java 17's legacy ``Double.toString``
+    emits non-shortest digit strings for ~2% of doubles (JDK-4511638;
+    e.g. 5.101019214421436e18 renders "...4364E18") while DuckDB's Ryu
+    emits true shortest — so no string or string-parsed-decimal form
+    can agree across the two engines, and DuckDB's VARCHAR→DECIMAL
+    parse additionally mis-rounds sub-scale e-notation values
+    ('5.5e-13' → 0.000000001 at scale 9). The bit decomposition is
+    engine-independent: LOG2 (±1 ulp, corrected by two exact power-of-2
+    comparisons) finds the exponent, two power-of-2 multiplies (exact:
+    they only shift the exponent) scale the 53-bit mantissa to an
+    integer, and every branch (NaN, ±Inf, ±0 — collapsed, they compare
+    equal) is pinned. Parity with the DuckDB mirror
+    (``sql_canon_float``) is property-tested over random bit patterns
+    in tests/test_properties.py.
+    """
+    v = col.cast("double")
+    a = F.abs(v)
+    e0 = F.floor(F.log2(a)).cast("int")
+    e = e0 + (
+        F.when(a >= F.pow(F.lit(2.0), (e0 + 1).cast("double")), 1)
+        .when(a < F.pow(F.lit(2.0), e0.cast("double")), -1)
+        .otherwise(0)
+    )
+    shift = F.lit(52) - e
+    a1 = F.least(shift, F.lit(1000))
+    a2 = shift - a1
+    m = (
+        a
+        * F.pow(F.lit(2.0), a1.cast("double"))
+        * F.pow(F.lit(2.0), a2.cast("double"))
+    ).cast("bigint")
+    sign = F.when(v < 0, F.lit("n")).otherwise(F.lit("p"))
+    return (
+        F.when(F.isnan(v), F.lit("NaN"))
+        .when(a > F.lit(1.7976931348623157e308), F.concat(sign, F.lit("Inf")))
+        .when(v == 0, F.lit("0"))
+        .otherwise(F.concat(sign, e.cast("string"), F.lit(":"), m.cast("string")))
+    )
+
+
+def sql_canon_float(x: str) -> str:
+    """DuckDB mirror of :func:`canon_float_component` as one inline
+    expression (`x` must be a double-typed SQL expression; wrap REAL
+    columns in CAST(... AS DOUBLE) first)."""
+    e0 = f"CAST(FLOOR(LOG2(ABS({x}))) AS INT)"
+    e = (
+        f"({e0} + CASE WHEN ABS({x}) >= POW(2.0, {e0} + 1) THEN 1 "
+        f"WHEN ABS({x}) < POW(2.0, {e0}) THEN -1 ELSE 0 END)"
+    )
+    m = (
+        f"CAST(ABS({x}) * POW(2.0, LEAST(52 - {e}, 1000)) "
+        f"* POW(2.0, (52 - {e}) - LEAST(52 - {e}, 1000)) AS BIGINT)"
+    )
+    sign = f"(CASE WHEN {x} < 0 THEN 'n' ELSE 'p' END)"
+    return (
+        f"CASE WHEN isnan({x}) THEN 'NaN' "
+        f"WHEN ABS({x}) > 1.7976931348623157e308 THEN {sign} || 'Inf' "
+        f"WHEN {x} = 0 THEN '0' "
+        f"ELSE {sign} || CAST({e} AS VARCHAR) || ':' || CAST({m} AS VARCHAR) "
+        f"END"
+    )
+
+
 @register(
     "sync_watermark_max",
     category="sync",

@@ -382,11 +382,15 @@ class DuckDBSyncEngine:
                 table,
                 where=None if wm is None else f"{lm} >= {_sql_literal(wm)}",
             )
-            if delta.isEmpty():
-                return SyncResult(table, "noop", 0)
+            # persist FIRST, then count — isEmpty() before persist would
+            # run the filtered source extraction twice (and with a '>='
+            # watermark the delta is never empty after the first sync
+            # anyway: rows at the watermark always re-extract)
             delta.persist()
             try:
                 rows = delta.count()
+                if rows == 0:
+                    return SyncResult(table, "noop", 0)
                 self.wh.merge(delta, table, spec.primary_key, order_col=lm)
             finally:
                 delta.unpersist()
@@ -409,6 +413,42 @@ class DuckDBSyncEngine:
             return SyncResult(table, "appended", rows)
         return self.reload(table)
 
+    def _canon_components(self, src, cols):
+        """Per-column canonical STRING components for the row digest,
+        type-aware: float/double columns go through the exact IEEE bit
+        decomposition (`canon_float_component`) because no decimal
+        rendering agrees between Java 17 (legacy non-shortest
+        Double.toString) and DuckDB (Ryu shortest) — CAST AS STRING
+        produces false 'diverged' verdicts on identical data for any
+        double outside ~(1e-3, 1e7). All other types CAST AS STRING,
+        which both engines render identically."""
+        from pyspark.sql import functions as F
+
+        from ..operators.syncshapes import canon_float_component
+
+        dtypes = dict(src.dtypes)
+        return [
+            canon_float_component(F.col(c))
+            if dtypes[c] in ("float", "double")
+            else F.col(c).cast("string")
+            for c in cols
+        ]
+
+    def _canon_sql(self, src, cols) -> str:
+        """DuckDB mirror of `_canon_components` ('|'-joined, '<NULL>'
+        sentinel — the canon_row_digest contract)."""
+        from ..operators.syncshapes import sql_canon_float
+
+        qi = self.wh.dialect.quote_ident
+        dtypes = dict(src.dtypes)
+        parts = [
+            f"COALESCE({sql_canon_float(f'CAST({qi(c)} AS DOUBLE)')}, '<NULL>')"
+            if dtypes[c] in ("float", "double")
+            else f"COALESCE(CAST({qi(c)} AS VARCHAR), '<NULL>')"
+            for c in cols
+        ]
+        return " || '|' || ".join(parts)
+
     def verify(self, table: str) -> dict:
         """Source↔live-warehouse consistency audit (the DuckDB form of
         SyncEngine.verify / A18): per-group row counts and
@@ -430,7 +470,7 @@ class DuckDBSyncEngine:
         cols = sorted(src.columns)
         n_groups = 64
 
-        h = canon_row_digest(*[F.col(c).cast("string") for c in cols])
+        h = canon_row_digest(*self._canon_components(src, cols))
         src_side = {
             r["g"]: (r["n"], r["d"])
             for r in src.select(
@@ -442,9 +482,7 @@ class DuckDBSyncEngine:
         }
 
         qi = self.wh.dialect.quote_ident
-        canon_sql = " || '|' || ".join(
-            f"COALESCE(CAST({qi(c)} AS VARCHAR), '<NULL>')" for c in cols
-        )
+        canon_sql = self._canon_sql(src, cols)
         h_sql = f"CAST('0x' || SUBSTR(md5({canon_sql}), 1, 15) AS BIGINT)"
         wh_side = {
             g: (n, d)
@@ -490,12 +528,10 @@ class DuckDBSyncEngine:
         pk_cols = [pk] if isinstance(pk, str) else list(pk)
         src = self.extract(table)
         cols = sorted(src.columns)
-        h = canon_row_digest(*[F.col(c).cast("string") for c in cols])
+        h = canon_row_digest(*self._canon_components(src, cols))
         s = src.select(*pk_cols, h.alias("_dig_src"))
         qi = self.wh.dialect.quote_ident
-        canon_sql = " || '|' || ".join(
-            f"COALESCE(CAST({qi(c)} AS VARCHAR), '<NULL>')" for c in cols
-        )
+        canon_sql = self._canon_sql(src, cols)
         h_sql = f"CAST('0x' || SUBSTR(md5({canon_sql}), 1, 15) AS BIGINT)"
         pk_sql = ", ".join(qi(c) for c in pk_cols)
         w = self.wh.read_sql(

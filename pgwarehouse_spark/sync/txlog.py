@@ -85,9 +85,24 @@ def _tree_newest_mtime(path: str) -> float:
     a writer streaming parquet into nested __bucket=K/ subdirs only
     bumps the leaf dirs' mtimes, so the top-level mtime alone would
     under-report recency."""
-    newest = os.path.getmtime(path)
+    # EVERY stat is guarded, not just the per-file loop: the tree being
+    # walked is by definition unreferenced, so a concurrent writer
+    # aborting (or a racing vacuum) can remove the top-level dir or a
+    # nested __bucket=K subdir between listdir and stat — an unguarded
+    # getmtime would abort the whole vacuum() on exactly the race the
+    # retention window exists to survive. A vanished path reads as
+    # "fresh" (now), so this pass skips it; if it is truly gone the next
+    # vacuum sees nothing, and if it is mid-write the retention window
+    # protects it.
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return time.time()
     for dirpath, _dirnames, filenames in os.walk(path):
-        newest = max(newest, os.path.getmtime(dirpath))
+        try:
+            newest = max(newest, os.path.getmtime(dirpath))
+        except OSError:  # dir vanished mid-walk (concurrent writer)
+            return time.time()
         for fn in filenames:
             try:
                 newest = max(

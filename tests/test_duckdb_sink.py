@@ -406,3 +406,50 @@ def test_diff_names_divergent_keys_live_duckdb(spark, sf_dir, tmp_path):
     assert rep["sample_keys"]["missing_in_warehouse"] == [k_del]
     assert rep["sample_keys"]["extra_in_warehouse"] == [k_ins]
     assert cli.main(["diff", "my_orders", "--config", cfg], spark=spark) == 1
+
+
+def test_verify_and_diff_green_on_large_and_special_doubles(
+    spark, sf_dir, tmp_path
+):
+    """Regression (r4 self-review): the digest canonical for DOUBLE
+    columns must agree cross-engine for values where Spark's
+    CAST(double AS STRING) uses Java scientific notation (>= 1e7,
+    < 1e-3) and where Java 17's legacy Double.toString emits
+    non-shortest digits (e.g. 5.101019214421436e18) — with the old
+    string canonical every such row digested differently in the two
+    engines and verify() reported a faithful sync as DIVERGED."""
+    from pgwarehouse_spark import cli
+    from pgwarehouse_spark.catalog import Config
+    from pgwarehouse_spark.sync.duckdb_sink import DuckDBSyncEngine
+
+    rows = [
+        (1, 12345678.25),       # sci-notation in Spark, plain in DuckDB
+        (2, 1e7),
+        (3, 1e-4),
+        (4, 5.101019214421436e18),  # legacy-Java non-shortest digits
+        (5, -9.87654321e-9),
+        (6, 0.0),
+        (7, None),
+        (8, float("nan")),
+        (9, 42.5),
+    ]
+    src_dir = tmp_path / "src"
+    spark.createDataFrame(rows, "k bigint, v double").write.parquet(
+        str(src_dir / "dbl_tbl")
+    )
+    cfg, db = _duck_cfg(tmp_path, src_dir, {"dbl_tbl": {"primary_key": "k"}})
+    assert cli.main(["sync", "dbl_tbl", "--config", cfg], spark=spark) == 0
+    assert cli.main(["verify", "dbl_tbl", "--config", cfg], spark=spark) == 0
+    eng = DuckDBSyncEngine.from_config(spark, Config.from_yaml(cfg))
+    assert eng.verify("dbl_tbl")["ok"]
+    rep = eng.diff("dbl_tbl")
+    assert rep["ok"], rep
+    assert rep["counts"] == {"identical": len(rows)}
+
+    # tamper one double warehouse-side: still detected (multiplicative —
+    # +1 on a 5.1e18 double is below one ulp and would be a true no-op)
+    eng.wh.query("UPDATE dbl_tbl SET v = v * 2 WHERE k = 4")
+    rep = eng.diff("dbl_tbl")
+    assert not rep["ok"]
+    assert rep["counts"].get("mismatched") == 1
+    assert rep["sample_keys"]["mismatched"] == [4]
