@@ -60,7 +60,9 @@ class TableSpec:
     @classmethod
     def from_opts(cls, name: str, opts: dict[str, Any] | None) -> "TableSpec":
         opts = opts or {}
-        pk = opts.get("primary_key", opts.get("pk", []))
+        # a present-but-empty YAML key ('primary_key:') parses to None —
+        # treat it as absent instead of TypeError-ing on list(None)
+        pk = opts.get("primary_key", opts.get("pk")) or []
         if isinstance(pk, str):
             pk = [pk]
         return cls(

@@ -56,8 +56,15 @@ def _interactive_init_template() -> str:
         print(f"  {i}. {b}")
     choice = input(f"backend [1-{len(_INIT_BACKENDS)}] (default 1): ").strip()
     try:
-        backend = _INIT_BACKENDS[int(choice) - 1]
-    except (ValueError, IndexError):
+        idx = int(choice)
+        # reject 0/negatives explicitly: int('0') - 1 == -1 would be
+        # Python's LAST element (jdbc), not the documented default
+        backend = (
+            _INIT_BACKENDS[idx - 1]
+            if 1 <= idx <= len(_INIT_BACKENDS)
+            else _INIT_BACKENDS[0]
+        )
+    except ValueError:
         backend = _INIT_BACKENDS[0]
     # anchor to the start of the line: a bare replace would hit the
     # '# type: parquet | csv | jdbc' comment first and leave the real
@@ -226,26 +233,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         print("| query | category | shuffles | bcast joins | SMJ | pushed filters | codegen |")
         print("|---|---|---|---|---|---|---|")
-        for name, spec in sorted(all_queries().items()):
-            try:
-                df = spec.fn(spark, sf_dir)
-                plan = physical_plan(df)
-                import re as _re
+        try:
+            for name, spec in sorted(all_queries().items()):
+                try:
+                    df = spec.fn(spark, sf_dir)
+                    plan = physical_plan(df)
 
-                n_scan_push = len(pushed_filters(df))
-                row = (
-                    name,
-                    spec.category,
-                    exchange_count(df),
-                    broadcast_join_count(df),
-                    "yes" if "SortMergeJoin" in plan else "no",
-                    n_scan_push,
-                    "yes" if "codegen id" in plan else "no",
-                )
-            except Exception as exc:  # pragma: no cover - diagnostic path
-                row = (name, spec.category, "-", "-", "-", "-", f"error: {exc}")
-            print("| " + " | ".join(str(x) for x in row) + " |")
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+                    n_scan_push = len(pushed_filters(df))
+                    row = (
+                        name,
+                        spec.category,
+                        exchange_count(df),
+                        broadcast_join_count(df),
+                        "yes" if "SortMergeJoin" in plan else "no",
+                        n_scan_push,
+                        "yes" if "codegen id" in plan else "no",
+                    )
+                except Exception as exc:  # pragma: no cover - diagnostic path
+                    row = (name, spec.category, "-", "-", "-", "-", f"error: {exc}")
+                print("| " + " | ".join(str(x) for x in row) + " |")
+        finally:
+            # a caller-provided session must get AQE back even when an
+            # operator module import or plan build raises
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         return 0
 
     if args.command == "sql":
@@ -253,7 +263,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # made concrete: every testdata table is registered as a temp
         # view and the statement runs through Spark SQL / Catalyst.
         from .session import get_spark
-        from .sources.tables import TABLES, load_table
+        from .sources.tables import register_views
 
         if not args.table:
             print("usage: sql '<SELECT ...>'", file=sys.stderr)
@@ -262,11 +272,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
         )
         spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
-        for tbl in TABLES:
-            try:
-                load_table(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
-            except Exception:
-                continue  # missing table files: view simply absent
+        # register_views already guards missing table files (and does
+        # not swallow real read errors the way a blanket except would)
+        register_views(spark, sf_dir)
         spark.sql(args.table).show(args.limit, truncate=False)
         return 0
 
@@ -386,7 +394,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df = eng.extract(t)
             out = os.path.join(data_dir, t)
             df.write.mode("overwrite").parquet(out)
-            print(f"extracted {t} -> {out} ({df.count()} rows)")
+            # count the STAGED parquet (footer metadata), not df — for a
+            # JDBC source df.count() would re-pull the whole table
+            n = eng.spark.read.parquet(out).count()
+            print(f"extracted {t} -> {out} ({n} rows)")
         return 0
 
     if args.command == "load":
@@ -490,7 +501,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"{t}: skipped (publish needs a primary key)", file=sys.stderr)
                 continue
             n = publish_incremental(
-                eng.spark, eng.read_table(t), wh, t, spec.primary_key[0]
+                eng.spark, eng.read_table(t), wh, t, spec.primary_key
             )
             print(f"published {t}: {n} rows")
         return 0

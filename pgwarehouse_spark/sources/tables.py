@@ -170,10 +170,21 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the legacy flag is consumed at load()-time schema resolution, so
+    # it can be restored immediately after — leaving it set session-wide
+    # would silently turn TIMESTAMP(NANOS) columns in every OTHER
+    # parquet the caller reads into bigint (and _normalize_ts only
+    # repairs columns literally named 'ts')
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize_ts(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    )
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return _normalize_ts(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

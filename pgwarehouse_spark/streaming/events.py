@@ -56,9 +56,17 @@ def stream_tumbling_counts(
 
 
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once by event_id within the watermark horizon —
-    dropDuplicates with bounded state."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Exactly-once by (event_id, ts) within the watermark horizon.
+    `ts` MUST be part of the dedup subset: Spark only evicts
+    dropDuplicates state when the watermarked event-time column is one
+    of the dedup keys — `dropDuplicates(["event_id"])` alone keeps one
+    state entry per event_id for the stream's lifetime and OOMs on an
+    unbounded id space. This form collapses exact re-deliveries (same
+    id, same stamp); redeliveries RESTAMPED by the producer are the
+    sibling `stream_dedup_within_watermark`'s job."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )
 
 
 def stream_dedup_within_watermark(
@@ -162,21 +170,35 @@ def stream_sync(
     from ..sync.merge import merge_into_bucketed, write_bucketed
     from ..sync.txlog import TxTable
 
+    from ..sync.merge import dedup_latest
+
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # the FIRST batch also needs the latest-row-per-key collapse:
+        # the create paths write the frame verbatim, so an at-least-once
+        # upstream delivering two versions of a key in batch 0 would
+        # seed the table with a duplicated primary key that later merges
+        # only heal if that key arrives again
+        def _net():
+            return (
+                dedup_latest(batch_df, keys, order_col)
+                if order_col
+                else batch_df
+            )
+
         if transactional:
             # each micro-batch commits one snapshot version: concurrent
             # readers keep their pinned manifest mid-commit
             if not os.path.exists(os.path.join(warehouse_path, "manifest")):
-                TxTable.create(batch_df, warehouse_path, keys, num_buckets)
+                TxTable.create(_net(), warehouse_path, keys, num_buckets)
             else:
                 TxTable(warehouse_path, keys, num_buckets).merge(
                     spark, batch_df, order_col=order_col
                 )
         elif not os.path.exists(warehouse_path):
-            write_bucketed(batch_df, warehouse_path, keys, num_buckets)
+            write_bucketed(_net(), warehouse_path, keys, num_buckets)
         else:
             merge_into_bucketed(
                 spark, warehouse_path, batch_df, keys, num_buckets, order_col=order_col

@@ -167,7 +167,7 @@ def publish_incremental(
     source_df: DataFrame,
     wh: JdbcWarehouse,
     table: str,
-    pk: str,
+    pk: str | list[str],
 ) -> int:
     """The reference's update_table flow pointed at a live DBMS
     (A11 watermark read `clickhouse_backend.py:210-227` + A12 filtered
@@ -178,9 +178,19 @@ def publish_incremental(
     round trip); the delta filter is applied to the Spark-side source
     before any rows move, so the transfer is O(delta) — at scale the
     source scan itself prunes on the watermark when the table is sorted
-    or partitioned on the key."""
+    or partitioned on the key.
+
+    Composite keys: the watermark is MAX(keys[0]), but a strict
+    ``keys[0] > wm`` filter would PERMANENTLY drop new rows that share
+    the already-published maximum (e.g. a new lineitem line under the
+    max orderkey) — so the composite path takes the boundary-inclusive
+    delta (``>=``) and anti-joins the warehouse's boundary slice
+    (``keys[0] = wm`` — one key-group, not the table) on the full key
+    before appending."""
     from pyspark.sql import functions as F
 
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    k0 = keys[0]
     if not wh.exists(spark, table):
         source_df.persist()
         try:
@@ -192,10 +202,22 @@ def publish_incremental(
     if hasattr(wh, "watermark"):
         # sinks with a native query path (DuckDBWarehouse) compute the
         # MAX warehouse-side without a table read-back
-        wm = wh.watermark(table, pk)
+        wm = wh.watermark(table, k0)
     else:
-        wm = wh.read(spark, table).agg(F.max(pk).alias("wm")).collect()[0]["wm"]
-    delta = source_df.filter(F.col(pk) > F.lit(wm)) if wm is not None else source_df
+        wm = wh.read(spark, table).agg(F.max(k0).alias("wm")).collect()[0]["wm"]
+    if wm is None:
+        delta = source_df
+    elif len(keys) == 1:
+        delta = source_df.filter(F.col(k0) > F.lit(wm))
+    else:
+        boundary = (
+            wh.read(spark, table)
+            .filter(F.col(k0) == F.lit(wm))
+            .select(*keys)
+        )
+        delta = source_df.filter(F.col(k0) >= F.lit(wm)).join(
+            boundary, keys, "left_anti"
+        )
     delta.persist()
     try:
         n = delta.count()

@@ -25,6 +25,11 @@ _RULES: list[tuple[str, T.DataType]] = [
     ("smallint", T.ShortType()),
     ("serial", T.IntegerType()),
     ("integer", T.IntegerType()),
+    # BEFORE the "int" prefix rule: "interval" startswith "int" and
+    # would silently map to bigint; no Spark external type carries a
+    # Postgres interval, so degrade to string (the reference backends
+    # degrade unknown types to text the same way)
+    ("interval", T.StringType()),
     ("int", T.LongType()),
     ("numeric", T.DecimalType(38, 18)),
     ("decimal", T.DecimalType(38, 18)),

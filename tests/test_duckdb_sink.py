@@ -453,3 +453,42 @@ def test_verify_and_diff_green_on_large_and_special_doubles(
     assert not rep["ok"]
     assert rep["counts"].get("mismatched") == 1
     assert rep["sample_keys"]["mismatched"] == [4]
+
+
+def test_publish_incremental_composite_pk_no_boundary_loss(
+    spark, sf_dir, tmp_path
+):
+    """Regression (r4 self-review): with a composite PK the watermark is
+    MAX(keys[0]); a strict '>' filter permanently dropped new rows that
+    share the already-published maximum (a new line under the max
+    orderkey). The composite path must take the boundary-inclusive
+    delta and anti-join the warehouse's boundary slice on the FULL key."""
+    from pgwarehouse_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+    wh = DuckDBWarehouse(str(tmp_path / "pub.duckdb"))
+    keys = ["l_orderkey", "l_linenumber"]
+    n0 = publish_incremental(spark, li, wh, "li_pub", keys)
+    assert n0 == 50
+
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    extra = spark.createDataFrame(
+        [(int(max_ok), 9901, 1.0), (int(max_ok) + 7, 1, 2.0)],
+        "l_orderkey bigint, l_linenumber int, l_quantity double",
+    )
+    src2 = li.unionByName(extra.selectExpr(
+        "l_orderkey", "cast(l_linenumber as int) l_linenumber",
+        "l_quantity"
+    ).select(*li.columns))
+    # the boundary row (same max orderkey, new linenumber) must land;
+    # existing rows must not duplicate
+    n1 = publish_incremental(spark, src2, wh, "li_pub", keys)
+    assert n1 == 2, f"expected both new rows published, got {n1}"
+    assert wh.count(spark, "li_pub") == 52
+    # idempotent: re-publish of the same source is a zero-delta noop
+    assert publish_incremental(spark, src2, wh, "li_pub", keys) == 0
