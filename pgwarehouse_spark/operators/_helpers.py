@@ -94,7 +94,11 @@ def global_rank_cumsum(
             ),
         )
         aggs.append(F.sum(value_col).alias("_s"))
-    local = local.persist()
+    # localCheckpoint, not a bare persist(): the frame feeds both the
+    # O(P) totals collect and the output plan, and a persist with no
+    # unpersist pins cached partitions for the session's lifetime
+    # (this helper runs in 6+ registered analytics queries)
+    local = local.localCheckpoint()
     totals = sorted(
         local.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r["_pid"]
     )

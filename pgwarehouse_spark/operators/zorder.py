@@ -96,9 +96,15 @@ def _z_key_expr(df: DataFrame, col: str) -> str:
         return f"DATEDIFF({col}, DATE '1970-01-01')"
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return f"CAST(FLOOR(UNIX_SECONDS(CAST({col} AS TIMESTAMP)) / 86400) AS BIGINT)"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # fractional keys quantize onto a micro-unit integer grid (1e-6
+        # granularity, order-preserving) — fine for price/measure-like
+        # business values; |col| beyond ~9e12 would overflow the bigint
+        # axis, at which point the caller should pre-bin explicitly
+        return f"CAST(FLOOR({col} * 1000000) AS BIGINT)"
     raise TypeError(
         f"z-order column {col!r} has type {dt.simpleString()}; "
-        "integer, date, and timestamp columns are supported"
+        "integer, date, timestamp, and fractional columns are supported"
     )
 
 

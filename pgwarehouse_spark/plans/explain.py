@@ -30,8 +30,22 @@ def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across scans (flattened)."""
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df)):
-        entries = [e.strip() for e in m.group(1).split(",") if e.strip()]
-        out.extend(entries)
+        # top-level-comma split: a filter like In(o_orderstatus, [F,O])
+        # or GreaterThan(k,100) contains commas of its own — a naive
+        # split would report fragments as extra "filters"
+        entries, depth, cur = [], 0, []
+        for ch in m.group(1):
+            if ch == "," and depth == 0:
+                entries.append("".join(cur).strip())
+                cur = []
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            cur.append(ch)
+        entries.append("".join(cur).strip())
+        out.extend(e for e in entries if e)
     return out
 
 
@@ -45,7 +59,23 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", physical_plan(df)))
+    """Broadcast joins in the plan. Formatted explain prints each join
+    TWICE — the tree line ('* BroadcastHashJoin Inner BuildRight (4)')
+    and its details header ('(4) BroadcastHashJoin') — so a bare
+    substring count reports 2x. Count details headers when present
+    (exchange_count's fix, mirrored); fall back to the substring count
+    for simple-mode plans, which print each join once."""
+    plan = physical_plan(df)
+    formatted = len(
+        re.findall(
+            r"^\s*\(\d+\) (?:BroadcastHashJoin|BroadcastNestedLoopJoin)",
+            plan,
+            re.MULTILINE,
+        )
+    )
+    if formatted:
+        return formatted
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
 
 
 def exchange_count(df: DataFrame) -> int:

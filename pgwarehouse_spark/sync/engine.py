@@ -800,11 +800,42 @@ class SyncEngine:
 
     def _sync_append(self, table: str, spec: TableSpec) -> SyncResult:
         """New-records-only strategy: pk > max(pk) (reference default,
-        README.md:155-160). Single-column monotonic PK semantics, like
-        the reference; composite-PK tables use upsert."""
+        README.md:155-160) for a single-column monotonic PK.
+
+        Composite PK: the watermark is MAX(keys[0]) and a strict '>'
+        would PERMANENTLY drop new rows sharing the already-synced
+        maximum (a new line under the max orderkey) — so the composite
+        branch extracts the boundary-inclusive delta ('>=') and MERGEs
+        on the full key, which is idempotent at the boundary instead of
+        lossy. An empty warehouse table (created from an empty source)
+        has no watermark; the extract is unfiltered rather than the
+        nonsense predicate 'pk > None'."""
         pk = spec.primary_key[0]
         wm = self.watermark(table, pk)
-        delta = self.extract(table, where=f"{pk} > {_sql_literal(wm)}")
+        if wm is None:
+            where = None
+        elif len(spec.primary_key) == 1:
+            where = f"{pk} > {_sql_literal(wm)}"
+        else:
+            where = f"{pk} >= {_sql_literal(wm)}"
+        delta = self.extract(table, where=where)
+        if len(spec.primary_key) > 1:
+            delta = delta.localCheckpoint(eager=True)
+            rows = delta.count()
+            if rows == 0:
+                return SyncResult(table, "noop", 0)
+            delta = self._reconcile_schema(table, delta)
+            if self._route_tx(table, spec):
+                self._tx(table).merge(self.spark, delta)
+            else:
+                merge_into_bucketed(
+                    self.spark,
+                    self.table_path(table),
+                    delta,
+                    spec.primary_key,
+                    self.num_buckets,
+                )
+            return SyncResult(table, "merged", rows)
         rows = self._append(table, delta)
         if rows == 0:
             return SyncResult(table, "noop", 0)  # A13 zero-delta skip
@@ -819,10 +850,15 @@ class SyncEngine:
             raise ValueError(f"{table}: upsert requires a primary key")
         lm = spec.last_modified
         wm = self.watermark(table, lm)
-        delta = self.extract(table, where=f"{lm} >= {_sql_literal(wm)}")
-        if delta.isEmpty():
-            return SyncResult(table, "noop", 0)
+        # wm None (empty table) -> full extract, not 'lm >= None';
+        # localCheckpoint so the source is pulled ONCE (the old
+        # isEmpty + count + merge sequence re-ran a JDBC extract 3x)
+        delta = self.extract(
+            table, where=None if wm is None else f"{lm} >= {_sql_literal(wm)}"
+        ).localCheckpoint(eager=True)
         rows = delta.count()
+        if rows == 0:
+            return SyncResult(table, "noop", 0)
         delta = self._reconcile_schema(table, delta)
         if self._route_tx(table, spec):
             self._tx(table).merge(self.spark, delta, order_col=lm)

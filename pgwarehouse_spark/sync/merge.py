@@ -58,6 +58,21 @@ def _widen(df: DataFrame, other: DataFrame) -> DataFrame:
     return df
 
 
+def _anti_by_keys(target: DataFrame, key_rows: DataFrame, keys: list[str]) -> DataFrame:
+    """left_anti on the key columns with NULL-SAFE equality: the plain
+    name-list join uses `=`, under which NULL keys never match — a
+    target row with a NULL key column would survive every merge while
+    the delta's copy unions in beside it, one new duplicate per merge.
+    eqNullSafe treats NULL as a joinable key value (still one shuffle
+    hash join; <=> is a plannable equi-condition)."""
+    t, d = target.alias("_t"), key_rows.alias("_d")
+    cond = None
+    for k in keys:
+        c = F.col(f"_t.{k}").eqNullSafe(F.col(f"_d.{k}"))
+        cond = c if cond is None else (cond & c)
+    return t.join(d, cond, "left_anti")
+
+
 def merge_upsert(
     target: DataFrame,
     delta: DataFrame,
@@ -70,7 +85,7 @@ def merge_upsert(
     target = _widen(target, delta)
     delta = _widen(delta, target).select(*target.columns)
     delta = dedup_latest(delta, keys, order_col)
-    kept = target.join(delta.select(*keys).distinct(), keys, "left_anti")
+    kept = _anti_by_keys(target, delta.select(*keys).distinct(), keys)
     return kept.unionByName(delta)
 
 
@@ -159,9 +174,13 @@ def apply_cdc_bucketed(
         .parquet(path)
         .filter(F.col(BUCKET_COL).isin(affected))
     )
-    upserts = net.filter(F.col(op_col) != "D").drop(op_col)
+    # NULL-safe: a malformed change row with op=NULL must be treated as
+    # an upsert (the "anything else replaces" contract), not silently
+    # deleted — plain `op != 'D'` is NULL-falsy, which excluded the row
+    # from upserts while its key still anti-joined the target away
+    upserts = net.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
     # every changed key leaves the target once; non-delete finals re-enter
-    kept = target.join(net.select(*keys).distinct(), keys, "left_anti")
+    kept = _anti_by_keys(target, net.select(*keys).distinct(), keys)
     kept = _widen(kept, upserts)
     upserts = _widen(upserts, kept).select(*kept.columns)
     merged = kept.unionByName(upserts).localCheckpoint(eager=True)

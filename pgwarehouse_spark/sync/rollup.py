@@ -71,7 +71,13 @@ def update_rollup(
     d = rollup_delta(delta, group_keys, measures, sketch_measures)
     names = [n for n, _ in measures]
     sketch_names = [n for n, _ in (sketch_measures or [])]
-    if not os.path.exists(path):
+    # Hadoop FS existence check, not os.path.exists: a rollup at an
+    # s3://... or hdfs://... path would otherwise ALWAYS take the create
+    # branch and overwrite the accumulated rollup with just this delta
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not hpath.getFileSystem(hconf).exists(hpath):
         write_bucketed(d, path, group_keys, num_buckets)
         return 0
     d = d.withColumn(BUCKET_COL, bucket_expr(group_keys, num_buckets))

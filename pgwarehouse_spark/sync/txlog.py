@@ -435,14 +435,17 @@ class TxTable:
         ]
         if not affected:
             return self.latest_version()
-        upserts = net.filter(F.col(op_col) != "D").drop(op_col)
+        # null-safe op compare + anti-join: see merge.apply_cdc_bucketed
+        upserts = net.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
         for attempt in range(max_retries + 1):
             base_v = self.latest_version()
             m = _read_manifest(self.root, base_v)
             target = self._snapshot_frame(spark, m, set(affected))
             if target is not None:
-                kept = target.join(
-                    net.select(*self.keys).distinct(), self.keys, "left_anti"
+                from .merge import _anti_by_keys
+
+                kept = _anti_by_keys(
+                    target, net.select(*self.keys).distinct(), self.keys
                 )
                 from .merge import _widen
 

@@ -517,14 +517,14 @@ def test_zorder_write_narrows_bands_on_both_dimensions(spark, sf_dir, tmp_path):
     import pyarrow.parquet as pq
 
     from pgwarehouse_spark.sources.tables import load_table
-    from pgwarehouse_spark.sync.zorder import write_zordered
+    from pgwarehouse_spark.operators.zorder import write_zorder_layout
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     zpath = str(tmp_path / "z")
     rpath = str(tmp_path / "r")
-    write_zordered(orders, zpath, "o_custkey", "o_totalprice", num_files=16)
+    write_zorder_layout(orders, zpath, "o_custkey", "o_totalprice", n_files=16)
     (
         orders.repartitionByRange(16, "o_custkey")
         .sortWithinPartitions("o_custkey")
@@ -715,3 +715,45 @@ def test_transactional_flag_flip_raises_clear_migration_error(spark, sf_dir, tmp
     eng.reload("orders")
     assert not eng._is_tx("orders")
     assert eng.sync("orders").action in ("merged", "noop")
+
+
+def test_composite_pk_sync_keeps_boundary_rows(spark, sf_dir, workspace):
+    """Regression (r4 self-review): a composite-PK table without a
+    watermark column synced with `keys[0] > max` — new rows sharing the
+    already-synced maximum of the first key component (a new lineitem
+    line under the max orderkey) were silently lost forever. The
+    composite branch must take the boundary-inclusive delta and MERGE
+    on the full key (idempotent at the boundary, no loss, no dupes)."""
+    src, wh = workspace
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_orderkey") <= 1000)
+        # raw testdata carries duplicate (orderkey, linenumber) pairs at
+        # sf0.01+ which a keyed merge legitimately collapses — start
+        # key-unique so the count arithmetic below is exact
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+    )
+    _write_source(spark, src, "lineitem", li)
+    spec = TableSpec("lineitem", ["l_orderkey", "l_linenumber"])
+    eng = make_engine(spark, src, wh, {"lineitem": spec})
+    assert eng.sync("lineitem").action == "created"
+    n0 = eng.count_table("lineitem")
+
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    extra = spark.createDataFrame(
+        [(int(max_ok), 9901, 1.0), (int(max_ok) + 3, 1, 2.0)],
+        "l_orderkey bigint, l_linenumber int, l_quantity double",
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast(dict(li.dtypes)["l_linenumber"]),
+        F.col("l_quantity").cast(dict(li.dtypes)["l_quantity"]),
+    )
+    _write_source(spark, src, "lineitem", li.unionByName(extra))
+    res = eng.sync("lineitem")
+    assert res.action == "merged"
+    # BOTH new rows landed — including the one under the max orderkey
+    assert eng.count_table("lineitem") == n0 + 2
+    # idempotent: boundary rows re-merge without duplicating
+    eng.sync("lineitem")
+    assert eng.count_table("lineitem") == n0 + 2
