@@ -263,11 +263,15 @@ def ngram_jaccard_pairs(
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
         w_s = W.partitionBy("s")
+        # localCheckpoint, not cache(): the frame is self-joined below,
+        # and a cache() here (reached from long-lived sessions and the
+        # streaming near-dup filter) is never unpersisted — CacheManager
+        # would pin one corpus-sized shingle relation per call
         exploded = (
             exploded.withColumn("df_s", F.count(F.lit(1)).over(w_s))
             .filter(F.col("df_s") <= max_shingle_freq)
             .drop("df_s")
-            .cache()
+            .localCheckpoint()
         )
         sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     else:
@@ -308,22 +312,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-
-
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature as an array<long>: hash each shingle string to a
-    long ONCE, then component j = min over shingles of xxhash64(h, j).
-    Re-hashing longs instead of re-concatenating strings per seed cuts
-    the signature cost ~10× (one string pass + num_hashes long passes)."""
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(base, lambda h, j=j: F.xxhash64(h, F.lit(j)))
-            )
-            for j in range(num_hashes)
-        ]
-    )
 
 
 def minhash_signatures_df(
@@ -1061,7 +1049,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = e.count()
     stride = max(1, -(-n_total // COSINE_MAX_VECTORS))
     e = e.filter(F.col("vec_id") % stride == 0)
-    return embedding_cosine_pairs(e, COSINE_DUP_THRESHOLD, fixed=True)
+    # max_vectors=None: the stride above already bounds the corpus; the
+    # default guard would re-count the filtered frame (a second scan)
+    return embedding_cosine_pairs(
+        e, COSINE_DUP_THRESHOLD, max_vectors=None, fixed=True
+    )
 
 
 def embedding_cosine_pairs(

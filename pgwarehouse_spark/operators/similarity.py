@@ -124,6 +124,42 @@ def brute_force_topk(
     )
 
 
+def rerank_exact(pairs: "DataFrame", e: "DataFrame", k: int = TOPK) -> "DataFrame":
+    """Exact cosine re-rank of an ANN shortlist: (query_id, neighbor_id)
+    candidate pairs → (query_id, neighbor_id, cosine, rank ≤ k). The
+    finish line shared by the PQ / IVF-PQ / Matryoshka / binary-hamming
+    / SQ8 paths — shortlist CONSTRUCTION is each family's own business,
+    but the exact re-rank (norms folded once, broadcast query side,
+    deterministic (cosine desc, neighbor asc) tie-break, bigint rank)
+    lives exactly once so a tie-break or cast fix cannot drift between
+    copies (r4 self-review: eight near-identical blocks, one of which
+    had already lost the bigint cast)."""
+    qn = with_norm(e.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cn = with_norm(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.join(cn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # Exact brute-force top-k in SQL — the oracle for sim_topk_bruteforce and
 # the exact half of every ANN recall-verdict oracle below.
 _SQL_BF_INNER = f"""
@@ -342,17 +378,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf_centroids(e)
     # Assignment: nearest centroid per vector (broadcast centroids — the
     # only pass over the full table; at scale this keys the layout).
-    sim_to_cent = _dot(F.col("embedding"), F.col("cent_emb"))
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        e.join(F.broadcast(centroids))
-        .select("vec_id", "embedding", "centroid_id", sim_to_cent.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
-    )
+    # _assign_nearest's max(struct) aggregate partial-combines map-side;
+    # the old window variant here shuffled the full N·k candidate
+    # relation on vec_id for the identical winner (r4 self-review).
+    assigned = _assign_nearest(e, centroids)
     # Queries probe their NPROBE nearest cells.
     q = e.filter(F.col("vec_id") < N_QUERIES)
     w_probe = W.partitionBy("query_id").orderBy(
@@ -901,28 +930,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_RERANK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qn = with_norm(q).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cn = with_norm(e).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        shortlist.join(cn, "neighbor_id")
-        .join(F.broadcast(qn), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-        .orderBy("query_id", "rank")
-    )
+    return rerank_exact(shortlist, e)
 
 
 @register(
@@ -1009,28 +1017,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_RERANK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qn = with_norm(q).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cn = with_norm(e).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        shortlist.join(cn, "neighbor_id")
-        .join(F.broadcast(qn), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-        .orderBy("query_id", "rank")
-    )
+    return rerank_exact(shortlist, e)
 
 
 _CONTRASTIVE_ANCHORS = 20  # vec_id < N → anchors
@@ -1659,29 +1646,7 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = brute_force_topk(queries, truncated, k=MRL_POOL).select(
         "query_id", "neighbor_id"
     )
-    qn = with_norm(e.filter(F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cn = with_norm(e).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    ann = (
-        shortlist.join(cn, "neighbor_id")
-        .join(F.broadcast(qn), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-    )
+    ann = rerank_exact(shortlist, e)
     return recall_verdict(ann, exact_topk(spark, sf_dir), MRL_MIN_RECALL)
 
 
@@ -1757,29 +1722,7 @@ def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BQ_POOL)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qn = with_norm(e.filter(F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cn = with_norm(e).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    ann = (
-        shortlist.join(cn, "neighbor_id")
-        .join(F.broadcast(qn), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-    )
+    ann = rerank_exact(shortlist, e)
     return recall_verdict(ann, exact_topk(spark, sf_dir), BQ_MIN_RECALL)
 
 
@@ -1791,16 +1734,63 @@ SQ_POOL = 50
 SQ_MIN_RECALL = 0.6
 
 
-def _sq8_codes(vec: Column) -> Column:
+def _sq8_codes(vec: Column, mn: Column, mx: Column) -> Column:
     """Centered int8 codes: the affine 0..255 map of
     embedding_quantize_int8 (FLOOR(x+0.5) — cross-engine-stable,
     ROUND(double) is not), shifted by -128 so the integer dot product
     of two code arrays approximates the centered-float dot. Integer
-    output ⇒ downstream scoring is exact arithmetic."""
-    return F.expr(
-        "transform(v, x -> CAST(LEAST(FLOOR((x - mn) / ((mx - mn) / 255.0)"
-        " + 0.5), 255) AS BIGINT) - 128)"
+    output ⇒ downstream scoring is exact arithmetic. Built from the
+    PASSED columns (the old F.expr form silently ignored its argument
+    and captured outer columns named v/mn/mx by string)."""
+    step = (mx - mn) / F.lit(255.0)
+    return F.transform(
+        vec,
+        lambda x: F.least(
+            F.floor((x - mn) / step + F.lit(0.5)), F.lit(255)
+        ).cast("bigint")
+        - 128,
     )
+
+
+def _sq8_scored(e: "DataFrame") -> "DataFrame":
+    """Shared SQ8 scoring relation: int8-encode the corpus, broadcast
+    the query codes, exact-integer dot per candidate, ranked per query
+    — (query_id, neighbor_id, score, rn). sim_topk_sq8 cuts this at
+    SQ_POOL for its shortlist; sim_recall_curve reads rn directly, so
+    the recall curve MEASURES THE SAME QUANTIZER the retrieval path
+    ships (r4 self-review: the construction existed twice and could
+    drift)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    codes = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    ).select(
+        "vec_id", _sq8_codes(F.col("v"), F.col("mn"), F.col("mx")).alias("code")
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_rn = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int_dot.alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
+    )
+
 
 
 @register(
@@ -1824,58 +1814,12 @@ def _sq8_codes(vec: Column) -> Column:
 )
 def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    codes = (
-        e.select(
-            "vec_id",
-            v.alias("v"),
-            F.array_min(v).alias("mn"),
-            F.array_max(v).alias("mx"),
-        )
-        .select("vec_id", _sq8_codes(F.col("v")).alias("code"))
-    )
-    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
-    )
-    int_dot = F.aggregate(
-        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w_short = W.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
     shortlist = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", int_dot.alias("score"))
-        .withColumn("rn", F.row_number().over(w_short))
+        _sq8_scored(e)
         .filter(F.col("rn") <= SQ_POOL)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select("query_id", "neighbor_id")
     )
-    qn = with_norm(e.filter(F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cn = with_norm(e).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    ann = (
-        shortlist.join(cn, "neighbor_id")
-        .join(F.broadcast(qn), "query_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= TOPK)
-    )
+    ann = rerank_exact(shortlist, e)
     return recall_verdict(ann, exact_topk(spark, sf_dir), SQ_MIN_RECALL)
 
 
@@ -1943,37 +1887,7 @@ _SQL_RECALL_CURVE = f"""
 def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     exact5 = exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    codes = (
-        e.select(
-            "vec_id",
-            v.alias("v"),
-            F.array_min(v).alias("mn"),
-            F.array_max(v).alias("mx"),
-        )
-        .select("vec_id", _sq8_codes(F.col("v")).alias("code"))
-    )
-    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
-    )
-    int_dot = F.aggregate(
-        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w_rn = W.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    scores = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            int_dot.alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w_rn))
-    )
+    scores = _sq8_scored(e)
     pools = spark.createDataFrame(
         [(p,) for p in _RECALL_POOLS], "pool_size int"
     )

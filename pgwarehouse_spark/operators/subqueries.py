@@ -23,19 +23,26 @@ from ._helpers import t, views
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2.0 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+          > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
     ORDER BY o_orderkey
     """,
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in a predicate (de-correlated to a broadcast of one
-    row — no per-row execution)."""
+    row — no per-row execution). The threshold is the cross-multiplied
+    decimal form (price·n > 2·Σprice) rather than a double AVG: a plain
+    double average's last ulp depends on accumulation order, so a row
+    sitting within ulps of 2·avg could flip between engines (or between
+    partition counts under AQE) — the same reason every other threshold
+    query folds through the decimal-exact dsum pattern."""
     views(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2.0 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+          > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         ORDER BY o_orderkey
         """
     )
@@ -179,7 +186,14 @@ def scalar_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             parsed.getField("k").alias("k_typed"),
-            F.when(parsed.isNotNull(), 1).otherwise(0).alias("is_valid"),
+            # validity probe: get_json_object('$') — PERMISSIVE
+            # from_json returns a non-null struct-of-nulls for garbage,
+            # so struct nullity would report malformed JSON as valid;
+            # the '$' probe matches DuckDB json_valid on every case
+            # incl. scalars and the 'null' literal (empirically pinned)
+            F.when(F.get_json_object("props", "$").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_valid"),
         )
         .orderBy("event_id")
     )
