@@ -625,7 +625,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
-    ).cache()
+    ).localCheckpoint()
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
@@ -882,7 +882,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
-        .cache()
+        .localCheckpoint()
     )
     threshold = val.agg((F.sum(F.col("value").cast("decimal(28,6)")).cast("double") * 0.001).alias("thr"))
     return (
@@ -1181,7 +1181,11 @@ _BM25_TERMS = ("spark", "table", "query")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_sql_parts() -> tuple[str, str, str]:
+    """(tf_cols, df_cols, score) SQL fragments for the fixed BM25 query —
+    shared by _bm25_oracle and _rrf_oracle so a k1/b/idf/rounding tweak
+    cannot desynchronize the hybrid-retrieval arm from the standalone
+    ranker (r4 self-review: the three fragments existed twice)."""
     from .textstats import _sql_count_token
 
     tf_cols = ",\n             ".join(
@@ -1198,6 +1202,47 @@ def _bm25_oracle() -> str:
         f" * (1 - {_BM25_B} + {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
         for i in range(len(_BM25_TERMS))
     )
+    return tf_cols, df_cols, score
+
+
+def _bm25_scored(spark, sf_dir: str):
+    """Spark-side BM25 scoring frame (doc_id, dl, bm25-unrounded parts
+    folded to one `score` column expression applied below): returns the
+    base⨯broadcast(stats) frame and the score Column — the single
+    construction both text_bm25_rank and retrieval_hybrid_rrf rank."""
+    from .textstats import _count_token, token_count
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("dl"),
+        *[
+            _count_token(F.col("text"), w).cast("int").alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        part = idf * (tf * (_BM25_K1 + 1)) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    return base.crossJoin(F.broadcast(stats)), score
+
+
+def _bm25_oracle() -> str:
+    tf_cols, df_cols, score = _bm25_sql_parts()
     return rf"""
     WITH base AS (
       SELECT doc_id,
@@ -1228,37 +1273,9 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Scores are fixed-order double arithmetic over
     exact integers, rounded to 8 (LN differs by ≤1 ulp across libm
     implementations), so the ranking is cross-engine stable."""
-    from .textstats import _count_token, token_count
-
-    d = t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("dl"),
-        *[
-            _count_token(F.col("text"), w).cast("int").alias(f"tf_{i}")
-            for i, w in enumerate(_BM25_TERMS)
-        ],
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
-        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-        part = idf * (tf * (_BM25_K1 + 1)) / (
-            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
-        )
-        score = part if score is None else score + part
+    scored, score = _bm25_scored(spark, sf_dir)
     return (
-        base.crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", F.round(score, 8).alias("bm25"))
+        scored.select("doc_id", "dl", F.round(score, 8).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
@@ -1759,22 +1776,8 @@ _RRF_TOP = 20
 
 def _rrf_oracle() -> str:
     from ..functions.vector import sql_cosine_fixed
-    from .textstats import _sql_count_token
 
-    tf_cols = ",\n             ".join(
-        f"CAST({_sql_count_token('text', w)} AS INT) AS tf_{i}"
-        for i, w in enumerate(_BM25_TERMS)
-    )
-    df_cols = ",\n             ".join(
-        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(_BM25_TERMS))
-    )
-    score = "\n           + ".join(
-        f"LN(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
-        f" * (tf_{i} * ({_BM25_K1} + 1)) / (tf_{i} + {_BM25_K1}"
-        f" * (1 - {_BM25_B} + {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
-        for i in range(len(_BM25_TERMS))
-    )
+    tf_cols, df_cols, score = _bm25_sql_parts()
     return rf"""
     WITH base AS (
       SELECT doc_id,
@@ -1834,37 +1837,10 @@ def _rrf_oracle() -> str:
 )
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot_fixed
-    from .textstats import _count_token, token_count
 
-    d = t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("dl"),
-        *[
-            _count_token(F.col("text"), w).cast("int").alias(f"tf_{i}")
-            for i, w in enumerate(_BM25_TERMS)
-        ],
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
-        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-        part = idf * (tf * (_BM25_K1 + 1)) / (
-            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
-        )
-        score = part if score is None else score + part
+    scored, score = _bm25_scored(spark, sf_dir)
     bm = (
-        base.crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(score, 8).alias("bm25"))
+        scored.select("doc_id", F.round(score, 8).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_RRF_POOL)
     )
@@ -2118,11 +2094,13 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM rows_t) - 1 AS BIGINT)
              * ((SELECT COUNT(*) FROM cols_t) - 1) AS dof,
            CAST(SUM(term_fixed) AS DOUBLE) / 1e9 AS chi2,
-           SQRT( (CAST(SUM(term_fixed) AS DOUBLE) / 1e9)
-                 / ((SELECT n FROM tot)
-                    * LEAST((SELECT COUNT(*) FROM rows_t) - 1,
-                            (SELECT COUNT(*) FROM cols_t) - 1)) )
-             AS cramers_v
+           CASE WHEN LEAST((SELECT COUNT(*) FROM rows_t) - 1,
+                           (SELECT COUNT(*) FROM cols_t) - 1) > 0
+                THEN SQRT( (CAST(SUM(term_fixed) AS DOUBLE) / 1e9)
+                      / ((SELECT n FROM tot)
+                         * LEAST((SELECT COUNT(*) FROM rows_t) - 1,
+                                 (SELECT COUNT(*) FROM cols_t) - 1)) )
+           END AS cramers_v
     FROM terms
     """,
     doc="Chi-square independence test between two categorical columns "
@@ -2158,13 +2136,19 @@ def part_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = rows_t.count()
     n_cols = cols_t.count()
     chi2 = F.sum("term_fixed").cast("double") / F.lit(1e9)
+    mindim = min(n_rows - 1, n_cols - 1)
+    # a single-level categorical (mindim = 0) has no defined V — the
+    # unguarded divide ABORTS under ANSI mode where NULL is the answer
+    cramers = (
+        F.sqrt(chi2 / (F.max("n") * F.lit(mindim)))
+        if mindim > 0
+        else F.lit(None).cast("double")
+    )
     return terms.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
         chi2.alias("chi2"),
-        F.sqrt(
-            chi2 / (F.max("n") * F.lit(min(n_rows - 1, n_cols - 1)))
-        ).alias("cramers_v"),
+        cramers.alias("cramers_v"),
     )
 
 

@@ -390,7 +390,7 @@ def lsh_candidate_pairs(
     reliable checkpoint/staging write."""
     banded = band_keys(sig_df, bands, rows)
     if materialize == "cache":
-        banded = banded.cache()
+        banded = banded.localCheckpoint()
     elif materialize == "localCheckpoint":
         banded = banded.localCheckpoint(eager=True)
     if max_bucket is not None:
@@ -418,7 +418,7 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle → MinHash(48) → 12×4 banded LSH → candidate pairs → exact
     Jaccard verification via array_intersect on candidates only. Returns
     (id1, id2, n_shared, jaccard) with id1 < id2, jaccard ≥ threshold."""
-    return verified_pairs_from_shingled(_shingled_hashed(spark, sf_dir).cache())
+    return verified_pairs_from_shingled(_shingled_hashed(spark, sf_dir).localCheckpoint())
 
 
 def verified_pairs_from_shingled(
@@ -551,7 +551,7 @@ def incremental_near_dup_pairs(
 
 
 def _split_delta(spark: SparkSession, sf_dir: str):
-    sh = _shingled_hashed(spark, sf_dir).cache()
+    sh = _shingled_hashed(spark, sf_dir).localCheckpoint()
     is_new = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
     return sh.filter(~is_new), sh.filter(is_new)
 
@@ -815,7 +815,7 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = rep_docs.select(
         "doc_id", hashed_shingles_expr(F.col("text")).alias("shingles")
-    ).cache()
+    ).localCheckpoint()
     pairs = verified_pairs_from_shingled(sh).select("id1", "id2")
     labels = connected_components(pairs).select(
         F.col("doc_id").alias("rep"), "cluster_id"

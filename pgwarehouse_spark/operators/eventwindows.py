@@ -292,10 +292,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           CAST(ROUND((e.value - s1 / n)
-                 / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS DOUBLE) AS zscore,
-           CASE WHEN ABS(ROUND((e.value - s1 / n)
-                 / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6)) > 2.0
+           CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) > 0
+                THEN CAST(ROUND((e.value - s1 / n)
+                      / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS DOUBLE)
+           END AS zscore,
+           CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) > 0
+                     AND ABS(ROUND((e.value - s1 / n)
+                       / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6)) > 2.0
                 THEN 1 ELSE 0 END AS is_anomaly
     FROM events e JOIN stats USING (event_type)
     ORDER BY e.event_id
@@ -314,9 +317,15 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("s1"),
         dsum(F.col("value") * F.col("value"), 4).alias("s2"),
     )
+    # one-row groups (n-1 = 0) and zero-variance groups are guarded:
+    # under the session's ANSI mode the unguarded divide ABORTS the job
+    # (and SQRT of a rounding-negative variance hard-errors in DuckDB),
+    # where the defined answer is simply "no z-score for this group"
     mean = F.col("s1") / F.col("n")
-    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
-    z = F.round((F.col("value") - mean) / sd, 6)
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    ok = (F.col("n") >= 2) & (var_num > 0)
+    sd = F.sqrt(var_num / (F.col("n") - 1))
+    z = F.when(ok, F.round((F.col("value") - mean) / sd, 6))
     return (
         e.join(F.broadcast(stats), "event_type")
         .select(
@@ -800,7 +809,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="events",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL {SESSION_GAP_MINUTES} MINUTES
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -810,7 +819,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, ts,
              SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS seq
       FROM ordered
@@ -1387,7 +1396,7 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN d.d / (1.4826 * m.mad) > 3.0
+           CAST(SUM(CASE WHEN m.mad > 0 AND d.d / (1.4826 * m.mad) > 3.0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            md.med, m.mad
     FROM dev d
@@ -1419,7 +1428,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(d, 0.5)").alias("mad")
     )
     flagged = dev.join(F.broadcast(mad), "event_type")
-    outlier = F.col("d") / (F.lit(1.4826) * F.col("mad")) > 3.0
+    # mad = 0 whenever >= half a group's values equal its median
+    # (routine for integer/zero-inflated metrics) — the unguarded
+    # divide ABORTS under ANSI mode; the robust convention is that a
+    # zero-MAD group flags nothing (its spread is degenerate, not wide)
+    outlier = (F.col("mad") > 0) & (
+        F.col("d") / (F.lit(1.4826) * F.col("mad")) > 3.0
+    )
     return (
         flagged.groupBy("event_type", "med", "mad")
         .agg(
@@ -2365,7 +2380,7 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx,
-             CAST(FLOOR(rev_dec / 1000) AS BIGINT) AS x
+             CAST(FLOOR(CAST(rev_dec AS DOUBLE) / 1000) AS BIGINT) AS x
       FROM daily
     ),
     st AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS m FROM s0),
@@ -2416,7 +2431,9 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
     s0 = daily.select(
         F.row_number().over(W.orderBy("day")).alias("idx"),
-        F.floor(F.col("rev_dec") / 1000).cast("long").alias("x"),
+        F.floor(F.col("rev_dec").cast("double") / 1000)
+        .cast("long")
+        .alias("x"),
     )
     st = s0.agg(F.expr("CAST(SUM(x) AS BIGINT) DIV COUNT(*)").alias("m"))
     s = (
@@ -2598,7 +2615,7 @@ def events_countmin_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     s AS (
       SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx,
-             CAST(FLOOR(rev_dec / 1000) AS BIGINT) AS x
+             CAST(FLOOR(CAST(rev_dec AS DOUBLE) / 1000) AS BIGINT) AS x
       FROM daily
     ),
     stat AS (
@@ -2656,7 +2673,9 @@ def timeseries_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"))
     s = daily.select(
         F.row_number().over(W.orderBy("day")).alias("idx"),
-        F.floor(F.col("rev_dec") / 1000).cast("long").alias("x"),
+        F.floor(F.col("rev_dec").cast("double") / 1000)
+        .cast("long")
+        .alias("x"),
     ).localCheckpoint()
     a = s.select(F.col("idx").alias("a_idx"), F.col("x").alias("a_x"))
     b = s.select(F.col("idx").alias("b_idx"), F.col("x").alias("b_x"))

@@ -162,13 +162,14 @@ def _try_real_decode(payload: bytes, modality: str) -> dict | None:
     return None
 
 
-def _decode_png_stdlib(payload: bytes) -> tuple[int, int] | None:
-    """First-principles PNG decode with the stdlib only (VERDICT r03
-    item 5): signature check, chunk walk with CRC32 verification, IHDR
-    dimensions, and a real zlib inflate of the IDAT stream validated
-    against the expected non-interlaced raster size — a genuine decode,
-    not a header sniff. Returns (width, height) or None if the bytes
-    are not a well-formed non-interlaced PNG."""
+def _png_walk(payload: bytes):
+    """Shared PNG chunk walk: signature check, per-chunk CRC32
+    verification, IHDR field extraction, IDAT concatenation. Returns
+    (width, height, depth, color, interlace, idat) or None for a
+    malformed stream — the ONE definition of "well-formed PNG" both the
+    dimensions validator and the grayscale pixel decoder consume (r4
+    self-review: the walk existed twice, so a fix to chunk handling
+    could leave the two parsers disagreeing about the same bytes)."""
     import struct
     import zlib
 
@@ -195,6 +196,22 @@ def _decode_png_stdlib(payload: bytes) -> tuple[int, int] | None:
         elif tag == b"IEND":
             break
         pos += 12 + length
+    return width, height, depth, color, interlace, idat
+
+
+def _decode_png_stdlib(payload: bytes) -> tuple[int, int] | None:
+    """First-principles PNG decode with the stdlib only (VERDICT r03
+    item 5): signature check, chunk walk with CRC32 verification, IHDR
+    dimensions, and a real zlib inflate of the IDAT stream validated
+    against the expected non-interlaced raster size — a genuine decode,
+    not a header sniff. Returns (width, height) or None if the bytes
+    are not a well-formed non-interlaced PNG."""
+    import zlib
+
+    walked = _png_walk(payload)
+    if walked is None:
+        return None
+    width, height, depth, color, interlace, idat = walked
     if not width or not height or not idat or interlace != 0:
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -758,32 +775,12 @@ def _decode_png_gray_pixels(payload: bytes) -> list[int] | None:
     PNG filter types, bpp=1) so the raster comes back as pixel values,
     not just validated dimensions. None for anything that is not a
     well-formed 8-bit grayscale non-interlaced PNG."""
-    import struct
     import zlib
 
-    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+    walked = _png_walk(payload)
+    if walked is None:
         return None
-    pos, width, height, depth, color, interlace, idat = 8, None, None, 0, 0, 0, b""
-    while pos + 12 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        crc = payload[pos + 8 + length : pos + 12 + length]
-        if len(body) < length or len(crc) < 4:
-            return None
-        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != struct.unpack(">I", crc)[0]:
-            return None
-        if tag == b"IHDR":
-            if length < 13:
-                return None
-            width, height, depth, color, _c, _f, interlace = struct.unpack(
-                ">IIBBBBB", body[:13]
-            )
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
+    width, height, depth, color, interlace, idat = walked
     if not width or not height or depth != 8 or color != 0 or interlace != 0:
         return None
     try:

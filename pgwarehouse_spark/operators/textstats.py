@@ -167,12 +167,13 @@ _LANGID_ORACLE = f"""
 """
 
 
-@register("text_langid", category="text", oracle=_LANGID_ORACLE)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-marker scoring (n-gram heuristic family).
-    Deterministic argmax with a fixed precedence order (en>de>fr>es) so
-    ties resolve identically everywhere."""
-    d = t(spark, sf_dir, "documents")
+def _langid_scored(d) -> "tuple":
+    """(scored_frame, prediction_column): per-language stopword-marker
+    scores plus the fixed-precedence (en>de>fr>es) argmax — THE
+    classifier, defined once so text_langid and its confusion-matrix
+    evaluation cannot drift (r4 self-review: the score dict and the
+    when-chain existed twice; the SQL side already half-extracted
+    _LANGID_PRED_SQL)."""
     text = F.col("text")
     scores = {
         lang: sum(
@@ -193,6 +194,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(es > 0, "es")
         .otherwise("unknown")
     )
+    return scored, pred
+
+
+@register("text_langid", category="text", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker scoring (n-gram heuristic family).
+    Deterministic argmax with a fixed precedence order (en>de>fr>es) so
+    ties resolve identically everywhere."""
+    scored, pred = _langid_scored(t(spark, sf_dir, "documents"))
     return (
         scored.select(
             "doc_id",
@@ -702,7 +712,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus total both read it — without the cache Catalyst plans
     # two independent subtrees that each re-tokenize and re-shuffle the
     # corpus (the most expensive stage, twice).
-    bgc = _bigram_counts(spark, sf_dir).cache()
+    bgc = _bigram_counts(spark, sf_dir).localCheckpoint()
     bg = bgc.filter(F.col("n_pair") >= _BIGRAM_MIN_COUNT)
     uni = (
         d.select(
@@ -1037,26 +1047,7 @@ _LANGID_PRED_SQL = """
     "size frame — a single data-sized shuffle.",
 )
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    text = F.col("text")
-    scores = {
-        lang: sum(
-            (_count_token(text, w) for w in words), F.lit(0)
-        ).cast("int")
-        for lang, words in _LANG_MARKERS.items()
-    }
-    scored = d.select(
-        F.col("lang").alias("lang_actual"),
-        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
-    )
-    en, de, fr, es = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
-        .when((de >= fr) & (de >= es) & (de > 0), "de")
-        .when((fr >= es) & (fr > 0), "fr")
-        .when(es > 0, "es")
-        .otherwise("unknown")
-    )
+    scored, pred = _langid_scored(t(spark, sf_dir, "documents"))
     cells = (
         scored.select("lang_actual", pred.alias("lang_predicted"))
         .groupBy("lang_actual", "lang_predicted")
