@@ -107,7 +107,16 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample", type=int, default=None,
                    help="for `queries`: run a random N-query DuckDB-oracle "
                         "self-check (the driver's exact comparison) instead "
-                        "of listing")
+                        "of listing; N<=0 runs EVERY registered query")
+    p.add_argument("--out", default=None,
+                   help="for `queries --sample`: also write the per-query "
+                        "results as a CORRECTNESS-shaped JSON artifact "
+                        "(rows/schema/hash match booleans per query)")
+    p.add_argument("--backend", default=None,
+                   choices=["clickhouse", "snowflake", "duckdb", "parquet", "jdbc"],
+                   help="force the warehouse type for this invocation "
+                        "(reference: __main__.py:18 --backend; the flag "
+                        "takes precedence over the config's warehouse.type)")
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed for --sample")
     p.add_argument("--zorder", default=None,
@@ -139,6 +148,13 @@ def _engine(args, spark=None):
 
     spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
     config = Config.from_yaml(args.config)
+    if getattr(args, "backend", None):
+        # --backend forces the warehouse type per invocation (reference
+        # __main__.py:18; pgwarehouse.py:55-60 consults the flag when the
+        # config doesn't pin a backend — here the explicit flag wins over
+        # the config so one config can drive several warehouses).
+        config.warehouse = dict(config.warehouse or {})
+        config.warehouse["type"] = args.backend
     if args.last_modified and args.table and args.table != "all":
         spec = config.tables.setdefault(
             args.table, TableSpec.from_opts(args.table, {})
@@ -186,19 +202,40 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             specs = {
                 n: s for n, s in all_queries().items() if s.oracle
             }
-            rng = random.Random(args.seed)
-            picked = rng.sample(sorted(specs), min(args.sample, len(specs)))
+            if args.sample <= 0:  # the FULL surface, deterministic order
+                picked = sorted(specs)
+            else:
+                rng = random.Random(args.seed)
+                picked = rng.sample(sorted(specs), min(args.sample, len(specs)))
             n_red = 0
+            artifact: dict[str, dict] = {}
             for name in picked:
                 spec = specs[name]
                 try:
                     report = compare(spec.fn(spark, sf_dir), con, spec.oracle)
-                    ok = report["ok"]
+                    ok, err = report["ok"], None
                 except Exception as exc:  # a crash is a red row, not an abort
-                    ok, report = False, {"error": str(exc)[:200]}
+                    ok, err = False, str(exc)[:200]
+                    report = {"error": err}
                 status = "green" if ok else f"RED {report}"
                 print(f"{name}\t{status}")
                 n_red += 0 if ok else 1
+                # same shape as the driver's CORRECTNESS_r{N}.json rows so
+                # the two artifacts diff cleanly (VERDICT r04 item 2)
+                artifact[name] = {
+                    "rows_match": bool(report.get("count_match", False)),
+                    "schema_match": bool(report.get("cols_match", False)),
+                    "hash_match": bool(report.get("values_match", False)),
+                    "spark_rows": report.get("spark_count"),
+                    "oracle_rows": report.get("duck_count"),
+                    "err": err,
+                }
+            if args.out:
+                import json as _json
+
+                with open(args.out, "w") as f:
+                    _json.dump(artifact, f, indent=1, default=str)
+                print(f"# wrote {args.out} ({len(artifact)} queries)")
             print(f"# {len(picked) - n_red}/{len(picked)} green "
                   f"(seed={args.seed}, sf_dir={sf_dir})")
             return 1 if n_red else 0

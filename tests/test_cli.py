@@ -411,3 +411,83 @@ def test_queries_sample_red_exits_nonzero(spark, sf_dir, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 1
     assert "RED" in out and "0/1 green" in out
+
+
+def test_backend_flag_precedence(spark, config_file, tmp_path):
+    """--backend forces the warehouse type per invocation (reference
+    __main__.py:18); the explicit flag wins over the config's
+    warehouse.type in both directions."""
+    from pgwarehouse_spark import cli
+    from pgwarehouse_spark.sync.duckdb_sink import DuckDBSyncEngine
+    from pgwarehouse_spark.sync.engine import SyncEngine
+
+    # config has no type (parquet lake); flag forces live DuckDB
+    args = cli._build_parser().parse_args(
+        ["sync", "nation", "--config", config_file, "--backend", "duckdb"]
+    )
+    eng, cfg = cli._engine(args, spark=spark)
+    assert isinstance(eng, DuckDBSyncEngine)
+    assert cfg.warehouse["type"] == "duckdb"
+
+    # same config without the flag -> parquet-lake engine
+    args = cli._build_parser().parse_args(
+        ["sync", "nation", "--config", config_file]
+    )
+    eng, _ = cli._engine(args, spark=spark)
+    assert isinstance(eng, SyncEngine) and not isinstance(eng, DuckDBSyncEngine)
+
+    # config pins duckdb; flag overrides it back to the parquet lake
+    import yaml  # noqa: F401  (config is plain text; write directly)
+
+    cfg2 = tmp_path / "pgw_duck.yaml"
+    cfg2.write_text(
+        open(config_file).read().replace(
+            "warehouse:", "warehouse:\n  type: duckdb"
+        )
+    )
+    args = cli._build_parser().parse_args(
+        ["sync", "nation", "--config", str(cfg2), "--backend", "parquet"]
+    )
+    eng, cfg = cli._engine(args, spark=spark)
+    assert isinstance(eng, SyncEngine) and not isinstance(eng, DuckDBSyncEngine)
+    assert cfg.warehouse["type"] == "parquet"
+
+
+def test_backend_flag_live_sync(spark, config_file, tmp_path, capsys):
+    """End-to-end: --backend duckdb syncs into a live DuckDB file from a
+    config that would otherwise use the parquet lake."""
+    import duckdb
+
+    assert main(
+        ["sync", "nation", "--config", config_file, "--backend", "duckdb"],
+        spark=spark,
+    ) == 0
+    wh = config_file.replace("pgw.yaml", "wh")
+    con = duckdb.connect(wh)
+    n = con.execute("SELECT count(*) FROM nation").fetchone()[0]
+    con.close()
+    assert n == 25
+
+
+def test_queries_sample_out_artifact(spark, tmp_path, capsys):
+    """`queries --sample N --out F` writes a CORRECTNESS-shaped JSON
+    artifact (VERDICT r04 item 2) whose rows carry the driver's field
+    names and whose greens agree with the printed report."""
+    import json as _json
+
+    out = tmp_path / "oracle_local.json"
+    rc = main(
+        ["queries", "--sample", "3", "--seed", "7",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)],
+        spark=spark,
+    )
+    assert rc == 0
+    data = _json.loads(out.read_text())
+    assert len(data) == 3
+    for name, row in data.items():
+        assert set(row) == {
+            "rows_match", "schema_match", "hash_match",
+            "spark_rows", "oracle_rows", "err",
+        }, name
+        assert row["rows_match"] and row["schema_match"] and row["hash_match"]
+        assert row["err"] is None

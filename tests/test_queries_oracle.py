@@ -1,6 +1,8 @@
 """Every registered query with an oracle must match DuckDB exactly —
 the local mirror of the driver's CORRECTNESS gate (row count + column
-names + order-insensitive values)."""
+names + order-insensitive values). Runs at the driver's scale factor
+(sf0.01, ``conftest.SF_DIR_ORACLE``) so the two gates agree on
+sf-sensitive queries."""
 
 from __future__ import annotations
 
@@ -8,7 +10,7 @@ import pytest
 
 from pgwarehouse_spark.registry import all_queries
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR_ORACLE
 from pgwarehouse_spark.oraclecheck import compare, duckdb_conn
 
 SPECS = all_queries()
@@ -18,15 +20,15 @@ NO_ORACLE = sorted(name for name, s in SPECS.items() if not s.oracle)
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb_conn(SF_DIR)
+    c = duckdb_conn(SF_DIR_ORACLE)
     yield c
     c.close()
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
-def test_oracle_match(spark, sf_dir, con, name):
+def test_oracle_match(spark, con, name):
     spec = SPECS[name]
-    df = spec.fn(spark, sf_dir)
+    df = spec.fn(spark, SF_DIR_ORACLE)
     report = compare(df, con, spec.oracle)
     assert report["ok"], f"{name}: {report}"
 
