@@ -368,6 +368,51 @@ class JdbcSource(Source):
         finally:
             conn.close()
 
+    def discover_schema(
+        self, spark: SparkSession, table: str, compat: bool = False
+    ):
+        """StructType from ``DatabaseMetaData.getColumns`` via the §1.3
+        type matrix (typemap.jdbc_type_to_spark) — the JDBC-portable
+        equivalent of the reference's `\\d` column scrape
+        (pgwarehouse.py:305-335). Postgres-specific types that Spark's
+        generic JDBC reader degrades to OTHER (uuid, enums, interval)
+        resolve here exactly like the reference's three backend mappers;
+        the result feeds ``customSchema`` so a pg read round-trips the
+        full SURVEY §1.3 matrix. PK columns (getPrimaryKeys) come back
+        non-nullable, mirroring the reference's Nullable(...) exclusion
+        (clickhouse_backend.py:145-147)."""
+        from pyspark.sql import types as T
+
+        from ..typemap import jdbc_type_to_spark, sanitize_column_name
+
+        pks = {c.lower() for c in self.discover_primary_key(spark, table)}
+        conn = self._jvm_connection(spark)
+        try:
+            meta = conn.getMetaData()
+            for cand in self._table_case_candidates(table):
+                rs = meta.getColumns(None, None, cand, None)
+                cols: list[tuple[int, T.StructField]] = []
+                while rs.next():
+                    name = rs.getString("COLUMN_NAME")
+                    cols.append((
+                        int(rs.getInt("ORDINAL_POSITION")),
+                        T.StructField(
+                            sanitize_column_name(name),
+                            jdbc_type_to_spark(
+                                rs.getString("TYPE_NAME"),
+                                int(rs.getInt("DATA_TYPE")),
+                                compat=compat,
+                            ),
+                            nullable=name.lower() not in pks,
+                        ),
+                    ))
+                rs.close()
+                if cols:
+                    return T.StructType([f for _, f in sorted(cols, key=lambda x: x[0])])
+            return None
+        finally:
+            conn.close()
+
     # conventional change-tracking column names, checked in order
     WATERMARK_NAMES = (
         "last_modified",

@@ -113,3 +113,52 @@ def sanitize_column_name(name: str) -> str:
     """Spaces → underscores, matching the reference's sanitization
     (clickhouse_backend.py:118-119, duckdb_backend.py:72-76)."""
     return name.strip().replace(" ", "_")
+
+
+# Postgres reports INTERNAL type spellings over JDBC metadata
+# (pg_type.typname: int4/int8/float8/bpchar/timestamptz, arrays as a
+# leading underscore "_int4"), not the `\d` display names the reference
+# scrapes (pgwarehouse.py:305-335). Normalize the JDBC spelling to the
+# display name so ONE rule table (`_RULES`) serves both discovery paths.
+_PG_JDBC_NAMES: dict[str, str] = {
+    "int2": "smallint",
+    "int4": "integer",
+    "int8": "bigint",
+    "serial2": "serial",
+    "serial4": "serial",
+    "serial8": "bigserial",
+    "float4": "real",
+    "float8": "double precision",
+    "bool": "boolean",
+    "bpchar": "character",
+    "timestamptz": "timestamp with time zone",
+    "timetz": "time with time zone",
+}
+
+
+def pg_jdbc_type_name_to_pg(type_name: str) -> str:
+    """Normalize a Postgres JDBC ``TYPE_NAME`` to its `\\d` display name
+    (``_int4`` → ``integer[]``, ``float8`` → ``double precision``)."""
+    s = type_name.strip().lower()
+    suffix = ""
+    if s.startswith("_"):  # pg internal array spelling
+        s, suffix = s[1:], "[]"
+    elif s.endswith("[]"):  # some drivers report the display spelling
+        s, suffix = s[:-2], "[]"
+    return _PG_JDBC_NAMES.get(s, s) + suffix
+
+
+def jdbc_type_to_spark(
+    type_name: str, jdbc_code: int | None = None, compat: bool = False
+) -> T.DataType:
+    """Translate a JDBC ``DatabaseMetaData.getColumns`` row to a Spark
+    type. ``TYPE_NAME`` (normalized from pg internal spellings) drives
+    the mapping so pg-specific types Spark's generic JDBC path degrades
+    (uuid, enums, arrays → java.sql.Types.OTHER/ARRAY) resolve exactly
+    like the reference's `\\d`-scrape path (SURVEY §1.3). ``jdbc_code``
+    2003 (ARRAY) forces array treatment when a driver reports a bare
+    element name for an array column."""
+    name = pg_jdbc_type_name_to_pg(type_name)
+    if jdbc_code == 2003 and not name.endswith("[]"):  # java.sql.Types.ARRAY
+        name += "[]"
+    return pg_type_to_spark(name, compat=compat)

@@ -1,0 +1,178 @@
+"""Postgres-typed JDBC fidelity contract (VERDICT r04 item 8).
+
+Derby (the live JDBC e2e backend, tests/test_jdbc.py) cannot represent
+`uuid`, enums, arrays, `jsonb`, or `interval` — exactly the pg types the
+reference's three mappers handle (SURVEY §1.3; clickhouse_backend.py:49-86,
+snowflake_backend.py:78-109, duckdb_backend.py:33-67). This test feeds
+JdbcSource.discover_schema the FULL §1.3 matrix through a pure-Python
+DatabaseMetaData shim speaking the JDBC interface (getColumns /
+getPrimaryKeys ResultSet protocol), pinning typemap behavior for every
+row in both native and compat modes — no live database involved.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from pgwarehouse_spark.sync.engine import JdbcSource
+from pgwarehouse_spark.typemap import jdbc_type_to_spark, pg_jdbc_type_name_to_pg
+
+# java.sql.Types constants used by the matrix
+BOOLEAN, CHAR, VARCHAR, TIME, DATE, TIMESTAMP = 16, 1, 12, 92, 91, 93
+INTEGER, BIGINT, SMALLINT, NUMERIC, REAL, DOUBLE = 4, -5, 5, 2, 7, 8
+BINARY, OTHER, ARRAY, TS_TZ = -2, 1111, 2003, 2014
+
+# The SURVEY §1.3 matrix, spelled the way the Postgres JDBC driver
+# reports it (pg_type.typname; arrays as leading-underscore): one row per
+# reference mapping rule, expected Spark type in native and compat modes.
+MATRIX = [
+    # (column, TYPE_NAME over JDBC, DATA_TYPE, native, compat)
+    ("kind", "park_type_enum", OTHER, T.StringType(), T.StringType()),
+    ("flag", "bool", BOOLEAN, T.BooleanType(), T.BooleanType()),
+    ("name", "varchar", VARCHAR, T.StringType(), T.StringType()),
+    ("code", "bpchar", CHAR, T.StringType(), T.StringType()),
+    ("doc", "jsonb", OTHER, T.StringType(), T.StringType()),
+    ("body", "text", VARCHAR, T.StringType(), T.StringType()),
+    ("at_time", "time", TIME, T.StringType(), T.StringType()),
+    ("day", "date", DATE, T.DateType(), T.TimestampType()),
+    ("ts", "timestamp", TIMESTAMP, T.TimestampType(), T.TimestampType()),
+    ("ts_tz", "timestamptz", TS_TZ, T.TimestampType(), T.TimestampType()),
+    ("id", "int8", BIGINT, T.LongType(), T.LongType()),
+    ("n", "int4", INTEGER, T.IntegerType(), T.IntegerType()),
+    ("small", "int2", SMALLINT, T.ShortType(), T.IntegerType()),
+    ("amount", "numeric", NUMERIC, T.DecimalType(38, 18), T.DoubleType()),
+    ("ratio", "float4", REAL, T.FloatType(), T.DoubleType()),
+    ("score", "float8", DOUBLE, T.DoubleType(), T.DoubleType()),
+    ("yr", "year", OTHER, T.StringType(), T.StringType()),
+    ("uid", "uuid", OTHER, T.StringType(), T.StringType()),
+    ("tags", "_text", ARRAY, T.ArrayType(T.StringType()), T.StringType()),
+    ("nums", "_int4", ARRAY, T.ArrayType(T.IntegerType()), T.StringType()),
+    ("span", "interval", OTHER, T.StringType(), T.StringType()),
+    ("blob", "bytea", BINARY, T.BinaryType(), T.BinaryType()),
+    ("mystery", "hstore", OTHER, T.StringType(), T.StringType()),
+]
+
+
+class _Rows:
+    """JDBC ResultSet protocol over a list of dicts."""
+
+    def __init__(self, rows: list[dict]):
+        self._rows, self._i = rows, -1
+
+    def next(self):
+        self._i += 1
+        return self._i < len(self._rows)
+
+    def _get(self, key):
+        return self._rows[self._i][key]
+
+    getString = _get
+    getInt = _get
+    getShort = _get
+
+    def close(self):
+        pass
+
+
+class _Meta:
+    def __init__(self, columns: list[dict], pks: list[dict]):
+        self._columns, self._pks = columns, pks
+
+    def getColumns(self, _cat, _schem, table, _pat):
+        return _Rows(self._columns if table == "parks" else [])
+
+    def getPrimaryKeys(self, _cat, _schem, table):
+        return _Rows(self._pks if table == "parks" else [])
+
+
+class _Conn:
+    def __init__(self, meta):
+        self._meta = meta
+
+    def getMetaData(self):
+        return self._meta
+
+    def close(self):
+        pass
+
+
+@pytest.fixture()
+def pg_shim(monkeypatch):
+    columns = [
+        {
+            "COLUMN_NAME": col,
+            "TYPE_NAME": type_name,
+            "DATA_TYPE": code,
+            "ORDINAL_POSITION": i + 1,
+        }
+        for i, (col, type_name, code, _, _) in enumerate(MATRIX)
+    ]
+    pks = [
+        {"TABLE_CAT": None, "TABLE_SCHEM": "public", "KEY_SEQ": 1,
+         "COLUMN_NAME": "id"},
+    ]
+    meta = _Meta(columns, pks)
+    monkeypatch.setattr(
+        JdbcSource, "_jvm_connection", lambda self, spark: _Conn(meta)
+    )
+    return JdbcSource("jdbc:postgresql://shim/db")
+
+
+def test_discover_schema_full_pg_matrix_native(pg_shim):
+    schema = pg_shim.discover_schema(None, "parks")
+    assert schema is not None and len(schema) == len(MATRIX)
+    for (col, type_name, _, native, _), field in zip(MATRIX, schema):
+        assert field.name == col
+        assert field.dataType == native, f"{col} ({type_name})"
+    # PK column is non-nullable; everything else nullable
+    assert schema["id"].nullable is False
+    assert schema["name"].nullable is True
+
+
+def test_discover_schema_full_pg_matrix_compat(pg_shim):
+    schema = pg_shim.discover_schema(None, "parks", compat=True)
+    for (col, type_name, _, _, compat), field in zip(MATRIX, schema):
+        assert field.dataType == compat, f"{col} ({type_name}) compat"
+
+
+@pytest.mark.parametrize("col,type_name,code,native,compat", MATRIX)
+def test_jdbc_type_to_spark_row(col, type_name, code, native, compat):
+    assert jdbc_type_to_spark(type_name, code) == native
+    assert jdbc_type_to_spark(type_name, code, compat=True) == compat
+
+
+def test_pg_jdbc_internal_spellings_normalize():
+    assert pg_jdbc_type_name_to_pg("_int4") == "integer[]"
+    assert pg_jdbc_type_name_to_pg("float8") == "double precision"
+    assert pg_jdbc_type_name_to_pg("bpchar") == "character"
+    assert pg_jdbc_type_name_to_pg("timestamptz") == "timestamp with time zone"
+    assert pg_jdbc_type_name_to_pg("text[]") == "text[]"
+    assert pg_jdbc_type_name_to_pg("uuid") == "uuid"
+
+
+def test_array_code_forces_array_when_driver_reports_element_name():
+    # some drivers report ARRAY columns with the ELEMENT type name and
+    # DATA_TYPE=2003; the code must still force array treatment
+    assert jdbc_type_to_spark("int4", 2003) == T.ArrayType(T.IntegerType())
+    assert jdbc_type_to_spark("int4", 2003, compat=True) == T.StringType()
+
+
+def test_discover_watermark_over_shim(monkeypatch):
+    """Watermark discovery on pg-typed metadata: a timestamptz
+    `updated_at` (DATA_TYPE 2014, which Derby can't produce) is found;
+    a varchar `last_modified` is rejected (name without type)."""
+    columns = [
+        {"COLUMN_NAME": "id", "TYPE_NAME": "int8", "DATA_TYPE": BIGINT,
+         "ORDINAL_POSITION": 1},
+        {"COLUMN_NAME": "last_modified", "TYPE_NAME": "varchar",
+         "DATA_TYPE": VARCHAR, "ORDINAL_POSITION": 2},
+        {"COLUMN_NAME": "updated_at", "TYPE_NAME": "timestamptz",
+         "DATA_TYPE": TS_TZ, "ORDINAL_POSITION": 3},
+    ]
+    meta = _Meta(columns, [])
+    monkeypatch.setattr(
+        JdbcSource, "_jvm_connection", lambda self, spark: _Conn(meta)
+    )
+    src = JdbcSource("jdbc:postgresql://shim/db")
+    assert src.discover_watermark(None, "parks") == "updated_at"
