@@ -367,12 +367,92 @@ def test_genuine_decode_of_vendored_wav_runs_everywhere():
     assert meta["duration_ms"] == 100
 
 
-def test_genuine_av_rejects_junk_gracefully():
-    pytest.importorskip("av")
+def test_video_junk_degrades_to_stub_without_codec():
+    """No skip (r04 item 5 closed the last importorskip): junk video
+    bytes fall through every tier — av absent or refusing, stdlib parse
+    failing — and land on the deterministic stub, in THIS container."""
     from pgwarehouse_spark.operators import multimodal as mm
 
     junk = b"not a media container"
     assert mm.decode_payload(junk, "video") == mm._decode_stub(junk, "video")
+
+
+def test_extract_raw_frames_round_trip():
+    """Genuine in-container frame extraction: every byte of every
+    returned frame comes back exactly as built, timestamps split the
+    mvhd duration evenly, and both mvhd/tkhd versions parse."""
+    from pgwarehouse_spark.operators.multimodal import (
+        build_mp4_container,
+        extract_raw_frames,
+    )
+
+    w, h = 8, 6
+    frames = [bytes([i * 40 + j % 7 for j in range(w * h * 3)]) for i in range(4)]
+    for version in (0, 1):
+        payload = build_mp4_container(w, h, 4000, version=version, frames=frames)
+        out = extract_raw_frames(payload)
+        assert out is not None and len(out) == 4
+        assert [ts for ts, _ in out] == [0, 1000, 2000, 3000]
+        assert [f for _, f in out] == frames
+
+
+def test_extract_raw_frames_rejects_malformed():
+    from pgwarehouse_spark.operators.multimodal import (
+        build_mp4_container,
+        extract_raw_frames,
+    )
+
+    good = build_mp4_container(8, 6, 2000, frames=[bytes(144), bytes(144)])
+    assert extract_raw_frames(b"junk") is None
+    assert extract_raw_frames(good[:-1]) is None          # truncated chain
+    assert extract_raw_frames(
+        build_mp4_container(8, 6, 2000)                    # no mdat
+    ) is None
+    # mdat present but not a whole number of w*h*3 frames
+    import struct
+
+    mdat = struct.pack(">I", 8 + 100) + b"mdat" + bytes(100)
+    assert extract_raw_frames(build_mp4_container(8, 6, 2000) + mdat) is None
+    # zero-dim track can't define a frame size
+    assert extract_raw_frames(
+        build_mp4_container(0, 0, 2000) + mdat
+    ) is None
+
+
+def test_build_mp4_container_rejects_wrong_frame_size():
+    from pgwarehouse_spark.operators.multimodal import build_mp4_container
+
+    with pytest.raises(ValueError):
+        build_mp4_container(8, 6, 1000, frames=[bytes(100)])
+
+
+def test_sample_frames_real_tier_on_spark(spark):
+    """The registered operator path: raw-RGB containers flow through
+    sample_frames' genuine tier on executors — recovered bytes equal the
+    built frames; stub payloads in the same batch still fan out."""
+    from pgwarehouse_spark.operators.multimodal import (
+        build_mp4_container,
+        sample_frames,
+    )
+
+    w, h = 4, 3
+    f0, f1 = bytes([9] * (w * h * 3)), bytes([200] * (w * h * 3))
+    real = build_mp4_container(w, h, 2000, frames=[f0, f1])
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(real)), (2, "video", bytearray(b"x" * 400)),
+         (3, "image", bytearray(real))],
+        "doc_id bigint, modality string, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): (r.ts_ms, bytes(r.frame_bytes))
+        for r in sample_frames(df).collect()
+    }
+    assert rows[(1, 0)] == (0, f0)
+    assert rows[(1, 1)] == (1000, f1)
+    # stub payload: duration 5000 + 400 % 120000 -> 5 frames of 16 bytes
+    assert (2, 4) in rows and len(rows[(2, 0)][1]) == 16
+    # image row emits nothing
+    assert not any(d == 3 for d, _ in rows)
 
 
 def _mp4_box(typ: bytes, body: bytes) -> bytes:
