@@ -148,6 +148,7 @@ HEADLINE = [
     "contamination_semantic",
     "sample_epoch_repetition",
     "text_quality_classifier",
+    "multimodal_raw_frame_stats",
 ]
 
 
@@ -183,6 +184,46 @@ HEAVY = [
 # the one-line JSON must stay under this (full detail goes to the file)
 STDOUT_BUDGET = 1900
 TOP_N_STDOUT = 24
+
+# Every query is timed RUNS times and the MINIMUM is reported (VERDICT
+# r04 item 1: single-shot timings inside a 117-query JVM session drift
+# with accumulated GC/codegen-cache pressure — r4's overlapping heavies
+# read up to +45% vs r3 on identical code, and CHANGELOG's 3-run spread
+# showed a ±15% noise band. The min of repeated runs is the stable
+# statistic for fixed work on a warm JVM; the per-run spread is kept in
+# BENCH_FULL so the noise stays visible, not hidden).
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+# Slope denominators below this are overhead-dominated; the scaling gate
+# (tests/test_scaling_sf1.py) and the bench share this floor so the two
+# can never disagree on what a slope IS (VERDICT r04 item 6).
+SLOPE_FLOOR = 1.0
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = RUNS):
+    """Best-of-`runs` wall time for one registered query: returns
+    (best_sec, [run_sec...], result_rows). Each run re-plans and
+    re-executes from the parquet source — Spark reuses nothing across
+    separate actions on freshly-built DataFrames, so repeated runs
+    measure the same work; only OS page cache and JIT state are warm,
+    which is exactly the steady state the bench wants."""
+    all_runs: list[float] = []
+    n = 0
+    for _ in range(runs):
+        start = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        all_runs.append(round(time.perf_counter() - start, 4))
+    return min(all_runs), all_runs, n
+
+
+def measure_slope(fn, spark, base_dir: str, sf1_dir: str,
+                  runs: int = 2, floor: float = SLOPE_FLOOR):
+    """The ONE slope definition shared by bench.py's sf1 section and the
+    scaling gate: best-of-`runs` at each scale, denominator floored at
+    `floor` seconds so a 0.3s base timing can't turn jitter into a
+    fake 10x ratio. Returns (floored_slope, t_base, t_sf1)."""
+    t1, _, _ = time_query(fn, spark, base_dir, runs)
+    t10, _, _ = time_query(fn, spark, sf1_dir, runs)
+    return t10 / max(t1, floor), t1, t10
 
 # key families shifted per replica so FK joins stay valid across copies
 _SF1_SHIFTS = {
@@ -294,13 +335,12 @@ def main() -> None:
     ).count().collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
     for name in names:
-        fn = specs[name].fn
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, all_runs, n = time_query(specs[name].fn, spark, sf_dir)
+        timings[name], spreads[name], rows[name] = best, all_runs, n
+        print(f"# {name}: {best:.3f}s {all_runs} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     full_payload = {
@@ -308,6 +348,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": RUNS,
+        "spread": spreads,
+        "rows": rows,
         "sf": sf,
     }
 
@@ -318,25 +361,56 @@ def main() -> None:
         sf1_dir = _ensure_sf1(spark, sf_dir)
         if sf1_dir:
             sf1_timings: dict[str, float] = {}
+            sf1_rows: dict[str, int] = {}
             for name in [n for n in HEAVY if n in specs]:
-                fn = specs[name].fn
-                start = time.perf_counter()
-                n = fn(spark, sf1_dir).count()
-                sf1_timings[name] = round(time.perf_counter() - start, 4)
+                best, all_runs, n = time_query(specs[name].fn, spark, sf1_dir)
+                sf1_timings[name], sf1_rows[name] = best, n
                 print(
-                    f"# sf1 {name}: {sf1_timings[name]:.3f}s ({n} rows)",
+                    f"# sf1 {name}: {best:.3f}s {all_runs} ({n} rows)",
                     file=sys.stderr,
                 )
             full_payload["sf1"] = {
                 "sf": sf * 10,
                 "queries": sf1_timings,
+                "rows": sf1_rows,
                 "total": round(sum(sf1_timings.values()), 4),
                 "slope_vs_base": {
                     n: round(sf1_timings[n] / timings[n], 2)
                     for n in sf1_timings
                     if timings.get(n)
                 },
+                # the scaling gate's metric, verbatim (floored
+                # denominator; see measure_slope) — recorded here so the
+                # artifact and the gate can never disagree silently
+                "slope_floored": {
+                    n: round(sf1_timings[n] / max(timings[n], SLOPE_FLOOR), 2)
+                    for n in sf1_timings
+                    if timings.get(n)
+                },
             }
+            # Output-normalized cost for the output-bound dedup queries
+            # (VERDICT r04 item 4): the 10x duplicate-heavy replica grows
+            # TRUE containment/duplicate pairs superlinearly, so wall/
+            # result-pair is the honest scale metric — sublinear-in-
+            # output shows as ratio < 1.
+            norm: dict[str, dict] = {}
+            for name in ("dedup_containment", "dedup_minhash_lsh", "dedup_clusters"):
+                if (
+                    name in sf1_timings
+                    and rows.get(name)
+                    and sf1_rows.get(name)
+                ):
+                    base_per_1k = timings[name] / rows[name] * 1000
+                    sf1_per_1k = sf1_timings[name] / sf1_rows[name] * 1000
+                    norm[name] = {
+                        "base_rows": rows[name],
+                        "sf1_rows": sf1_rows[name],
+                        "sec_per_1k_rows_base": round(base_per_1k, 4),
+                        "sec_per_1k_rows_sf1": round(sf1_per_1k, 4),
+                        "per_row_cost_ratio": round(sf1_per_1k / base_per_1k, 3),
+                    }
+            if norm:
+                full_payload["sf1"]["output_normalized"] = norm
 
     emit(full_payload)
 

@@ -1,28 +1,30 @@
-"""Bench-scale slope gate (VERDICT r03 item 2).
+"""Bench-scale slope gate (VERDICT r03 item 2; de-flaked per r04 item 6).
 
 `tests/test_scaling.py` derives its 10x replica from sf0.001, where
 fixed overhead dominates every timing — round 3 proved that gate can
 pass (slopes "1-3") while the bench's own sf0.1->sf1 section measures a
 15x blow-up on the same query (`sim_topk_ivfpq`, unbounded IVF centroid
-growth). This gate measures the SAME slope the bench reports: each
-bench.HEAVY query timed at sf0.1 and at the bench's own key-shifted 10x
-replica (cached in /tmp across runs), asserted against a per-query
-slope budget. At this scale the hot queries run seconds, not tens of
-milliseconds, so a superlinear operator cannot hide inside startup
-overhead: the round-3 IVF defect measures 14.9x here (red) and 1.8x
-after the centroid cap (green).
+growth). This gate measures the SAME slope the bench reports — it calls
+``bench.measure_slope`` directly, so the gate and BENCH_FULL's
+``slope_floored`` section are one definition: best-of-2 wall at sf0.1
+and at the bench's own key-shifted 10x replica, denominator floored at
+``bench.SLOPE_FLOOR`` (1s) so sub-second base timings can't turn jitter
+into a fake ratio. At this scale the hot queries run seconds, so a
+superlinear operator cannot hide inside startup overhead: the round-3
+IVF defect measures ~15x here (red) and ~2x after the centroid cap.
 
 Budgets default to linear (10x wall at 10x data on fixed cores) with a
-headroom multiplier for timing jitter; queries whose OUTPUT grows
-superlinearly on the duplicate-heavy replica carry documented larger
-budgets.
+headroom multiplier for timing jitter. ``dedup_containment`` is NOT
+wall-budgeted (r04 item 4): its output grows ~143x on the duplicate-
+heavy replica, so its gate is output-normalized — wall per result pair
+must not grow more than the per-pair headroom, replacing the old
+hand-set 26x wall budget with a measured sublinearity-in-output check.
 """
 
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 import pytest
 
@@ -32,27 +34,29 @@ import bench
 
 _BASE = "/root/testdata/sf0.1"
 
-# Slope budgets: wall(10x) / wall(1x). Linear-in-data on fixed cores is
-# 10; budgets sit above the round-3/4 measured slopes with ~2x headroom
-# for CI jitter but far below a quadratic signature (the old IVF defect
-# measured 14.9x; an all-pairs regression lands at 50-100x).
+# Slope budgets: wall(10x) / max(wall(1x), FLOOR). Linear-in-data on
+# fixed cores is 10; budgets sit above the round-3/4 measured slopes
+# with ~2x headroom for CI jitter but far below a quadratic signature
+# (the old IVF defect measured 14.9x; an all-pairs regression lands at
+# 50-100x).
 _DEFAULT_BUDGET = 10.0
 _BUDGETS = {
-    # output-bound: the 10x-duplicated replica grows the TRUE duplicate
-    # pair count ~143x (512 -> 73k); wall grows ~13x — sublinear in
-    # output (see SCALE.md). Budget bounds it at 2x the measured slope.
-    "dedup_containment": 26.0,
     # wedge/iteration work genuinely grows faster than rows on the
-    # densified replica: healthy measured slopes ~6-7 — a warm base
-    # timing can push the RATIO past 10 with no algorithmic change, so
-    # these carry ~2x-healthy budgets. A quadratic regression lands at
-    # 50-100x (the old IVF defect measured 14.9x from a healthy 2.5);
+    # densified replica: healthy measured slopes ~6-7 — these carry
+    # ~2x-healthy budgets. A quadratic regression lands at 50-100x;
     # these budgets still catch that class.
     "graph_triangle_count": 14.0,
     "sim_topk_bruteforce": 14.0,
     "graph_pagerank": 13.0,
 }
-_FLOOR = 0.4  # seconds; sf0.1 timings below this are overhead-dominated
+# Output-bound queries gated on per-result-pair cost instead of wall
+# ratio: {name: max allowed (sf1 sec/pair) / (base sec/pair)}. The
+# replica multiplies true pairs ~143x while wall grows ~13x, so the
+# HEALTHY per-pair ratio is ~0.1; 2.0 allows 20x jitter headroom while
+# still failing any wall-superlinear-in-output regression.
+_OUTPUT_NORMALIZED_BUDGETS = {
+    "dedup_containment": 2.0,
+}
 
 
 @pytest.fixture(scope="module")
@@ -65,42 +69,75 @@ def sf1_dir(spark):
     return out
 
 
-def _slope(fn, spark, sf1: str) -> float:
-    t0 = time.perf_counter()
-    fn(spark, _BASE).count()
-    t1x = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fn(spark, sf1).count()
-    t10x = time.perf_counter() - t0
-    return t10x / max(t1x, _FLOOR)
-
-
 def test_bench_heavy_slopes_within_budget(spark, sf1_dir):
     from pgwarehouse_spark.registry import all_queries
 
     specs = all_queries()
     slopes: dict[str, float] = {}
-    for name in bench.HEAVY:
+    wall_gated = [n for n in bench.HEAVY if n not in _OUTPUT_NORMALIZED_BUDGETS]
+    for name in wall_gated:
         assert name in specs, f"bench.HEAVY references unknown query {name}"
         fn = specs[name].fn
         fn(spark, _BASE).count()  # warm-up: codegen + parquet footers
-        slopes[name] = _slope(fn, spark, sf1_dir)
+        slopes[name], _, _ = bench.measure_slope(fn, spark, _BASE, sf1_dir)
     over = {
         n: s for n, s in slopes.items() if s > _BUDGETS.get(n, _DEFAULT_BUDGET)
     }
-    # Two retries (best-of) before failing: a single timing inside a
+    # Best-of-3 confirmation before failing: a single timing inside a
     # long suite can be polluted by GC or a concurrent stage; genuine
     # superlinear work reproduces across every rerun, jitter does not —
-    # so the gate fails only when the MINIMUM of the reruns still
+    # so the gate fails only when the MINIMUM of three reruns still
     # exceeds the budget.
     persistent = {}
     for name in over:
-        s = min(_slope(specs[name].fn, spark, sf1_dir) for _ in range(2))
+        s = min(
+            bench.measure_slope(specs[name].fn, spark, _BASE, sf1_dir)[0]
+            for _ in range(3)
+        )
         slopes[name] = s
         if s > _BUDGETS.get(name, _DEFAULT_BUDGET):
             persistent[name] = round(s, 1)
     assert not persistent, (
         f"bench-scale superlinear slope (sf0.1 -> 10x replica, confirmed "
-        f"on retry): {persistent}; all slopes: "
+        f"best-of-3): {persistent}; all slopes: "
         f"{ {n: round(s, 2) for n, s in slopes.items()} }"
     )
+
+
+def test_output_bound_queries_sublinear_per_pair(spark, sf1_dir):
+    """Output-normalized gate (VERDICT r04 item 4): for queries whose
+    result-set itself grows superlinearly on the duplicate-heavy
+    replica, assert wall-per-result-pair, not wall. Measured, not
+    argued: a regression that makes containment superlinear in its
+    OUTPUT (e.g. losing the inverted-index join for all-pairs) raises
+    per-pair cost by orders of magnitude and fails here."""
+    from pgwarehouse_spark.registry import all_queries
+
+    specs = all_queries()
+    failures = {}
+    for name, budget in _OUTPUT_NORMALIZED_BUDGETS.items():
+        fn = specs[name].fn
+        fn(spark, _BASE).count()  # warm-up
+        t1, _, n1 = bench.time_query(fn, spark, _BASE, runs=2)
+        t10, _, n10 = bench.time_query(fn, spark, sf1_dir, runs=2)
+        assert n1 > 0 and n10 > n1, (
+            f"{name}: replica must grow the result set ({n1} -> {n10})"
+        )
+        per_pair_1 = max(t1, bench.SLOPE_FLOOR) / n1
+        per_pair_10 = t10 / n10
+        ratio = per_pair_10 / per_pair_1
+        if ratio > budget:
+            # best-of-3 confirmation, same policy as the wall gate
+            t10 = min(
+                bench.time_query(fn, spark, sf1_dir, runs=1)[0]
+                for _ in range(3)
+            )
+            ratio = (t10 / n10) / per_pair_1
+        if ratio > budget:
+            failures[name] = {
+                "per_pair_ratio": round(ratio, 2),
+                "budget": budget,
+                "pairs": (n1, n10),
+                "wall": (round(t1, 2), round(t10, 2)),
+            }
+    assert not failures, f"output-normalized superlinearity: {failures}"
