@@ -242,6 +242,7 @@ class JdbcSource(Source):
         partition_bounds: dict[str, tuple] | None = None,
         fetchsize: int = 10_000,
         driver: str | None = None,
+        type_fidelity: bool = False,
     ):
         self.url = url
         self.user = user
@@ -251,6 +252,14 @@ class JdbcSource(Source):
         self.partition_columns = partition_columns or {}
         self.partition_bounds = dict(partition_bounds or {})
         self.fetchsize = fetchsize
+        # pg_type_fidelity: read through the §1.3 type matrix (one
+        # metadata probe per table, cached) instead of Spark's generic
+        # JDBC inference — for Postgres sources whose uuid/enum/array
+        # columns the generic path degrades to OTHER. Off by default:
+        # non-pg backends (and pg users happy with Spark's dialect)
+        # skip the extra metadata round-trip.
+        self.type_fidelity = type_fidelity
+        self._schema_cache: dict[str, object] = {}
 
     def jdbc_options(self, table: str, where: str | None = None) -> dict[str, str]:
         """Assemble the JDBC reader options (pure; unit-testable without a
@@ -309,15 +318,31 @@ class JdbcSource(Source):
         self.partition_bounds[table] = (row[0], row[1])
         return self.partition_bounds[table]
 
+    def custom_schema_ddl(self, spark: SparkSession, table: str) -> str | None:
+        """``customSchema`` DDL from `discover_schema` (cached per
+        table): 'col TYPE, ...' in Spark SQL type syntax, overriding the
+        generic JDBC inference with the §1.3 matrix types."""
+        if table not in self._schema_cache:
+            self._schema_cache[table] = self.discover_schema(spark, table)
+        schema = self._schema_cache[table]
+        if schema is None:
+            return None
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+
     def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
         pcol = self.partition_columns.get(table)
         if pcol and table not in self.partition_bounds:
             self.resolve_bounds(spark, table)
-        return (
-            spark.read.format("jdbc")
-            .options(**self.jdbc_options(table, where))
-            .load()
+        reader = spark.read.format("jdbc").options(
+            **self.jdbc_options(table, where)
         )
+        if self.type_fidelity:
+            ddl = self.custom_schema_ddl(spark, table)
+            if ddl:
+                reader = reader.option("customSchema", ddl)
+        return reader.load()
 
     def exists(self, spark: SparkSession, table: str) -> bool:
         try:
@@ -474,6 +499,8 @@ def make_source(conf: dict) -> Source:
             password=conf.get("password"),
             num_partitions=int(conf.get("num_partitions", 8)),
             partition_columns=conf.get("partition_columns"),
+            driver=conf.get("driver"),
+            type_fidelity=bool(conf.get("pg_type_fidelity", False)),
         )
     raise ValueError(f"unknown source type: {kind}")
 

@@ -176,3 +176,25 @@ def test_discover_watermark_over_shim(monkeypatch):
     )
     src = JdbcSource("jdbc:postgresql://shim/db")
     assert src.discover_watermark(None, "parks") == "updated_at"
+
+
+def test_custom_schema_ddl_from_shim(pg_shim):
+    """The customSchema DDL that type_fidelity reads pass to Spark's
+    JDBC reader: every §1.3 column present, spelled in Spark SQL type
+    syntax, cached after the first metadata probe."""
+    ddl = pg_shim.custom_schema_ddl(None, "parks")
+    assert ddl is not None
+    # type spellings contain commas (decimal(38,18)) — assert by
+    # substring, count columns from the cached schema
+    assert "id bigint" in ddl
+    assert "amount decimal(38,18)" in ddl
+    assert "tags array<string>" in ddl
+    assert "day date" in ddl
+    assert "uid string" in ddl
+    assert len(pg_shim._schema_cache["parks"]) == len(MATRIX)
+    # cache: second call must not re-probe (shim would still answer,
+    # so assert identity through the cache dict)
+    assert pg_shim._schema_cache["parks"] is not None
+    assert pg_shim.custom_schema_ddl(None, "parks") == ddl
+    # unknown table -> None, not a crash
+    assert pg_shim.custom_schema_ddl(None, "nope") is None
