@@ -356,13 +356,19 @@ def main() -> None:
 
     # scaling-slope section: heaviest queries at a derived sf1
     # (opt out with SPARK_GRAFT_SF1=0; auto-skipped at tiny base scales
-    # where a 10x replica proves nothing)
+    # where a 10x replica proves nothing). When SPARK_GRAFT_BENCH_QUERIES
+    # restricts the base set, the sf1 set restricts to match — the
+    # scaling gate re-times single offenders this way without paying for
+    # the whole heavy section.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf >= 0.1:
         sf1_dir = _ensure_sf1(spark, sf_dir)
         if sf1_dir:
             sf1_timings: dict[str, float] = {}
             sf1_rows: dict[str, int] = {}
-            for name in [n for n in HEAVY if n in specs]:
+            heavy_set = [
+                n for n in HEAVY if n in specs and (not extra or n in names)
+            ]
+            for name in heavy_set:
                 best, all_runs, n = time_query(specs[name].fn, spark, sf1_dir)
                 sf1_timings[name], sf1_rows[name] = best, n
                 print(
@@ -444,6 +450,14 @@ def compact_line(full_payload: dict) -> str:
                 n: round(v, 2) for n, v in s["slope_vs_base"].items()
             },
         }
+        if "output_normalized" in s:
+            # per-result-pair cost ratio for the output-bound dedup
+            # queries (sublinear-in-output < 1) — kept on stdout so the
+            # driver's tail capture records the honest scale metric
+            payload["sf1"]["out_norm"] = {
+                n: d["per_row_cost_ratio"]
+                for n, d in s["output_normalized"].items()
+            }
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > STDOUT_BUDGET and payload["queries"]:
         lightest = min(payload["queries"], key=payload["queries"].get)
@@ -454,7 +468,9 @@ def compact_line(full_payload: dict) -> str:
 
 def emit(full_payload: dict) -> None:
     full = json.dumps(full_payload, sort_keys=True)
-    out_path = os.path.join(
+    # SPARK_GRAFT_BENCH_FULL_PATH redirects the artifact (the scaling
+    # gate's subprocess runs must not clobber the repo's BENCH_FULL.json)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     with open(out_path, "w") as f:

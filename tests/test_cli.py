@@ -310,6 +310,11 @@ def test_bench_stdout_budget():
             "queries": {n: 999.9999 for n in bench.HEAVY},
             "total": 12345.6789,
             "slope_vs_base": {n: 10.25 for n in bench.HEAVY},
+            "output_normalized": {
+                n: {"per_row_cost_ratio": 99.999}
+                for n in ("dedup_containment", "dedup_minhash_lsh",
+                          "dedup_clusters")
+            },
         },
     }
     line = bench.compact_line(payload)
@@ -318,6 +323,7 @@ def test_bench_stdout_budget():
     assert parsed["n_queries"] == len(bench.HEADLINE)
     assert parsed["value"] == payload["value"]
     assert parsed["sf1"]["slope_vs_base"]
+    assert parsed["sf1"]["out_norm"]["dedup_containment"] == 99.999
     assert len(parsed["queries"]) > 0
 
 
