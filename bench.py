@@ -215,15 +215,6 @@ def time_query(fn, spark, sf_dir: str, runs: int = RUNS):
     return min(all_runs), all_runs, n
 
 
-def measure_slope(fn, spark, base_dir: str, sf1_dir: str,
-                  runs: int = 2, floor: float = SLOPE_FLOOR):
-    """The ONE slope definition shared by bench.py's sf1 section and the
-    scaling gate: best-of-`runs` at each scale, denominator floored at
-    `floor` seconds so a 0.3s base timing can't turn jitter into a
-    fake 10x ratio. Returns (floored_slope, t_base, t_sf1)."""
-    t1, _, _ = time_query(fn, spark, base_dir, runs)
-    t10, _, _ = time_query(fn, spark, sf1_dir, runs)
-    return t10 / max(t1, floor), t1, t10
 
 # key families shifted per replica so FK joins stay valid across copies
 _SF1_SHIFTS = {
@@ -385,9 +376,10 @@ def main() -> None:
                     for n in sf1_timings
                     if timings.get(n)
                 },
-                # the scaling gate's metric, verbatim (floored
-                # denominator; see measure_slope) — recorded here so the
-                # artifact and the gate can never disagree silently
+                # the scaling gate's metric (denominator floored at
+                # SLOPE_FLOOR): the gate runs THIS code in a subprocess
+                # and asserts on THIS field, so the artifact and the
+                # gate cannot disagree
                 "slope_floored": {
                     n: round(sf1_timings[n] / max(timings[n], SLOPE_FLOOR), 2)
                     for n in sf1_timings

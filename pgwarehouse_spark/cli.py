@@ -113,10 +113,14 @@ def _build_parser() -> argparse.ArgumentParser:
                         "results as a CORRECTNESS-shaped JSON artifact "
                         "(rows/schema/hash match booleans per query)")
     p.add_argument("--backend", default=None,
-                   choices=["clickhouse", "snowflake", "duckdb", "parquet", "jdbc"],
+                   choices=["clickhouse", "snowflake", "duckdb", "parquet"],
                    help="force the warehouse type for this invocation "
                         "(reference: __main__.py:18 --backend; the flag "
-                        "takes precedence over the config's warehouse.type)")
+                        "takes precedence over the config's warehouse.type). "
+                        "clickhouse/snowflake are publish dialects here — "
+                        "selecting them as the sync warehouse errors with "
+                        "the publish recipe instead of silently writing "
+                        "parquet")
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed for --sample")
     p.add_argument("--zorder", default=None,
@@ -160,11 +164,23 @@ def _engine(args, spark=None):
             args.table, TableSpec.from_opts(args.table, {})
         )
         spec.last_modified = args.last_modified
-    if (config.warehouse or {}).get("type") == "duckdb":
+    wh_type = (config.warehouse or {}).get("type")
+    if wh_type == "duckdb":
         # reference topology: sync straight into a live DuckDB database
         from .sync.duckdb_sink import DuckDBSyncEngine
 
         return DuckDBSyncEngine.from_config(spark, config), config
+    if wh_type in ("clickhouse", "snowflake"):
+        # No live ClickHouse/Snowflake loader exists in this build (their
+        # services aren't reachable here) — refuse loudly rather than
+        # silently writing the parquet lake while the user believes the
+        # warehouse was loaded. The dialect-exact path is publish.
+        raise ValueError(
+            f"live {wh_type} loading is not available in this build; "
+            f"sync to the parquet lake (default warehouse) and push it "
+            f"with `publish <table> --jdbc-url <url> --jdbc-dialect "
+            f"{wh_type}` (byte-identical {wh_type} DDL dialect)"
+        )
     return SyncEngine.from_config(spark, config, num_buckets=args.buckets), config
 
 
@@ -361,7 +377,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         df.show(args.limit, truncate=False)
         return 0
 
-    eng, config = _engine(args, spark=spark)
+    try:
+        eng, config = _engine(args, spark=spark)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
 
     from .sync.duckdb_sink import DuckDBSyncEngine
 

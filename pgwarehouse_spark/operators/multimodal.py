@@ -322,7 +322,11 @@ def _decode_mp4_stdlib(payload: bytes) -> tuple[int, int, int] | None:
         return None
 
 
-def extract_raw_frames(payload: bytes) -> list[tuple[int, bytes]] | None:
+def extract_raw_frames(
+    payload: bytes,
+    every_ms: int | None = None,
+    max_frames: int | None = None,
+) -> list[tuple[int, bytes]] | None:
     """Genuine in-container frame extraction with the stdlib (VERDICT
     r04 item 5): for a well-formed ISO-BMFF container whose ``mdat``
     carries concatenated uncompressed RGB24 frames (the raw-video layout
@@ -333,7 +337,12 @@ def extract_raw_frames(payload: bytes) -> list[tuple[int, bytes]] | None:
     is not an exact positive multiple of the frame size — the caller
     then falls back a tier (av codec or deterministic stub), mirroring
     `decode_payload`'s tiering. A genuine parse-and-slice, not a sniff:
-    every byte of every returned frame comes from the container."""
+    every byte of every returned frame comes from the container.
+
+    ``every_ms``/``max_frames`` select frames BEFORE any bytes are
+    sliced (stride ≈ every_ms / inter-frame step, then a count cap), so
+    sampling 8 frames from a large raw capture copies 8 frames' bytes,
+    never the whole mdat."""
     meta = _decode_mp4_stdlib(payload)
     if meta is None:
         return None
@@ -346,15 +355,24 @@ def extract_raw_frames(payload: bytes) -> list[tuple[int, bytes]] | None:
         return None
     if mdat is None:
         return None
-    body = payload[mdat[0] : mdat[1]]
+    start, end = mdat
     frame_size = width * height * 3
-    if not body or len(body) % frame_size != 0:
+    n_bytes = end - start
+    if n_bytes <= 0 or n_bytes % frame_size != 0:
         return None
-    n = len(body) // frame_size
-    step = duration_ms // n if n else 0
+    n = n_bytes // frame_size
+    step = duration_ms // n
+    idxs = range(n)
+    if every_ms is not None and step > 0:
+        idxs = range(0, n, max(1, -(-every_ms // step)))
+    if max_frames is not None:
+        idxs = list(idxs)[:max_frames]
     return [
-        (i * step, body[i * frame_size : (i + 1) * frame_size])
-        for i in range(n)
+        (
+            i * step,
+            payload[start + i * frame_size : start + (i + 1) * frame_size],
+        )
+        for i in idxs
     ]
 
 
@@ -551,11 +569,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
                 if modality != "video":
                     continue
                 payload = bytes(payload)
-                real = extract_raw_frames(payload)
+                real = extract_raw_frames(payload, every_ms, max_frames)
                 if real:
-                    step = real[1][0] - real[0][0] if len(real) > 1 else every_ms
-                    stride = max(1, -(-every_ms // step)) if step > 0 else 1
-                    for i, (ts, frame) in enumerate(real[::stride][:max_frames]):
+                    for i, (ts, frame) in enumerate(real):
                         rows.append((doc_id, i, int(ts), frame))
                     continue
                 meta = _decode_stub(payload, modality)

@@ -320,15 +320,20 @@ class JdbcSource(Source):
 
     def custom_schema_ddl(self, spark: SparkSession, table: str) -> str | None:
         """``customSchema`` DDL from `discover_schema` (cached per
-        table): 'col TYPE, ...' in Spark SQL type syntax, overriding the
-        generic JDBC inference with the §1.3 matrix types."""
+        table): '`col` TYPE, ...' in Spark SQL type syntax, overriding
+        the generic JDBC inference with the §1.3 matrix types. Names are
+        the RAW source spellings, backtick-quoted (escaped by doubling):
+        Spark's getCustomSchema silently drops entries whose name
+        matches no result column, so a sanitized/unquoted spelling would
+        defeat the override for any column needing quoting."""
         if table not in self._schema_cache:
             self._schema_cache[table] = self.discover_schema(spark, table)
         schema = self._schema_cache[table]
         if schema is None:
             return None
         return ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+            "`{}` {}".format(f.name.replace("`", "``"), f.dataType.simpleString())
+            for f in schema.fields
         )
 
     def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
@@ -405,10 +410,17 @@ class JdbcSource(Source):
         the result feeds ``customSchema`` so a pg read round-trips the
         full SURVEY §1.3 matrix. PK columns (getPrimaryKeys) come back
         non-nullable, mirroring the reference's Nullable(...) exclusion
-        (clickhouse_backend.py:145-147)."""
+        (clickhouse_backend.py:145-147). Field names are the SOURCE
+        names verbatim (this schema describes the source relation;
+        sink-side sanitization happens at write). Like
+        discover_primary_key, rows are grouped per (catalog, schema):
+        a null schema filter matches same-named tables in EVERY schema,
+        and merging their columns would fabricate a bogus hybrid
+        StructType — ambiguity returns None (safe fallback to generic
+        inference)."""
         from pyspark.sql import types as T
 
-        from ..typemap import jdbc_type_to_spark, sanitize_column_name
+        from ..typemap import jdbc_type_to_spark
 
         pks = {c.lower() for c in self.discover_primary_key(spark, table)}
         conn = self._jvm_connection(spark)
@@ -416,13 +428,14 @@ class JdbcSource(Source):
             meta = conn.getMetaData()
             for cand in self._table_case_candidates(table):
                 rs = meta.getColumns(None, None, cand, None)
-                cols: list[tuple[int, T.StructField]] = []
+                per_table: dict[tuple, list[tuple[int, T.StructField]]] = {}
                 while rs.next():
+                    key = (rs.getString("TABLE_CAT"), rs.getString("TABLE_SCHEM"))
                     name = rs.getString("COLUMN_NAME")
-                    cols.append((
+                    per_table.setdefault(key, []).append((
                         int(rs.getInt("ORDINAL_POSITION")),
                         T.StructField(
-                            sanitize_column_name(name),
+                            name,
                             jdbc_type_to_spark(
                                 rs.getString("TYPE_NAME"),
                                 int(rs.getInt("DATA_TYPE")),
@@ -432,8 +445,13 @@ class JdbcSource(Source):
                         ),
                     ))
                 rs.close()
-                if cols:
-                    return T.StructType([f for _, f in sorted(cols, key=lambda x: x[0])])
+                if len(per_table) > 1:
+                    return None  # ambiguous across schemas → safe fallback
+                if per_table:
+                    (cols,) = per_table.values()
+                    return T.StructType(
+                        [f for _, f in sorted(cols, key=lambda x: x[0])]
+                    )
             return None
         finally:
             conn.close()

@@ -25,12 +25,28 @@ _RULES: list[tuple[str, T.DataType]] = [
     ("smallint", T.ShortType()),
     ("serial", T.IntegerType()),
     ("integer", T.IntegerType()),
-    # BEFORE the "int" prefix rule: "interval" startswith "int" and
-    # would silently map to bigint; no Spark external type carries a
-    # Postgres interval, so degrade to string (the reference backends
-    # degrade unknown types to text the same way)
+    # BEFORE the "int" prefix rule: "interval", the range types, and the
+    # catalog vector types all start with "int" and would silently map
+    # to bigint — a fidelity read would then call getLong on a composite
+    # value and fail at runtime. No Spark external type carries them, so
+    # degrade to string (the reference backends degrade unknown types to
+    # text the same way).
     ("interval", T.StringType()),
+    ("int4range", T.StringType()),
+    ("int8range", T.StringType()),
+    ("int4multirange", T.StringType()),
+    ("int8multirange", T.StringType()),
+    ("int2vector", T.StringType()),
     ("int", T.LongType()),
+    # non-int-prefixed range types, same degradation
+    ("numrange", T.StringType()),
+    ("nummultirange", T.StringType()),
+    ("tsrange", T.StringType()),
+    ("tstzrange", T.StringType()),
+    ("tsmultirange", T.StringType()),
+    ("tstzmultirange", T.StringType()),
+    ("daterange", T.StringType()),
+    ("datemultirange", T.StringType()),
     ("numeric", T.DecimalType(38, 18)),
     ("decimal", T.DecimalType(38, 18)),
     ("double", T.DoubleType()),

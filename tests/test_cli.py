@@ -497,3 +497,20 @@ def test_queries_sample_out_artifact(spark, tmp_path, capsys):
         }, name
         assert row["rows_match"] and row["schema_match"] and row["hash_match"]
         assert row["err"] is None
+
+
+def test_backend_clickhouse_snowflake_refuse_with_publish_recipe(
+    spark, config_file, capsys
+):
+    """No live ClickHouse/Snowflake loader exists in this build: forcing
+    them as the sync warehouse must FAIL LOUDLY with the publish recipe,
+    never silently write the parquet lake while the user believes the
+    warehouse was loaded."""
+    for backend in ("clickhouse", "snowflake"):
+        rc = main(
+            ["sync", "nation", "--config", config_file, "--backend", backend],
+            spark=spark,
+        )
+        err = capsys.readouterr().err
+        assert rc == 1
+        assert "publish" in err and backend in err

@@ -105,6 +105,8 @@ def pg_shim(monkeypatch):
             "TYPE_NAME": type_name,
             "DATA_TYPE": code,
             "ORDINAL_POSITION": i + 1,
+            "TABLE_CAT": None,
+            "TABLE_SCHEM": "public",
         }
         for i, (col, type_name, code, _, _) in enumerate(MATRIX)
     ]
@@ -186,11 +188,11 @@ def test_custom_schema_ddl_from_shim(pg_shim):
     assert ddl is not None
     # type spellings contain commas (decimal(38,18)) — assert by
     # substring, count columns from the cached schema
-    assert "id bigint" in ddl
-    assert "amount decimal(38,18)" in ddl
-    assert "tags array<string>" in ddl
-    assert "day date" in ddl
-    assert "uid string" in ddl
+    assert "`id` bigint" in ddl
+    assert "`amount` decimal(38,18)" in ddl
+    assert "`tags` array<string>" in ddl
+    assert "`day` date" in ddl
+    assert "`uid` string" in ddl
     assert len(pg_shim._schema_cache["parks"]) == len(MATRIX)
     # cache: second call must not re-probe (shim would still answer,
     # so assert identity through the cache dict)
@@ -198,3 +200,64 @@ def test_custom_schema_ddl_from_shim(pg_shim):
     assert pg_shim.custom_schema_ddl(None, "parks") == ddl
     # unknown table -> None, not a crash
     assert pg_shim.custom_schema_ddl(None, "nope") is None
+
+
+def test_pg_range_and_vector_types_degrade_to_string():
+    """int-prefixed composite typnames must NOT fall into the bigint
+    rule: a fidelity read would call getLong on 'int4range' values and
+    crash at runtime. Every range/multirange/vector spelling degrades to
+    string, like the reference's unknown-type fallback."""
+    for name in (
+        "int4range", "int8range", "numrange", "tsrange", "tstzrange",
+        "daterange", "int4multirange", "int8multirange", "nummultirange",
+        "tsmultirange", "tstzmultirange", "datemultirange", "int2vector",
+    ):
+        assert jdbc_type_to_spark(name, OTHER) == T.StringType(), name
+    # ...while the genuine int types still map to ints
+    assert jdbc_type_to_spark("int4", INTEGER) == T.IntegerType()
+    assert jdbc_type_to_spark("int8", BIGINT) == T.LongType()
+    # and daterange must not be captured by the 'date' prefix rule
+    assert jdbc_type_to_spark("daterange", OTHER) != T.DateType()
+
+
+def test_discover_schema_ambiguous_across_schemas_returns_none(monkeypatch):
+    """public.events and audit.events both match a null schema filter;
+    merging their columns would fabricate a hybrid StructType — the
+    probe must return None (generic inference fallback), mirroring
+    discover_primary_key's guard."""
+    columns = [
+        {"COLUMN_NAME": "id", "TYPE_NAME": "int8", "DATA_TYPE": BIGINT,
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public"},
+        {"COLUMN_NAME": "who", "TYPE_NAME": "text", "DATA_TYPE": VARCHAR,
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "audit"},
+    ]
+    meta = _Meta(columns, [])
+    monkeypatch.setattr(
+        JdbcSource, "_jvm_connection", lambda self, spark: _Conn(meta)
+    )
+    src = JdbcSource("jdbc:postgresql://shim/db")
+    assert src.discover_schema(None, "parks") is None
+    assert src.custom_schema_ddl(None, "parks") is None
+
+
+def test_custom_schema_ddl_quotes_raw_names(monkeypatch):
+    """customSchema entries that don't match a result column are
+    SILENTLY dropped by Spark, so the DDL must carry the raw source
+    spelling, backtick-quoted (backticks escaped by doubling)."""
+    columns = [
+        {"COLUMN_NAME": "my col", "TYPE_NAME": "text", "DATA_TYPE": VARCHAR,
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public"},
+        {"COLUMN_NAME": "weird`name", "TYPE_NAME": "int4",
+         "DATA_TYPE": INTEGER, "ORDINAL_POSITION": 2, "TABLE_CAT": None,
+         "TABLE_SCHEM": "public"},
+    ]
+    meta = _Meta(columns, [])
+    monkeypatch.setattr(
+        JdbcSource, "_jvm_connection", lambda self, spark: _Conn(meta)
+    )
+    src = JdbcSource("jdbc:postgresql://shim/db")
+    schema = src.discover_schema(None, "parks")
+    assert [f.name for f in schema.fields] == ["my col", "weird`name"]
+    ddl = src.custom_schema_ddl(None, "parks")
+    assert "`my col` string" in ddl
+    assert "`weird``name` int" in ddl
