@@ -296,6 +296,11 @@ def _ensure_sf1(spark, base_dir: str, copies: int = 10) -> str | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # The sf1 heavy section (graph/dedup at 10x on local[32]) runs close
+    # to the session default 8g heap — round-5 soak runs saw intermittent
+    # executor OOMs kill the whole bench under concurrent load. The bench
+    # JVM gets a roomier heap unless the caller pinned one explicitly.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(app_name="pgwarehouse_spark_bench")
 
     specs = all_queries()

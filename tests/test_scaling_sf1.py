@@ -70,7 +70,10 @@ _OUTPUT_NORMALIZED_BUDGETS = {
 
 def _run_bench(queries: list[str], out_path: str, runs: int = 2) -> dict:
     """One fresh-JVM bench subprocess over `queries` (base + matching
-    sf1 section); returns the full payload."""
+    sf1 section); returns the full payload. Full subprocess stdout and
+    stderr are persisted next to `out_path` so a failed run is
+    diagnosable (pytest's assert truncates the middle of long blobs —
+    exactly where the JVM's root exception lives)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=_BASE,
@@ -79,6 +82,11 @@ def _run_bench(queries: list[str], out_path: str, runs: int = 2) -> dict:
         SPARK_GRAFT_BENCH_FULL_PATH=out_path,
         SPARK_GRAFT_SF1="1",
     )
+    # The sf1 heavy section (graph/dedup at 10x on local[32]) runs close
+    # to the 8g default heap: intermittent executor OOMs killed ~1 in 4
+    # gate subprocesses in round-5 soak runs. The measurement JVM gets a
+    # roomier heap unless the caller pinned one explicitly.
+    env.setdefault("SPARK_DRIVER_MEMORY", "16g")
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py")],
         env=env,
@@ -87,7 +95,13 @@ def _run_bench(queries: list[str], out_path: str, runs: int = 2) -> dict:
         timeout=3000,
         cwd=_REPO,
     )
-    assert proc.returncode == 0, f"bench subprocess failed: {proc.stderr[-2000:]}"
+    for suffix, blob in (("stdout", proc.stdout), ("stderr", proc.stderr)):
+        with open(f"{out_path}.{suffix}", "w") as f:
+            f.write(blob)
+    assert proc.returncode == 0, (
+        f"bench subprocess failed (full logs: {out_path}.stdout/.stderr): "
+        f"{proc.stderr[-2000:]}"
+    )
     with open(out_path) as f:
         return json.load(f)
 
