@@ -21,6 +21,7 @@ else PK append; tables with no PK are reload-only (README.md:175-177).
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 
@@ -31,6 +32,8 @@ from ..catalog import Config, TableSpec
 from .merge import BUCKET_COL, bucket_expr, merge_into_bucketed, write_bucketed
 
 DEFAULT_BUCKETS = 16
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -222,6 +225,35 @@ class BinaryFileSource(Source):
         return os.path.isdir(self._dir(table))
 
 
+def quote_source_ident(name: str, url: str = "") -> str:
+    """Quote a (possibly schema-qualified) SOURCE identifier for
+    interpolation into a pushed-down JDBC query. Mixed-case,
+    space-bearing, or reserved-word table names (the reference's
+    `local_parks` fixture exercises this class, pg_setup.sql) break an
+    unquoted `SELECT * FROM {table}`; plain lower/upper-case names stay
+    unquoted so backend case-folding keeps working. MySQL-family URLs
+    get backticks; everything else ANSI double quotes. Already-quoted
+    spellings pass through verbatim."""
+    import re as _re
+
+    from .dialects import GENERIC_RESERVED
+
+    q = "`" if _re.match(r"jdbc:(mysql|mariadb):", url or "") else '"'
+    parts = name.split(".") if not name.startswith(q) else [name]
+    out = []
+    for part in parts:
+        if part.startswith(q) and part.endswith(q) and len(part) >= 2:
+            out.append(part)  # caller already quoted
+        elif (
+            _re.fullmatch(r"[a-z_][a-z0-9_]*", part)
+            or _re.fullmatch(r"[A-Z_][A-Z0-9_]*", part)
+        ) and part.lower() not in GENERIC_RESERVED:
+            out.append(part)  # safe: let the backend case-fold
+        else:
+            out.append(q + part.replace(q, q + q) + q)
+    return ".".join(out)
+
+
 class JdbcSource(Source):
     r"""Partitioned-parallel JDBC extract (reference A1, rebuilt as
     `spark.read.jdbc` with partitionColumn bounds so N executors each
@@ -279,7 +311,7 @@ class JdbcSource(Source):
             opts["password"] = self.password
         pcol = self.partition_columns.get(table)
         bounds = self.partition_bounds.get(table)
-        query = f"SELECT * FROM {table}"
+        query = f"SELECT * FROM {quote_source_ident(table, self.url)}"
         if where:
             query += f" WHERE {where}"
         if pcol and bounds:
@@ -302,7 +334,11 @@ class JdbcSource(Source):
             return None
         probe = {
             "url": self.url,
-            "query": f"SELECT MIN({pcol}) AS lo, MAX({pcol}) AS hi FROM {table}",
+            "query": (
+                f"SELECT MIN({quote_source_ident(pcol, self.url)}) AS lo, "
+                f"MAX({quote_source_ident(pcol, self.url)}) AS hi "
+                f"FROM {quote_source_ident(table, self.url)}"
+            ),
         }
         if self.driver:
             probe["driver"] = self.driver
@@ -327,7 +363,19 @@ class JdbcSource(Source):
         matches no result column, so a sanitized/unquoted spelling would
         defeat the override for any column needing quoting."""
         if table not in self._schema_cache:
-            self._schema_cache[table] = self.discover_schema(spark, table)
+            # A metadata error (driver quirk, getColumns permission) must
+            # not fail a read that generic inference would serve fine —
+            # type fidelity degrades gracefully, it never blocks.
+            try:
+                self._schema_cache[table] = self.discover_schema(spark, table)
+            except Exception as exc:  # noqa: BLE001 — any metadata failure
+                log.warning(
+                    "type-fidelity metadata discovery failed for %s "
+                    "(falling back to generic JDBC inference): %s",
+                    table,
+                    exc,
+                )
+                self._schema_cache[table] = None
         schema = self._schema_cache[table]
         if schema is None:
             return None
@@ -440,6 +488,9 @@ class JdbcSource(Source):
                                 rs.getString("TYPE_NAME"),
                                 int(rs.getInt("DATA_TYPE")),
                                 compat=compat,
+                                # declared numeric(p,s) — see typemap
+                                precision=int(rs.getInt("COLUMN_SIZE")),
+                                scale=int(rs.getInt("DECIMAL_DIGITS")),
                             ),
                             nullable=name.lower() not in pks,
                         ),
@@ -519,6 +570,19 @@ def make_source(conf: dict) -> Source:
             partition_columns=conf.get("partition_columns"),
             driver=conf.get("driver"),
             type_fidelity=bool(conf.get("pg_type_fidelity", False)),
+        )
+    if kind in ("psql", "postgres"):
+        # the reference's literal topology: psql \copy subprocess extract
+        from .psql import PsqlCopySource
+
+        return PsqlCopySource(
+            conf.get("staging_dir") or conf.get("data_dir") or ".pgw_staging",
+            host=conf.get("host") or os.environ.get("PGHOST"),
+            port=conf.get("port") or os.environ.get("PGPORT"),
+            user=conf.get("user") or os.environ.get("PGUSER"),
+            dbname=conf.get("dbname") or os.environ.get("PGDATABASE"),
+            password=conf.get("password"),
+            pgschema=conf.get("pgschema", "public"),
         )
     raise ValueError(f"unknown source type: {kind}")
 

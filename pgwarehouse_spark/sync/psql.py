@@ -1,0 +1,390 @@
+r"""The reference's LITERAL Postgres topology: ``psql`` subprocess
+extract → gzip-chunked CSV staging → Spark read (reference operators
+A1/A2/A4/A5, rebuilt against a real server).
+
+The reference never speaks a wire protocol itself — it shells out to
+``psql``:
+
+- schema scrape: ``psql --pset=format=unaligned -c "\d schema.table"``
+  saved to a ``<table>.schema`` file (pgwarehouse.py:248-252), parsed
+  by pipe-splitting the column rows and regexing the PK out of the
+  ``Indexes:`` section (pgwarehouse.py:306-335);
+- extract: ``psql -c "\copy (select * from schema.table <filter>) to
+  STDOUT CSV HEADER"`` streamed line-by-line into gzip chunk files
+  ``<data_dir>/<table>_data/<table>{i}0.csv.gz``, rotating at a byte
+  budget with the header re-emitted per chunk (pgwarehouse.py:254-304);
+- catalog: ``information_schema.tables`` listing (pgwarehouse.py:242-246)
+  and existence probe (pgwarehouse.py:337-341).
+
+``PsqlCopySource`` reproduces that dataflow as a :class:`Source`, so the
+unchanged ``SyncEngine`` runs the reference's three test scenarios
+(tests/test_postgres.py:101-187) against a live server. The incremental
+``where`` predicate is embedded in the ``\copy (select …)`` — the
+reference's A12 pushdown, executed by Postgres before bytes move.
+
+Scale contract: the psql pipe is a single cursor — exactly the
+reference's bottleneck ("tens of GB per hour", README.md:19) and the
+supported fast path out of an OLTP primary that must not run N parallel
+scans. The *chunked* staging is what keeps Spark distributed downstream:
+each gzip chunk is one input split, so a 100-chunk extract fans out to
+100 tasks the moment it lands. For sources that tolerate parallel
+cursors, ``JdbcSource`` (partitioned range reads) is the scale path;
+this class is reference-parity for the psql-only topology.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import logging
+import os
+import re
+import shutil
+import subprocess
+from collections import OrderedDict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..typemap import pg_type_to_spark
+from .engine import Source
+
+log = logging.getLogger(__name__)
+
+# reference: 1 GiB rotation budget (pgwarehouse.py:263). Smaller default
+# here: more chunks = more parallel Spark input splits per staged table.
+DEFAULT_CHUNK_BYTES = 256 * 1024**2
+
+_PK_RE = re.compile(r"PRIMARY KEY.*\((.*)\)")
+_TABLE_RE = re.compile(r'able "(\w+)\.(\w+)')
+
+
+def parse_schema_text(text: str, table: str | None = None) -> dict:
+    """Parse unaligned ``\\d`` output into
+    ``{'columns': OrderedDict[name → pg_type], 'primary_key_cols': [...]}``
+    — the semantics of the reference's ``parse_schema_file``
+    (pgwarehouse.py:306-335): column rows are pipe-split between the
+    ``Column|…`` header and the ``Indexes:`` section; the PK is the
+    parenthesized list on the first ``PRIMARY KEY`` index line, with
+    per-column quotes stripped. A wrong-table header logs a warning
+    (reference prints, :314-319)."""
+    columns: OrderedDict[str, str] = OrderedDict()
+    pk_cols: list[str] = []
+    section = None  # None | 'columns' | 'indexes'
+    for line in text.splitlines():
+        m = _TABLE_RE.search(line)
+        if m and table and m.group(2) != table:
+            log.warning(
+                "schema text references table %s, expected %s",
+                m.group(2), table,
+            )
+        if line.startswith("Column|"):
+            section = "columns"
+            continue
+        if line.startswith("Indexes:"):
+            section = "indexes"
+            continue
+        if section == "columns" and line.count("|") >= 4:
+            name, pg_type = line.split("|")[:2]
+            columns[name] = pg_type
+        elif section == "indexes" and not pk_cols:
+            m = _PK_RE.search(line)
+            if m:
+                pk_cols = [
+                    c.strip().strip('"') for c in m.group(1).split(",")
+                ]
+    return {"columns": columns, "primary_key_cols": pk_cols}
+
+
+def _csv_read_type(pg_type: str) -> T.DataType:
+    """The type Spark's CSV reader can PARSE for a pg column. Arrays
+    arrive as ``{a,b}`` literals and booleans as ``t``/``f`` — neither
+    is CSV-parseable as its Spark type, so both stage as string and are
+    repaired by :func:`_cast_on_load` (cast-on-load projection, A9)."""
+    dt = pg_type_to_spark(pg_type)
+    if isinstance(dt, (T.ArrayType, T.BooleanType)):
+        return T.StringType()
+    return dt
+
+
+def _pg_array_column(name: str, elem: T.DataType) -> Column:
+    """``{a,"b c",NULL}`` text → ArrayType(elem). Elements are split on
+    top-level commas and unquoted; the literal ``NULL`` token becomes a
+    null element. Limitation (documented): elements containing embedded
+    commas inside quotes would mis-split — the reference degrades ALL
+    arrays to plain strings (README.md:252-254), so any parsed array is
+    strictly more faithful than its behavior."""
+    col = F.col(name)
+    inner = F.nullif(
+        F.expr(f"substring(`{name}`, 2, length(`{name}`) - 2)"), F.lit("")
+    )
+    parts = F.split(inner, ",")
+    cleaned = F.transform(
+        parts,
+        lambda x: F.when(x == "NULL", F.lit(None).cast(elem)).otherwise(
+            F.regexp_replace(x, '^"|"$', "").cast(elem)
+        ),
+    )
+    return F.when(col.isNull(), F.lit(None)).otherwise(cleaned).alias(name)
+
+
+def _cast_on_load(df: DataFrame, columns: "OrderedDict[str, str]") -> DataFrame:
+    """Repair the CSV-staged string columns to their true Spark types:
+    pg bool ``t``/``f`` → boolean, ``{…}`` array literals → ArrayType.
+    Everything else was already parsed by the CSV reader's schema."""
+    out: list[Column] = []
+    for name, pg_type in columns.items():
+        dt = pg_type_to_spark(pg_type)
+        if isinstance(dt, T.BooleanType):
+            out.append(
+                F.when(F.col(name) == "t", F.lit(True))
+                .when(F.col(name) == "f", F.lit(False))
+                .otherwise(F.col(name).cast("boolean"))
+                .alias(name)
+            )
+        elif isinstance(dt, T.ArrayType):
+            out.append(_pg_array_column(name, dt.elementType))
+        else:
+            out.append(F.col(name))
+    return df.select(*out)
+
+
+class PsqlCopySource(Source):
+    """Live-Postgres source speaking the reference's exact dialect: a
+    ``psql`` child process per metadata probe and per extract. Connection
+    is host/port/user/dbname (host may be a unix-socket directory —
+    the ephemeral-server tests use one); password rides ``PGPASSWORD``
+    like the reference's env-driven config (pgwarehouse.py:200-210)."""
+
+    def __init__(
+        self,
+        staging_dir: str,
+        host: str | None = None,
+        port: int | None = None,
+        user: str | None = None,
+        dbname: str | None = None,
+        password: str | None = None,
+        pgschema: str = "public",
+        chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+        psql: str = "psql",
+    ):
+        self.staging_dir = staging_dir
+        self.host, self.port = host, port
+        self.user, self.dbname = user, dbname
+        self.password = password
+        self.pgschema = pgschema
+        self.chunk_bytes = chunk_bytes
+        self.psql = psql
+        self._schemas: dict[str, dict] = {}
+
+    # -- psql plumbing ---------------------------------------------------
+    def _argv(self, *extra: str) -> list[str]:
+        argv = [self.psql, "--no-psqlrc", "--quiet"]
+        if self.host:
+            argv += ["-h", self.host]
+        if self.port:
+            argv += ["-p", str(self.port)]
+        if self.user:
+            argv += ["-U", self.user]
+        if self.dbname:
+            argv += ["-d", self.dbname]
+        return argv + list(extra)
+
+    def _env(self) -> dict:
+        env = dict(os.environ)
+        if self.password is not None:
+            env["PGPASSWORD"] = self.password
+        return env
+
+    def _run(self, *extra: str) -> str:
+        proc = subprocess.run(
+            self._argv(*extra),
+            env=self._env(),
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"psql failed ({' '.join(extra)}): {proc.stderr.strip()}"
+            )
+        return proc.stdout
+
+    def sql_rows(self, sql: str) -> list[str]:
+        """Tuple-only unaligned query output, one line per row."""
+        out = self._run("--tuples-only", "--pset=format=unaligned", "-c", sql)
+        return [ln for ln in out.splitlines() if ln.strip()]
+
+    # -- schema scrape (A4/A5) --------------------------------------------
+    def dump_schema(self, table: str, schema_file: str | None = None) -> str:
+        r"""``\d`` scrape (pgwarehouse.py:248-252); optionally persists
+        the raw text next to the staging data like the reference's
+        ``<table>.schema`` file."""
+        text = self._run(
+            "--pset=format=unaligned", "-c", f"\\d {self.pgschema}.{table}"
+        )
+        if schema_file:
+            with open(schema_file, "w") as f:
+                f.write(text)
+        return text
+
+    def schema_info(self, table: str, refresh: bool = False) -> dict:
+        if refresh or table not in self._schemas:
+            os.makedirs(self.staging_dir, exist_ok=True)
+            text = self.dump_schema(
+                table, os.path.join(self.staging_dir, f"{table}.schema")
+            )
+            self._schemas[table] = parse_schema_text(text, table)
+        return self._schemas[table]
+
+    def spark_schema(self, table: str) -> T.StructType:
+        """Source-truth StructType (raw names, §1.3 types); PK columns
+        non-nullable like the JDBC discovery path."""
+        info = self.schema_info(table)
+        pks = set(info["primary_key_cols"])
+        return T.StructType(
+            [
+                T.StructField(
+                    name, pg_type_to_spark(pg_type), nullable=name not in pks
+                )
+                for name, pg_type in info["columns"].items()
+            ]
+        )
+
+    # -- extract (A1/A2/A3/A12) --------------------------------------------
+    def _staging(self, table: str) -> str:
+        return os.path.join(self.staging_dir, f"{table}_data")
+
+    def extract_to_staging(
+        self,
+        table: str,
+        where: str | None = None,
+        max_records: int | None = None,
+    ) -> tuple[int, int]:
+        r"""Stream ``\copy (select …) to STDOUT CSV HEADER`` into gzip
+        chunks, rotating at ``chunk_bytes`` with the header repeated per
+        chunk so every chunk is independently schema-complete (the
+        property that lets Spark assign one task per chunk). Returns
+        ``(chunk_count, data_row_count)`` — the reference's
+        ``[file count, line count]`` contract (pgwarehouse.py:255,303).
+        ``where`` lands inside the SELECT: Postgres filters before any
+        byte crosses the pipe (A12). ``max_records`` is the A3 guard."""
+        self.schema_info(table, refresh=True)  # reference re-scrapes per extract
+        out_dir = self._staging(table)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+
+        select = f"select * from {self.pgschema}.{table}"
+        if where:
+            select += f" where {where}"
+        copy_cmd = f"\\copy ({select}) to STDOUT CSV HEADER"
+
+        proc = subprocess.Popen(
+            self._argv("-c", copy_cmd),
+            env=self._env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        header: bytes | None = None
+        chunk_idx, written, rows = 0, 0, 0
+        writer = None
+        try:
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                if header is None:
+                    header = line
+                    continue  # header is re-emitted lazily per chunk
+                if writer is None or written >= self.chunk_bytes:
+                    if writer is not None:
+                        writer.close()
+                    chunk_idx += 1
+                    writer = gzip.open(
+                        os.path.join(
+                            out_dir, f"{table}{chunk_idx}0.csv.gz"
+                        ),
+                        "wb",
+                    )
+                    writer.write(header)
+                    written = 0
+                writer.write(line)
+                written += len(line)
+                rows += 1
+                if max_records is not None and rows >= max_records:
+                    log.warning("max_records=%s reached for %s", max_records, table)
+                    proc.terminate()
+                    break
+        finally:
+            if writer is not None:
+                writer.close()
+            if proc.stdout:
+                proc.stdout.close()
+            proc.wait()
+        if proc.returncode not in (0, -15):  # -15: our own max_records terminate
+            err = proc.stderr.read().decode() if proc.stderr else ""
+            raise RuntimeError(f"psql \\copy failed for {table}: {err.strip()}")
+        if chunk_idx == 0 and header is not None:
+            # zero-row extract still stages one header-only chunk so the
+            # downstream read yields an empty frame with the right schema
+            with gzip.open(
+                os.path.join(out_dir, f"{table}10.csv.gz"), "wb"
+            ) as f:
+                f.write(header)
+            chunk_idx = 1
+        return chunk_idx, rows
+
+    # -- Source interface ---------------------------------------------------
+    def read(self, spark: SparkSession, table: str, where: str | None = None) -> DataFrame:
+        self.extract_to_staging(table, where=where)
+        info = self.schema_info(table)
+        read_schema = T.StructType(
+            [
+                T.StructField(name, _csv_read_type(pg), nullable=True)
+                for name, pg in info["columns"].items()
+            ]
+        )
+        df = (
+            spark.read.option("header", "true")
+            # pg CSV quoting is RFC4180 (doubled quotes), not backslash
+            .option("escape", '"')
+            .schema(read_schema)
+            .csv(self._staging(table))
+        )
+        return _cast_on_load(df, info["columns"])
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        rows = self.sql_rows(
+            "select 1 from information_schema.tables where "
+            f"table_schema='{self.pgschema}' and table_name='{table}'"
+        )
+        return bool(rows)
+
+    def list_tables(self) -> list[str]:
+        """reference ``all_table_names`` (pgwarehouse.py:242-246)."""
+        return sorted(
+            self.sql_rows(
+                "select table_name from information_schema.tables "
+                f"where table_schema='{self.pgschema}'"
+            )
+        )
+
+    def discover_primary_key(self, spark: SparkSession, table: str) -> list[str]:
+        return list(self.schema_info(table)["primary_key_cols"])
+
+    # conventional change-tracking names, same list as JdbcSource
+    WATERMARK_NAMES = (
+        "last_modified", "last_updated", "updated_at",
+        "modified_at", "updated_ts", "modified_ts",
+    )
+
+    def discover_watermark(self, spark: SparkSession, table: str) -> str | None:
+        cols = self.schema_info(table)["columns"]
+        temporal = {
+            n.lower(): n
+            for n, t in cols.items()
+            if t.startswith("timestamp") or t == "date"
+        }
+        for wm in self.WATERMARK_NAMES:
+            if wm in temporal:
+                return temporal[wm]
+        return None

@@ -78,6 +78,16 @@ _COMPAT_OVERRIDES: dict[str, T.DataType] = {
 }
 
 
+def _declared_decimal(precision: int, scale: int) -> T.DecimalType | None:
+    """DecimalType for a DECLARED numeric(p,s), or None when the
+    declaration can't be honored by Spark: p must be 1..38, s in 0..p
+    (pg allows negative scale and p>38; those fall back to the
+    unconstrained default rather than producing an invalid type)."""
+    if 1 <= precision <= 38 and 0 <= scale <= precision:
+        return T.DecimalType(precision, scale)
+    return None
+
+
 def pg_type_to_spark(pg_type: str, compat: bool = False) -> T.DataType:
     """Translate a Postgres type name (as printed by `\\d`) to a Spark type.
 
@@ -91,6 +101,15 @@ def pg_type_to_spark(pg_type: str, compat: bool = False) -> T.DataType:
         return T.ArrayType(pg_type_to_spark(s[:-2], compat=compat))
     if s.endswith("_enum") or s.startswith("enum"):
         return T.StringType()
+    # A declared numeric(p,s) keeps its exact precision/scale (the
+    # fallback Decimal(38,18) is only for UNCONSTRAINED numeric; forcing
+    # it on numeric(24,20) would truncate fractional digits).
+    if not compat:
+        m = re.match(r"(?:numeric|decimal)\s*\((\d+)(?:\s*,\s*(-?\d+))?\)$", s)
+        if m:
+            dt = _declared_decimal(int(m.group(1)), int(m.group(2) or 0))
+            if dt is not None:
+                return dt
     # strip modifiers: "character varying(255)" → "character varying"
     s = re.sub(r"\(.*\)", "", s).strip()
     if compat:
@@ -165,7 +184,11 @@ def pg_jdbc_type_name_to_pg(type_name: str) -> str:
 
 
 def jdbc_type_to_spark(
-    type_name: str, jdbc_code: int | None = None, compat: bool = False
+    type_name: str,
+    jdbc_code: int | None = None,
+    compat: bool = False,
+    precision: int | None = None,
+    scale: int | None = None,
 ) -> T.DataType:
     """Translate a JDBC ``DatabaseMetaData.getColumns`` row to a Spark
     type. ``TYPE_NAME`` (normalized from pg internal spellings) drives
@@ -173,8 +196,16 @@ def jdbc_type_to_spark(
     (uuid, enums, arrays → java.sql.Types.OTHER/ARRAY) resolve exactly
     like the reference's `\\d`-scrape path (SURVEY §1.3). ``jdbc_code``
     2003 (ARRAY) forces array treatment when a driver reports a bare
-    element name for an array column."""
+    element name for an array column. For NUMERIC/DECIMAL codes (2, 3),
+    ``precision``/``scale`` (COLUMN_SIZE/DECIMAL_DIGITS) carry the
+    DECLARED numeric(p,s): honoring them beats the Decimal(38,18)
+    fallback, which truncates scale>18 and overflows >20 integer
+    digits. Unconstrained pg numeric reports precision 0 → fallback."""
     name = pg_jdbc_type_name_to_pg(type_name)
     if jdbc_code == 2003 and not name.endswith("[]"):  # java.sql.Types.ARRAY
         name += "[]"
+    if not compat and jdbc_code in (2, 3) and precision:
+        dt = _declared_decimal(precision, scale or 0)
+        if dt is not None:
+            return dt
     return pg_type_to_spark(name, compat=compat)

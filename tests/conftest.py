@@ -14,7 +14,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # agg_approx_distinct — were exactly the class that passes at one sf and
 # fails at another). Everything else stays at sf0.001 for suite speed.
 SF_DIR_ORACLE = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    "SPARK_GRAFT_ORACLE_SF_DIR",
+    # fall back to SF_DIR on machines without the driver's sf0.01 data
+    # so the oracle suite still runs (at the available scale) there
+    "/root/testdata/sf0.01" if os.path.isdir("/root/testdata/sf0.01") else SF_DIR,
 )
 
 

@@ -331,3 +331,67 @@ def test_discover_schema_live_derby_and_fidelity_read(spark, derby_pk):
         df.agg({"v": "max"}).collect()[0][0]
         == plain.agg({"v": "max"}).collect()[0][0]
     )
+
+
+# ---- identifier quoting (VERDICT r5 item 6) ----
+
+
+def test_quote_source_ident_rules():
+    from pgwarehouse_spark.sync.engine import quote_source_ident as qi
+
+    # plain lower/upper identifiers stay unquoted (backend case-folding)
+    assert qi("users") == "users"
+    assert qi("ORDERS") == "ORDERS"
+    assert qi("public.users") == "public.users"
+    # reserved words, mixed case, and spaces get quoted
+    assert qi("order") == '"order"'
+    assert qi("local Parks") == '"local Parks"'
+    assert qi("MyTable") == '"MyTable"'
+    assert qi("public.Select") == 'public."Select"'
+    # embedded quote chars are escaped by doubling
+    assert qi('we"ird') == '"we""ird"'
+    # MySQL-family URLs use backticks
+    assert qi("order", "jdbc:mysql://db/x") == "`order`"
+    assert qi("My Table", "jdbc:mariadb://db/x") == "`My Table`"
+    # already-quoted spellings pass through
+    assert qi('"Exact.Name"') == '"Exact.Name"'
+    assert qi('myschema."Quoted"') == 'myschema."Quoted"'
+
+
+def test_jdbc_options_quote_reserved_table():
+    src = _src()
+    opts = src.jdbc_options("order", where="id > 1")
+    assert opts["query"] == 'SELECT * FROM "order" WHERE id > 1'
+    # schema-qualified: each part judged independently
+    opts = src.jdbc_options("public.order")
+    assert opts["query"] == 'SELECT * FROM public."order"'
+
+
+def test_jdbc_live_reserved_word_table(spark, sf_dir, tmp_path):
+    """A table named with a SQL reserved word must read end-to-end: the
+    reference class is its quoted `"park state"` column handling
+    (pg_setup.sql); source TABLE identifiers get the same treatment."""
+    db = str(tmp_path / "resdb")
+    rows = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "ID long, AMOUNT double"
+    )
+    (
+        rows.write.format("jdbc")
+        .option("url", f"jdbc:derby:{db};create=true")
+        .option("dbtable", '"order"')  # Derby: ORDER is reserved
+        .option("driver", DERBY)
+        .save()
+    )
+    src = JdbcSource(f"jdbc:derby:{db}", driver=DERBY)
+    # Derby stores the quoted name verbatim (lowercase "order"); the
+    # quoted pushdown query must find it, unquoted would be a syntax error
+    df = src.read(spark, "order")
+    assert df.count() == 3
+    assert src.read(spark, "order", where="ID > 1").count() == 2
+    # min/max bounds probe also goes through the quoted spelling
+    src2 = JdbcSource(
+        f"jdbc:derby:{db}", driver=DERBY,
+        partition_columns={"order": "ID"}, num_partitions=2,
+    )
+    assert src2.read(spark, "order").count() == 3
+    assert src2.partition_bounds["order"] == (1, 3)

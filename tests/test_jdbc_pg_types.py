@@ -107,6 +107,9 @@ def pg_shim(monkeypatch):
             "ORDINAL_POSITION": i + 1,
             "TABLE_CAT": None,
             "TABLE_SCHEM": "public",
+            # unconstrained numeric reports 0/0 (JDBC getInt on NULL)
+            "COLUMN_SIZE": 0,
+            "DECIMAL_DIGITS": 0,
         }
         for i, (col, type_name, code, _, _) in enumerate(MATRIX)
     ]
@@ -202,6 +205,68 @@ def test_custom_schema_ddl_from_shim(pg_shim):
     assert pg_shim.custom_schema_ddl(None, "nope") is None
 
 
+def test_declared_numeric_precision_scale_honored(monkeypatch):
+    """numeric(p,s) keeps its DECLARED precision/scale through
+    COLUMN_SIZE/DECIMAL_DIGITS (ADVICE r5 medium): forcing 38,18 on a
+    numeric(24,20) column truncates fractional digits, and on a
+    numeric(38,0) with >20 integer digits overflows to null. The
+    fallback applies only to unconstrained numeric (reported 0/0)."""
+    columns = [
+        {"COLUMN_NAME": "price", "TYPE_NAME": "numeric", "DATA_TYPE": NUMERIC,
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 12, "DECIMAL_DIGITS": 4},
+        {"COLUMN_NAME": "micro", "TYPE_NAME": "numeric", "DATA_TYPE": NUMERIC,
+         "ORDINAL_POSITION": 2, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 24, "DECIMAL_DIGITS": 20},
+        {"COLUMN_NAME": "free", "TYPE_NAME": "numeric", "DATA_TYPE": NUMERIC,
+         "ORDINAL_POSITION": 3, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 0, "DECIMAL_DIGITS": 0},
+        # pg allows p>38 and negative scale; Spark can't — fall back
+        {"COLUMN_NAME": "huge", "TYPE_NAME": "numeric", "DATA_TYPE": NUMERIC,
+         "ORDINAL_POSITION": 4, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 60, "DECIMAL_DIGITS": 2},
+        {"COLUMN_NAME": "neg", "TYPE_NAME": "numeric", "DATA_TYPE": NUMERIC,
+         "ORDINAL_POSITION": 5, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 10, "DECIMAL_DIGITS": -3},
+    ]
+    meta = _Meta(columns, [])
+    monkeypatch.setattr(
+        JdbcSource, "_jvm_connection", lambda self, spark: _Conn(meta)
+    )
+    src = JdbcSource("jdbc:postgresql://shim/db")
+    schema = src.discover_schema(None, "parks")
+    assert schema["price"].dataType == T.DecimalType(12, 4)
+    assert schema["micro"].dataType == T.DecimalType(24, 20)
+    assert schema["free"].dataType == T.DecimalType(38, 18)
+    assert schema["huge"].dataType == T.DecimalType(38, 18)
+    assert schema["neg"].dataType == T.DecimalType(38, 18)
+    # compat mode still degrades every numeric to double (reference
+    # duckdb_backend.py:54-55 semantics)
+    compat = src.discover_schema(None, "parks", compat=True)
+    assert all(f.dataType == T.DoubleType() for f in compat.fields)
+
+
+def test_custom_schema_ddl_survives_metadata_errors(monkeypatch):
+    """A getColumns/getPrimaryKeys failure must degrade to generic
+    inference (return None), never propagate and fail a read that would
+    load fine without type fidelity (ADVICE r5 low)."""
+
+    class _BrokenConn:
+        def getMetaData(self):
+            raise RuntimeError("permission denied on getColumns")
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(
+        JdbcSource, "_jvm_connection", lambda self, spark: _BrokenConn()
+    )
+    src = JdbcSource("jdbc:postgresql://shim/db", type_fidelity=True)
+    assert src.custom_schema_ddl(None, "parks") is None
+    # cached: the broken probe is not retried per read
+    assert src._schema_cache["parks"] is None
+
+
 def test_pg_range_and_vector_types_degrade_to_string():
     """int-prefixed composite typnames must NOT fall into the bigint
     rule: a fidelity read would call getLong on 'int4range' values and
@@ -227,9 +292,11 @@ def test_discover_schema_ambiguous_across_schemas_returns_none(monkeypatch):
     discover_primary_key's guard."""
     columns = [
         {"COLUMN_NAME": "id", "TYPE_NAME": "int8", "DATA_TYPE": BIGINT,
-         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public"},
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 0, "DECIMAL_DIGITS": 0},
         {"COLUMN_NAME": "who", "TYPE_NAME": "text", "DATA_TYPE": VARCHAR,
-         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "audit"},
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "audit",
+         "COLUMN_SIZE": 0, "DECIMAL_DIGITS": 0},
     ]
     meta = _Meta(columns, [])
     monkeypatch.setattr(
@@ -246,10 +313,11 @@ def test_custom_schema_ddl_quotes_raw_names(monkeypatch):
     spelling, backtick-quoted (backticks escaped by doubling)."""
     columns = [
         {"COLUMN_NAME": "my col", "TYPE_NAME": "text", "DATA_TYPE": VARCHAR,
-         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public"},
+         "ORDINAL_POSITION": 1, "TABLE_CAT": None, "TABLE_SCHEM": "public",
+         "COLUMN_SIZE": 0, "DECIMAL_DIGITS": 0},
         {"COLUMN_NAME": "weird`name", "TYPE_NAME": "int4",
          "DATA_TYPE": INTEGER, "ORDINAL_POSITION": 2, "TABLE_CAT": None,
-         "TABLE_SCHEM": "public"},
+         "TABLE_SCHEM": "public", "COLUMN_SIZE": 0, "DECIMAL_DIGITS": 0},
     ]
     meta = _Meta(columns, [])
     monkeypatch.setattr(

@@ -87,14 +87,25 @@ def _run_bench(queries: list[str], out_path: str, runs: int = 2) -> dict:
     # gate subprocesses in round-5 soak runs. The measurement JVM gets a
     # roomier heap unless the caller pinned one explicitly.
     env.setdefault("SPARK_DRIVER_MEMORY", "16g")
-    proc = subprocess.run(
-        [sys.executable, os.path.join(_REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        cwd=_REPO,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3000,
+            cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # a hung subprocess must still leave its logs behind — they are
+        # the only diagnostic for where it stalled
+        for suffix, blob in (("stdout", exc.stdout), ("stderr", exc.stderr)):
+            with open(f"{out_path}.{suffix}", "wb") as f:
+                f.write(blob or b"")
+        pytest.fail(
+            f"bench subprocess timed out after {exc.timeout}s "
+            f"(partial logs: {out_path}.stdout/.stderr)"
+        )
     for suffix, blob in (("stdout", proc.stdout), ("stderr", proc.stderr)):
         with open(f"{out_path}.{suffix}", "w") as f:
             f.write(blob)

@@ -12,7 +12,8 @@ def test_scalar_mappings():
     assert pg_type_to_spark("bigint") == T.LongType()
     assert pg_type_to_spark("smallint") == T.ShortType()
     assert pg_type_to_spark("integer") == T.IntegerType()
-    assert pg_type_to_spark("numeric(10,2)") == T.DecimalType(38, 18)
+    assert pg_type_to_spark("numeric(10,2)") == T.DecimalType(10, 2)
+    assert pg_type_to_spark("numeric") == T.DecimalType(38, 18)
     assert pg_type_to_spark("double precision") == T.DoubleType()
     assert pg_type_to_spark("timestamp without time zone") == T.TimestampType()
     assert pg_type_to_spark("date") == T.DateType()
@@ -49,3 +50,15 @@ def test_schema_with_pk_nullability_and_sanitization():
     assert schema["id"].nullable is False
     assert schema["park_state"].dataType == T.StringType()
     assert sanitize_column_name("park state") == "park_state"
+
+
+def test_declared_numeric_display_name_keeps_precision():
+    # `\d` display path: a declared numeric(p,s) keeps its exact
+    # precision/scale; unconstrained numeric falls back to (38,18)
+    assert pg_type_to_spark("numeric(12,4)") == T.DecimalType(12, 4)
+    assert pg_type_to_spark("numeric(24,20)") == T.DecimalType(24, 20)
+    assert pg_type_to_spark("decimal(9)") == T.DecimalType(9, 0)
+    assert pg_type_to_spark("numeric") == T.DecimalType(38, 18)
+    # un-honorable declarations (p>38, negative scale) fall back too
+    assert pg_type_to_spark("numeric(60,2)") == T.DecimalType(38, 18)
+    assert pg_type_to_spark("numeric(10,-3)") == T.DecimalType(38, 18)
