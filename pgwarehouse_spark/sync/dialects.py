@@ -279,14 +279,24 @@ _REF_RULES = {
 }
 
 
-def reference_pg_type(backend: str, pg_type: str) -> str:
+def reference_pg_type(backend: str, pg_type: str, for_parse: bool = False) -> str:
     """The type string the named reference backend would emit for a
-    Postgres type (create-table path, for_parse=False)."""
+    Postgres type. ``for_parse`` is ClickHouse's CSV-ingest variant
+    (clickhouse_backend.py:58-64): date/timestamp columns read as
+    String so ``parseDateTimeBestEffortOrNull`` can repair them in the
+    INSERT's SELECT."""
     s = pg_type.strip().lower()
     if s.endswith("[]"):
         return _REF_ARRAY[backend]
     if s.endswith("_enum"):
         return _REF_ENUM[backend]
+    if (
+        for_parse
+        and backend == "clickhouse"
+        and (s.startswith("date") or s.startswith("timestamp"))
+        and not s.startswith("time ")
+    ):
+        return "String"
     exact = _REF_EXACT[backend]
     if s in exact:
         return exact[s]
@@ -340,6 +350,100 @@ def reference_create_table_sql(
             cols.append(c)
         return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)});"
     raise ValueError(f"unknown reference backend {backend!r}")
+
+
+def _sf_quote(name: str) -> str:
+    """snowflake_backend.quote_col (:111-115): quote reserved names only."""
+    return f'"{name}"' if name.lower() in SNOWFLAKE_RESERVED else name
+
+
+def reference_snowflake_merge_sql(
+    table: str,
+    columns: dict[str, str],
+    primary_key_cols: list[str],
+    csv_name: str,
+    csv_path: str | None = None,
+    database: str = "PGWAREHOUSE",
+    sf_schema: str = "PUBLIC",
+) -> list[str]:
+    """The statement SEQUENCE the reference's Snowflake backend executes
+    per staged CSV chunk during an upsert (snowflake_backend.py:161-211):
+    USE SCHEMA → PUT into the table stage → CREATE FILE FORMAT →
+    MERGE ON the (single) PK with UPDATE SET / INSERT branches →
+    REMOVE the staged file. Whitespace-normalized (the reference uses
+    indented triple-quoted SQL); the golden tests compare these token
+    streams. The MERGE keys on ``primary_key_cols[0]`` only — the
+    reference ignores the rest of a composite key (:174), one of the
+    behaviors the Spark-side merge fixes."""
+    cols = list(columns)
+    column_list = ", ".join(_sf_quote(c) for c in cols)
+    update_sets = ", ".join(
+        f"{table}.{_sf_quote(c)} = csvsrc.{_sf_quote(c)}" for c in cols
+    )
+    values_list = ", ".join(f"csvsrc.{_sf_quote(c)}" for c in cols)
+    key = primary_key_cols[0]
+    path = csv_path or csv_name
+    return [
+        f"USE SCHEMA {sf_schema}",
+        f"PUT file://{path} @{database}.{sf_schema}.%{table};",
+        "CREATE OR REPLACE FILE FORMAT pgw_csv_format TYPE = 'csv' "
+        "SKIP_HEADER = 1 FIELD_OPTIONALLY_ENCLOSED_BY = '0x22' "
+        "ESCAPE_UNENCLOSED_FIELD = NONE",
+        f"MERGE INTO {database}.{sf_schema}.{table} USING "
+        f"(SELECT {column_list} FROM @%{table}(FILE_FORMAT => "
+        f"'pgw_csv_format', PATTERN => '{csv_name}')) csvsrc "
+        f"ON csvsrc.{key} = {table}.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {update_sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({column_list}) VALUES ({values_list})",
+        f"REMOVE @%{table} PATTERN = '{csv_name}'",
+    ]
+
+
+def reference_clickhouse_upsert_sql(
+    table: str,
+    columns: dict[str, str],
+    primary_key_cols: list[str],
+) -> list[str]:
+    """The statement SEQUENCE the reference's ClickHouse backend
+    executes for a last-modified upsert (clickhouse_backend.py:245-270):
+    ClickHouse has no MERGE, so it stages the delta into a
+    ``<table>__changes`` temp table (full load_table path :141-171,
+    dates ingested as String and repaired by
+    ``parseDateTimeBestEffortOrNull``), then ALTER DELETE the matching
+    PKs from the target, INSERT the delta, DROP the temp. This is the
+    delete-then-insert upsert (A16) whose Spark equivalent is the
+    left-anti + union in sync/merge.py:61. Single-statement-per-chunk
+    INSERT is collapsed to one entry (the per-chunk loop repeats it)."""
+    if not primary_key_cols:
+        raise ValueError("No primary key for the table found, have to reload")
+    temp = f"{table}__changes"
+    pk = primary_key_cols[0]
+    import_structure = ", ".join(
+        f"{name.replace(' ', '_')} "
+        f"{reference_pg_type('clickhouse', ctype, for_parse=True)}"
+        for name, ctype in columns.items()
+    )
+    select_cols = [
+        (
+            f"parseDateTimeBestEffortOrNull({name.replace(' ', '_')})"
+            if (ctype.startswith("date") or ctype.startswith("time"))
+            else name.replace(" ", "_")
+        )
+        for name, ctype in columns.items()
+    ]
+    return [
+        f"DROP TABLE IF EXISTS {temp}",
+        reference_create_table_sql(
+            "clickhouse", temp, columns, primary_key_cols
+        ),
+        f"INSERT INTO {temp} SELECT {', '.join(select_cols)} "
+        f"FROM input('{import_structure}') FORMAT CSVWithNames "
+        "SETTINGS date_time_input_format='best_effort';",
+        f"ALTER TABLE {table} DELETE WHERE {pk} IN "
+        f"(SELECT {pk} from {temp});",
+        f"INSERT INTO {table} SELECT * FROM {temp};",
+        f"DROP TABLE {temp}",
+    ]
 
 
 _DIALECTS: dict[str, SinkDialect] = {

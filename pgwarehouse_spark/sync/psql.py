@@ -280,11 +280,16 @@ class PsqlCopySource(Source):
             select += f" where {where}"
         copy_cmd = f"\\copy ({select}) to STDOUT CSV HEADER"
 
+        # stderr goes to a file, not a pipe: we drain stdout line-by-line
+        # for the whole extract, and a chatty psql could fill a 64 KiB
+        # stderr pipe and deadlock the copy mid-stream
+        err_path = os.path.join(out_dir, ".psql_stderr")
+        err_file = open(err_path, "wb")
         proc = subprocess.Popen(
             self._argv("-c", copy_cmd),
             env=self._env(),
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=err_file,
         )
         header: bytes | None = None
         chunk_idx, written, rows = 0, 0, 0
@@ -320,9 +325,14 @@ class PsqlCopySource(Source):
             if proc.stdout:
                 proc.stdout.close()
             proc.wait()
+            err_file.close()
         if proc.returncode not in (0, -15):  # -15: our own max_records terminate
-            err = proc.stderr.read().decode() if proc.stderr else ""
+            with open(err_path, "rb") as f:
+                err = f.read().decode(errors="replace")
             raise RuntimeError(f"psql \\copy failed for {table}: {err.strip()}")
+        # dot-prefixed, so Spark's directory listing ignores it even if
+        # left behind; removed on success to keep the staging dir clean
+        os.remove(err_path)
         if chunk_idx == 0 and header is not None:
             # zero-row extract still stages one header-only chunk so the
             # downstream read yields an empty frame with the right schema
@@ -367,6 +377,30 @@ class PsqlCopySource(Source):
                 f"where table_schema='{self.pgschema}'"
             )
         )
+
+    def list_tables_with_sizes(self) -> list[dict]:
+        """Source catalog with on-disk sizes and row estimates — the
+        reference's ``list`` command (pgwarehouse.py:218-237: pg_class
+        total/index/toast byte arithmetic, largest table first). One
+        catalog query; never scans data."""
+        rows = self.sql_rows(
+            "SELECT nspname, relname, pg_total_relation_size(c.oid), "
+            "CAST(c.reltuples AS BIGINT) "
+            "FROM pg_class c LEFT JOIN pg_namespace n "
+            "ON n.oid = c.relnamespace "
+            f"WHERE relkind = 'r' AND nspname = '{self.pgschema}' "
+            "ORDER BY pg_total_relation_size(c.oid) DESC, relname"
+        )
+        out = []
+        for line in rows:
+            schema, name, nbytes, est = line.split("|")
+            out.append({
+                "schema": schema,
+                "table": name,
+                "total_bytes": int(nbytes),
+                "row_estimate": int(est),
+            })
+        return out
 
     def discover_primary_key(self, spark: SparkSession, table: str) -> list[str]:
         return list(self.schema_info(table)["primary_key_cols"])

@@ -312,9 +312,16 @@ def test_bench_stdout_budget():
             "slope_vs_base": {n: 10.25 for n in bench.HEAVY},
             "output_normalized": {
                 n: {"per_row_cost_ratio": 99.999}
-                for n in ("dedup_containment", "dedup_minhash_lsh",
-                          "dedup_clusters")
+                for n in bench.OUTPUT_NORMALIZED
             },
+        },
+        "all_queries": {
+            "sf_dir": "/root/testdata/sf0.01",
+            "n": 270,
+            "total": 12345.67,
+            "max_name": "a_rather_long_query_name_here",
+            "max_sec": 123.4567,
+            "queries": {},
         },
     }
     line = bench.compact_line(payload)
@@ -324,6 +331,7 @@ def test_bench_stdout_budget():
     assert parsed["value"] == payload["value"]
     assert parsed["sf1"]["slope_vs_base"]
     assert parsed["sf1"]["out_norm"]["dedup_containment"] == 99.999
+    assert parsed["allq"]["n"] == 270 and parsed["allq"]["max_sec"] == 123.46
     assert len(parsed["queries"]) > 0
 
 

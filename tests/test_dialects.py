@@ -248,3 +248,91 @@ def test_golden_ddl_duckdb_executes():
     ):
         con.execute(reference_create_table_sql("duckdb", tbl, cols, pk))
         assert con.execute(f"SELECT COUNT(*) FROM {tbl}").fetchone()[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Golden UPSERT statement sequences (VERDICT r5 task 8): the upsert
+# siblings of the CREATE TABLE goldens above — pin the exact statement
+# order + token streams of the reference's Snowflake MERGE
+# (snowflake_backend.py:161-211) and ClickHouse delete-then-insert
+# (clickhouse_backend.py:245-270) for the reference's fixture schemas.
+# ---------------------------------------------------------------------------
+
+from pgwarehouse_spark.sync.dialects import (
+    reference_clickhouse_upsert_sql,
+    reference_snowflake_merge_sql,
+)
+
+
+def test_golden_snowflake_merge_sequence():
+    stmts = reference_snowflake_merge_sql(
+        "my_orders", MY_ORDERS, ["id"],
+        csv_name="my_orders10.csv.gz",
+        csv_path="/data/my_orders_data/my_orders10.csv.gz",
+        database="PGW", sf_schema="PUBLIC",
+    )
+    assert stmts == [
+        "USE SCHEMA PUBLIC",
+        "PUT file:///data/my_orders_data/my_orders10.csv.gz "
+        "@PGW.PUBLIC.%my_orders;",
+        "CREATE OR REPLACE FILE FORMAT pgw_csv_format TYPE = 'csv' "
+        "SKIP_HEADER = 1 FIELD_OPTIONALLY_ENCLOSED_BY = '0x22' "
+        "ESCAPE_UNENCLOSED_FIELD = NONE",
+        "MERGE INTO PGW.PUBLIC.my_orders USING "
+        "(SELECT id, user_id, order_date, order_amount, order_updated "
+        "FROM @%my_orders(FILE_FORMAT => 'pgw_csv_format', "
+        "PATTERN => 'my_orders10.csv.gz')) csvsrc "
+        "ON csvsrc.id = my_orders.id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "my_orders.id = csvsrc.id, my_orders.user_id = csvsrc.user_id, "
+        "my_orders.order_date = csvsrc.order_date, "
+        "my_orders.order_amount = csvsrc.order_amount, "
+        "my_orders.order_updated = csvsrc.order_updated "
+        "WHEN NOT MATCHED THEN INSERT "
+        "(id, user_id, order_date, order_amount, order_updated) VALUES "
+        "(csvsrc.id, csvsrc.user_id, csvsrc.order_date, "
+        "csvsrc.order_amount, csvsrc.order_updated)",
+        "REMOVE @%my_orders PATTERN = 'my_orders10.csv.gz'",
+    ]
+
+
+def test_golden_snowflake_merge_quotes_reserved_columns():
+    # quote_col (:111-115) quotes only reserved names inside the MERGE
+    cols = {"id": "bigint", "order": "integer", "value": "text"}
+    stmts = reference_snowflake_merge_sql("t", cols, ["id"], "t10.csv.gz")
+    merge = stmts[3]
+    assert 'SELECT id, "order", value FROM' in merge
+    assert 't."order" = csvsrc."order"' in merge
+    assert '(id, "order", value) VALUES (csvsrc.id, csvsrc."order"' in merge
+
+
+def test_golden_clickhouse_upsert_sequence():
+    stmts = reference_clickhouse_upsert_sql("my_orders", MY_ORDERS, ["id"])
+    assert stmts == [
+        "DROP TABLE IF EXISTS my_orders__changes",
+        # temp table is a full create (load_table create_table=True path)
+        "CREATE TABLE IF NOT EXISTS my_orders__changes (id Int64, "
+        "user_id Nullable(Int64), order_date Nullable(DateTime), "
+        "order_amount Nullable(Float64), "
+        "order_updated Nullable(DateTime64(3))) "
+        "ENGINE = MergeTree() ORDER BY (id);",
+        # CSV ingest: temporal columns read as String, repaired by
+        # parseDateTimeBestEffortOrNull (for_parse=True, :58-64)
+        "INSERT INTO my_orders__changes SELECT id, user_id, "
+        "parseDateTimeBestEffortOrNull(order_date), order_amount, "
+        "parseDateTimeBestEffortOrNull(order_updated) "
+        "FROM input('id Int64, user_id Int64, order_date String, "
+        "order_amount Float64, order_updated String') "
+        "FORMAT CSVWithNames "
+        "SETTINGS date_time_input_format='best_effort';",
+        "ALTER TABLE my_orders DELETE WHERE id IN "
+        "(SELECT id from my_orders__changes);",
+        "INSERT INTO my_orders SELECT * FROM my_orders__changes;",
+        "DROP TABLE my_orders__changes",
+    ]
+
+
+def test_golden_clickhouse_upsert_requires_pk():
+    # clickhouse_backend.py:253-254: refuses without a PK
+    with pytest.raises(ValueError, match="have to reload"):
+        reference_clickhouse_upsert_sql("local_parks", LOCAL_PARKS, [])

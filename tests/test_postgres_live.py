@@ -415,3 +415,20 @@ def test_parse_schema_text_composite_pk_and_quoted():
     info = parse_schema_text(text, "t")
     assert info["primary_key_cols"] == ["id", "ts"]
     assert info["columns"]["ts"] == "timestamp without time zone"
+
+
+def test_live_list_tables_with_sizes(pg_server, source):
+    """reference `list` command (pgwarehouse.py:218-237): source catalog
+    with byte sizes + row estimates from pg_class, largest first."""
+    _psql(pg_server, "ANALYZE")  # populate reltuples estimates
+    rows = source.list_tables_with_sizes()
+    by_name = {r["table"]: r for r in rows}
+    assert set(by_name) >= {"users10", "my_orders", "local_parks", "gadgets"}
+    assert all(r["schema"] == "public" for r in rows)
+    assert all(r["total_bytes"] > 0 for r in rows)
+    # row estimates track the true counts after ANALYZE
+    assert by_name["local_parks"]["row_estimate"] == 4
+    assert by_name["my_orders"]["row_estimate"] >= 100
+    # sorted largest-first like the reference's output
+    sizes = [r["total_bytes"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)

@@ -43,45 +43,61 @@ import bench
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _BASE = "/root/testdata/sf0.1"
 
-# Slope budgets: wall(10x) / max(wall(1x), bench.SLOPE_FLOOR). Linear on
-# fixed cores is 10; budgets sit above the round-4/5 measured slopes
-# with ~2x headroom but far below a quadratic signature (the old IVF
-# defect measured 14.9x from a healthy 2.5; an all-pairs regression
-# lands at 50-100x — both still caught).
-_DEFAULT_BUDGET = 10.0
+# Slope budgets: wall(10x) / max(wall(1x), bench.SLOPE_FLOOR).
+# Ratcheted to ~1.5x the round-5 measured fresh-JVM slopes (VERDICT r5
+# item 2 — the old budgets carried 2-3x headroom, so a 2x real
+# regression passed). Run-to-run spread across r5's fresh-JVM runs was
+# up to ~1.5x; the best-of-3 confirmation below takes the MIN of three
+# isolated re-measurements, which is what these budgets bound.
+# r5 measured: triangles 7.2-8.1, pagerank 3.4-4.3, kcore 2.9-3.1,
+# bfs 2.33, pq 2.29, minhash 2.24, ivfpq 2.05, everything else <= 2.2.
+_DEFAULT_BUDGET = 4.0
 _BUDGETS = {
     # wedge/iteration work genuinely grows faster than rows on the
-    # densified replica (r5 fresh-JVM measurements: triangles 8.1,
-    # pagerank 3.4, kcore 3.1, grid neighbors 3.9-6.1)
-    "graph_triangle_count": 14.0,
-    "sim_topk_bruteforce": 14.0,
-    "graph_pagerank": 13.0,
-    "spatial_grid_neighbors": 12.0,
+    # densified replica
+    "graph_triangle_count": 12.0,
+    "graph_pagerank": 6.5,
+    "graph_kcore": 4.5,
 }
 # Output-bound queries gated on per-result-pair cost instead of wall
 # ratio: {name: max (sf1 sec/pair) / (base sec/pair)}. The replica
-# multiplies true pairs ~143x while wall grows ~13x, so the HEALTHY
-# per-pair ratio is ~0.13 (measured r5); 2.0 gives wide jitter headroom
-# while still failing any wall-superlinear-in-output regression.
+# multiplies true pairs superlinearly (containment ~143x; in-radius
+# spatial pairs ~quadratically as 10x points pack into fixed-radius
+# cells) while wall grows far slower, so the HEALTHY per-pair ratio is
+# well under 1 (containment 0.099 measured r5); 2.0 gives wide jitter
+# headroom while still failing any wall-superlinear-in-output
+# regression. spatial_grid_neighbors moved here from a hand-set 12x
+# wall budget (VERDICT r5 item 3) — its unit count is the `n_pairs`
+# column (the result itself is top-20).
 _OUTPUT_NORMALIZED_BUDGETS = {
     "dedup_containment": 2.0,
+    "spatial_grid_neighbors": 2.0,
 }
 
 
-def _run_bench(queries: list[str], out_path: str, runs: int = 2) -> dict:
+def _run_bench(
+    queries: list[str] | None,
+    out_path: str,
+    runs: int = 2,
+    all_only: bool = False,
+) -> dict:
     """One fresh-JVM bench subprocess over `queries` (base + matching
-    sf1 section); returns the full payload. Full subprocess stdout and
+    sf1 section), or — with ``all_only`` — the full-registry timing
+    pass alone; returns the full payload. Full subprocess stdout and
     stderr are persisted next to `out_path` so a failed run is
     diagnosable (pytest's assert truncates the middle of long blobs —
     exactly where the JVM's root exception lives)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=_BASE,
-        SPARK_GRAFT_BENCH_QUERIES=",".join(queries),
         SPARK_GRAFT_BENCH_RUNS=str(runs),
         SPARK_GRAFT_BENCH_FULL_PATH=out_path,
-        SPARK_GRAFT_SF1="1",
+        SPARK_GRAFT_SF1="0" if all_only else "1",
     )
+    if all_only:
+        env["SPARK_GRAFT_BENCH_ALL_ONLY"] = "1"
+    else:
+        env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(queries or [])
     # The sf1 heavy section (graph/dedup at 10x on local[32]) runs close
     # to the 8g default heap: intermittent executor OOMs killed ~1 in 4
     # gate subprocesses in round-5 soak runs. The measurement JVM gets a
@@ -193,3 +209,34 @@ def test_output_bound_queries_sublinear_per_pair(heavy_payload, tmp_path):
             failures[name] = {"per_pair_ratio": ratio, "budget": budget,
                               "detail": entry}
     assert not failures, f"output-normalized superlinearity: {failures}"
+
+
+# ---- full-registry timing floor (VERDICT r5 item 4) ----
+
+# Generous single-run per-query ceiling at sf0.01 in a fresh JVM: the
+# headline section and the plan ledger cover the 118 benched queries'
+# speed and every query's plan SHAPE, but a constant-factor blowup
+# (per-row regex recompile, accidental collect-loop) in one of the
+# other ~150 registered queries would be invisible without a timing
+# row. Typical per-query time at sf0.01 is well under 1s; 30s catches
+# order-of-magnitude regressions without flaking on load.
+_ALLQ_CEILING_SEC = 30.0
+
+
+def test_full_registry_timing_ceiling(tmp_path):
+    from pgwarehouse_spark.registry import all_queries
+
+    if not os.path.isdir("/root/testdata/sf0.01"):
+        pytest.skip("sf0.01 not present")
+    out = tmp_path / "bench_allq.json"
+    payload = _run_bench(None, str(out), all_only=True)
+    allq = payload.get("all_queries")
+    assert allq is not None, "bench all-only run produced no all_queries section"
+    timings = allq["queries"]
+    missing = sorted(set(all_queries()) - set(timings))
+    assert not missing, f"all_queries pass skipped registered queries: {missing}"
+    over = {n: s for n, s in timings.items() if s > _ALLQ_CEILING_SEC}
+    assert not over, (
+        f"registered queries exceeded the {_ALLQ_CEILING_SEC}s single-run "
+        f"ceiling at sf0.01: {over}"
+    )
