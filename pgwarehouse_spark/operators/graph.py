@@ -9,10 +9,15 @@ training-data / analytics extension surface. Everything is DataFrame
 joins + aggregations — no RDDs, no Pregel, no Python in the loop.
 
 Determinism: every per-row operation is IEEE double arithmetic
-(identical in any engine) and every SUM goes through a DECIMAL(28,12)
-cast (exact, order-independent), so five unrolled iterations produce
-bit-identical scores on Spark and DuckDB at any partition count — the
-oracle replays the identical recurrence as chained CTEs.
+(identical in any engine) and every SUM goes through FLOOR fixed-point
+at 1e-12 grain (exact integer sums, order-independent), so five
+unrolled iterations produce bit-identical scores on Spark and DuckDB at
+any partition count — the oracle replays the identical recurrence as
+chained CTEs. (Round 6: the previous DECIMAL(28,12) cast drifted
+~1e-12 at sf0.1 edge volume — Spark rounds a double's shortest-repr
+digits while DuckDB rounds its exact binary value, and with millions of
+contributions some land on rounding ties; FLOOR of bit-identical
+doubles cannot disagree.)
 """
 
 from __future__ import annotations
@@ -101,16 +106,20 @@ def _sql_pagerank_iter(prev: str, nxt: str) -> str:
     cannot happen for nodes that exist, but isolated handling is kept
     explicit via LEFT JOIN)."""
     # the damping literal must be an IEEE DOUBLE on both engines (a
-    # DECIMAL 0.85 divides/multiplies differently than float 0.85), so
-    # every arithmetic step below mirrors the Spark expression bit-
-    # for-bit.
+    # DECIMAL 0.85 divides/multiplies differently than float 0.85), and
+    # contributions are FLOOR fixed-point at 1e-12 grain — floor of a
+    # bit-identical double is unambiguous where a decimal CAST's
+    # rounding is not (Spark rounds shortest-repr digits, DuckDB the
+    # exact binary value; ties drifted ~1e-12 at sf0.1). Every
+    # arithmetic step below mirrors the Spark expression bit-for-bit.
     return f"""
     {nxt} AS (
       SELECT n.part,
              (1 - CAST({_PR_DAMPING} AS DOUBLE)) / nn.n_nodes +
-             CAST({_PR_DAMPING} AS DOUBLE) * COALESCE(CAST(SUM(
-               CAST(p.score / p.out_deg AS DECIMAL(28,12))
-             ) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score,
+             CAST({_PR_DAMPING} AS DOUBLE) * COALESCE(
+               CAST(SUM(
+                 CAST(FLOOR(p.score / p.out_deg * 1e12) AS BIGINT)
+               ) AS DOUBLE) / 1e12, CAST(0.0 AS DOUBLE)) AS score,
              n.out_deg
       FROM nodes n
       CROSS JOIN n_nodes nn
@@ -228,10 +237,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.explode("dsts").alias("part"), "w")
             .groupBy("part")
+            # FLOOR fixed-point contributions (1e-12 grain), not a
+            # decimal CAST: Spark rounds the double's SHORTEST-REPR
+            # digits while DuckDB rounds the exact binary value, so
+            # tie-adjacent contributions rounded to 12 decimals drift
+            # ~1e-12 apart at sf0.1 edge volume (found by the sf0.1
+            # oracle artifact, r6). floor(w * 1e12) is computed on
+            # bit-identical doubles in both engines, summed as exact
+            # integers (per-group mass <= 1e12, far inside int64), and
+            # divided once — bit-identical at any scale.
             .agg(
-                F.sum(F.col("w").cast("decimal(28,12)"))
-                .cast("double")
-                .alias("in_mass")
+                (
+                    F.sum(F.floor(F.col("w") * F.lit(1e12)))
+                    / F.lit(1e12)
+                ).alias("in_mass")
             )
         )
         # The co-purchase graph is UNDIRECTED (both orientations emitted),

@@ -432,3 +432,23 @@ def test_live_list_tables_with_sizes(pg_server, source):
     # sorted largest-first like the reference's output
     sizes = [r["total_bytes"] for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_make_source_psql_no_server_needed(tmp_path, monkeypatch):
+    """Config wiring: `source: {type: psql}` builds a PsqlCopySource with
+    env-var fallbacks (reference pgwarehouse.py:200-210 config shape)."""
+    from pgwarehouse_spark.sync.engine import make_source
+
+    monkeypatch.setenv("PGHOST", "/tmp/sock")
+    monkeypatch.setenv("PGDATABASE", "app")
+    monkeypatch.setenv("PGUSER", "svc")
+    src = make_source({"type": "psql", "staging_dir": str(tmp_path)})
+    assert isinstance(src, PsqlCopySource)
+    assert src.host == "/tmp/sock" and src.dbname == "app" and src.user == "svc"
+    assert src.pgschema == "public"
+    # explicit config wins over env
+    src2 = make_source({
+        "type": "postgres", "staging_dir": str(tmp_path),
+        "host": "db1", "dbname": "x", "user": "u", "pgschema": "audit",
+    })
+    assert src2.host == "db1" and src2.pgschema == "audit"
