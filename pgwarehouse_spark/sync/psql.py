@@ -60,6 +60,20 @@ _PK_RE = re.compile(r"PRIMARY KEY.*\((.*)\)")
 _TABLE_RE = re.compile(r'able "(\w+)\.(\w+)')
 
 
+def pg_ident(name: str) -> str:
+    """Quote an identifier for interpolation into psql-issued SQL and
+    ``\\d`` patterns. Postgres folds unquoted identifiers to LOWERCASE,
+    so anything that is not a plain lowercase identifier — reserved
+    words (`order`), mixed case, spaces — must be double-quoted or the
+    statement breaks / resolves to the wrong relation (the psql sibling
+    of engine.quote_source_ident, VERDICT r5 item 6)."""
+    from .dialects import GENERIC_RESERVED
+
+    if re.fullmatch(r"[a-z_][a-z0-9_]*", name) and name not in GENERIC_RESERVED:
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
 def parse_schema_text(text: str, table: str | None = None) -> dict:
     """Parse unaligned ``\\d`` output into
     ``{'columns': OrderedDict[name → pg_type], 'primary_key_cols': [...]}``
@@ -222,7 +236,9 @@ class PsqlCopySource(Source):
         the raw text next to the staging data like the reference's
         ``<table>.schema`` file."""
         text = self._run(
-            "--pset=format=unaligned", "-c", f"\\d {self.pgschema}.{table}"
+            "--pset=format=unaligned",
+            "-c",
+            f"\\d {pg_ident(self.pgschema)}.{pg_ident(table)}",
         )
         if schema_file:
             with open(schema_file, "w") as f:
@@ -275,7 +291,7 @@ class PsqlCopySource(Source):
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
 
-        select = f"select * from {self.pgschema}.{table}"
+        select = f"select * from {pg_ident(self.pgschema)}.{pg_ident(table)}"
         if where:
             select += f" where {where}"
         copy_cmd = f"\\copy ({select}) to STDOUT CSV HEADER"

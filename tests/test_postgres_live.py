@@ -452,3 +452,61 @@ def test_make_source_psql_no_server_needed(tmp_path, monkeypatch):
         "host": "db1", "dbname": "x", "user": "u", "pgschema": "audit",
     })
     assert src2.host == "db1" and src2.pgschema == "audit"
+
+
+def test_live_reserved_word_table_syncs(pg_server, spark, tmp_path):
+    """A pg table literally named `order` (reserved word) must scrape,
+    extract, and sync — the psql sibling of the Derby reserved-word
+    JDBC test (VERDICT r5 item 6): every psql-issued statement quotes
+    the identifier, since unquoted `order` is a syntax error."""
+    _psql(pg_server, (
+        'DROP TABLE IF EXISTS "order";'
+        'CREATE TABLE "order" (id serial primary key, v text);'
+        "INSERT INTO \"order\" (v) SELECT 'v' || i FROM generate_series(1, 7) i;"
+    ))
+    src = PsqlCopySource(
+        str(tmp_path / "st"), host=pg_server["host"],
+        user=pg_server["user"], dbname=pg_server["dbname"],
+    )
+    info = src.schema_info("order")
+    assert list(info["columns"]) == ["id", "v"]
+    assert info["primary_key_cols"] == ["id"]
+    eng = SyncEngine(spark, src, str(tmp_path / "wh"), num_buckets=2)
+    assert eng.sync("order").action == "created"
+    assert eng.count_table("order") == 7
+    # incremental with the watermark predicate inside the quoted \copy
+    _psql(pg_server, "INSERT INTO \"order\" (v) VALUES ('late')")
+    res = eng.sync("order")
+    assert res.action == "appended" and res.rows == 1
+    _psql(pg_server, 'DROP TABLE "order"')
+
+
+def test_live_schema_evolution_resync(pg_server, spark, tmp_path):
+    """Source grows a column mid-history (the drift that breaks the
+    reference's CSV load): ALTER TABLE ADD COLUMN on the live server,
+    then an incremental re-sync — new column flows through, old rows
+    read as null via mergeSchema (_reconcile_schema policy)."""
+    _psql(pg_server, (
+        "DROP TABLE IF EXISTS evolving;"
+        "CREATE TABLE evolving (id serial primary key, v text);"
+        "INSERT INTO evolving (v) SELECT 'v' || i FROM generate_series(1, 5) i;"
+    ))
+    src = PsqlCopySource(
+        str(tmp_path / "st"), host=pg_server["host"],
+        user=pg_server["user"], dbname=pg_server["dbname"],
+    )
+    eng = SyncEngine(spark, src, str(tmp_path / "wh"), num_buckets=2)
+    assert eng.sync("evolving").action == "created"
+    _psql(pg_server, (
+        "ALTER TABLE evolving ADD COLUMN score integer;"
+        "INSERT INTO evolving (v, score) VALUES ('new', 42);"
+    ))
+    src.schema_info("evolving", refresh=True)  # re-scrape sees the column
+    res = eng.sync("evolving")
+    assert res.action == "appended" and res.rows == 1
+    out = eng.read_table("evolving")
+    assert "score" in out.columns
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows[6] == 42
+    assert all(rows[i] is None for i in range(1, 6))  # old rows: null
+    _psql(pg_server, "DROP TABLE evolving")
