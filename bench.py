@@ -429,12 +429,11 @@ def main() -> None:
                 if unit_col is None:
                     b_units, s_units = rows.get(name), sf1_rows.get(name)
                 else:
-                    b_units = specs[name].fn(spark, sf_dir).select(
-                        unit_col
-                    ).first()[0]
-                    s_units = specs[name].fn(spark, sf1_dir).select(
-                        unit_col
-                    ).first()[0]
+                    b_row = specs[name].fn(spark, sf_dir).select(unit_col).first()
+                    s_row = specs[name].fn(spark, sf1_dir).select(unit_col).first()
+                    # a zero-row result (empty pair set) has no unit count
+                    b_units = b_row[0] if b_row else None
+                    s_units = s_row[0] if s_row else None
                 if not b_units or not s_units:
                     continue
                 base_per_1k = timings[name] / b_units * 1000
@@ -465,19 +464,30 @@ def main() -> None:
         and os.path.isdir(allq_dir)
     ):
         allq: dict[str, float] = {}
+        allq_errors: dict[str, str] = {}
         for name, spec in sorted(specs.items()):
             start = time.perf_counter()
-            spec.fn(spark, allq_dir).count()
+            # one failing query must not destroy the whole artifact —
+            # the headline/sf1 sections above already completed; errors
+            # are recorded (and fail the ceiling gate's completeness
+            # check) instead of crashing before emit()
+            try:
+                spec.fn(spark, allq_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                allq_errors[name] = str(exc)[:200]
+                continue
             allq[name] = round(time.perf_counter() - start, 4)
-        worst = max(allq, key=allq.get)
+        worst = max(allq, key=allq.get) if allq else None
         full_payload["all_queries"] = {
             "sf_dir": allq_dir,
             "n": len(allq),
             "total": round(sum(allq.values()), 2),
             "max_name": worst,
-            "max_sec": allq[worst],
+            "max_sec": allq.get(worst, 0.0),
             "queries": allq,
         }
+        if allq_errors:
+            full_payload["all_queries"]["errors"] = allq_errors
 
     emit(full_payload)
 

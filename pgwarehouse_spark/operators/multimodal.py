@@ -664,11 +664,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> D
                 if modality != "video":
                     continue
                 payload = bytes(payload)
-                real = extract_raw_frames(payload, every_ms, max_frames)
+                # MJPEG first: its acceptance test (full marker walk +
+                # huffman parse of every sampled frame) is far more
+                # discriminating than raw's divisibility check — an
+                # MJPEG mdat whose total JPEG bytes happen to divide by
+                # width*height*3 (~1/576 of containers) would otherwise
+                # be silently sliced into garbage "raw" frames; a raw
+                # RGB24 mdat can essentially never survive the JPEG
+                # marker walk, so the order costs nothing.
+                real = extract_mjpeg_frames(payload, every_ms, max_frames)
                 if not real:
-                    # MJPEG tier: concatenated baseline JPEGs in the
-                    # mdat, decoded by the pure-Python huffman+IDCT path
-                    real = extract_mjpeg_frames(payload, every_ms, max_frames)
+                    real = extract_raw_frames(payload, every_ms, max_frames)
                 if real:
                     for i, (ts, frame) in enumerate(real):
                         rows.append((doc_id, i, int(ts), frame))

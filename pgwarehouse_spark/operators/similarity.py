@@ -1710,9 +1710,15 @@ def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections per dim), not the pool fraction — 1-bit-per-dim recall
     at fixed pool genuinely degrades with corpus size; the scaled pool
     keeps this operator's stated recall contract honest at the scales
-    it ships."""
+    it ships. The corpus count enters as a broadcast 1-row aggregate,
+    not a driver-side count(): building this DataFrame stays lazy (no
+    Spark job at plan-construction time — the plan ledger and explain
+    paths build every registered query without executing any)."""
     e = t(spark, sf_dir, "embeddings")
-    pool = max(BQ_POOL, int(e.count() * 0.10))
+    n_vecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    pool = F.greatest(
+        F.lit(BQ_POOL), F.floor(F.col("n_vecs") * 0.10).cast("int")
+    )
     hi, lo = sign_signature_halves(F.col("embedding"))
     sigs = e.select("vec_id", hi.alias("sig_hi"), lo.alias("sig_lo"))
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1731,6 +1737,7 @@ def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", hamming.alias("hd"))
         .withColumn("rn", F.row_number().over(w_short))
+        .crossJoin(F.broadcast(n_vecs))
         .filter(F.col("rn") <= pool)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )

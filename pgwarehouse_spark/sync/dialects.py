@@ -294,7 +294,6 @@ def reference_pg_type(backend: str, pg_type: str, for_parse: bool = False) -> st
         for_parse
         and backend == "clickhouse"
         and (s.startswith("date") or s.startswith("timestamp"))
-        and not s.startswith("time ")
     ):
         return "String"
     exact = _REF_EXACT[backend]

@@ -239,7 +239,20 @@ def quote_source_ident(name: str, url: str = "") -> str:
     from .dialects import GENERIC_RESERVED
 
     q = "`" if _re.match(r"jdbc:(mysql|mariadb):", url or "") else '"'
-    parts = name.split(".") if not name.startswith(q) else [name]
+    # split on dots OUTSIDE quoted spans: myschema."my.table" is two
+    # parts, not three (a naive split would re-quote the fragments and
+    # emit a broken query). Doubled escape quotes toggle twice — inert.
+    parts, cur, in_quote = [], [], False
+    for ch in name:
+        if ch == q:
+            in_quote = not in_quote
+            cur.append(ch)
+        elif ch == "." and not in_quote:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
     out = []
     for part in parts:
         if part.startswith(q) and part.endswith(q) and len(part) >= 2:

@@ -285,7 +285,16 @@ class PsqlCopySource(Source):
         ``(chunk_count, data_row_count)`` — the reference's
         ``[file count, line count]`` contract (pgwarehouse.py:255,303).
         ``where`` lands inside the SELECT: Postgres filters before any
-        byte crosses the pipe (A12). ``max_records`` is the A3 guard."""
+        byte crosses the pipe (A12). ``max_records`` is the A3 guard.
+
+        Chunks rotate only at RECORD boundaries, not physical lines: a
+        quoted text value may carry embedded newlines, and RFC4180 says
+        a record is complete exactly when its cumulative quote count is
+        even (escaped quotes are doubled, preserving parity). Rotating
+        mid-record would make both neighboring chunks unparseable.
+        (The reference rotates on physical lines — pgwarehouse.py:
+        278-294 — and would corrupt such a table; this is a deliberate
+        fidelity fix, exercised by the embedded-newline live test.)"""
         self.schema_info(table, refresh=True)  # reference re-scrapes per extract
         out_dir = self._staging(table)
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -310,11 +319,18 @@ class PsqlCopySource(Source):
         header: bytes | None = None
         chunk_idx, written, rows = 0, 0, 0
         writer = None
+        record: list[bytes] = []
+        quote_parity = 0
         try:
             assert proc.stdout is not None
             for line in proc.stdout:
+                record.append(line)
+                quote_parity = (quote_parity + line.count(b'"')) % 2
+                if quote_parity:  # inside a quoted field: record continues
+                    continue
+                rec, record = b"".join(record), []
                 if header is None:
-                    header = line
+                    header = rec
                     continue  # header is re-emitted lazily per chunk
                 if writer is None or written >= self.chunk_bytes:
                     if writer is not None:
@@ -328,8 +344,8 @@ class PsqlCopySource(Source):
                     )
                     writer.write(header)
                     written = 0
-                writer.write(line)
-                written += len(line)
+                writer.write(rec)
+                written += len(rec)
                 rows += 1
                 if max_records is not None and rows >= max_records:
                     log.warning("max_records=%s reached for %s", max_records, table)
@@ -373,15 +389,32 @@ class PsqlCopySource(Source):
             spark.read.option("header", "true")
             # pg CSV quoting is RFC4180 (doubled quotes), not backslash
             .option("escape", '"')
+            # quoted values may carry embedded newlines; the chunker
+            # guarantees records never split across files, and each gzip
+            # chunk is one whole-file task anyway (gzip isn't splittable)
+            # so multiLine costs no parallelism here
+            .option("multiLine", "true")
+            # pg \copy CSV distinguishes NULL (bare empty) from ''
+            # (quoted ""): emptyValue preserves '' and nullValue moves to
+            # a sentinel no pg text value can contain (pg forbids NUL)
+            .option("emptyValue", "")
+            .option("nullValue", "\u0000")
             .schema(read_schema)
             .csv(self._staging(table))
         )
         return _cast_on_load(df, info["columns"])
 
+    @staticmethod
+    def _lit(value: str) -> str:
+        """SQL string literal with quotes doubled (a table legally named
+        o'brien must not break the information_schema probes)."""
+        return "'" + value.replace("'", "''") + "'"
+
     def exists(self, spark: SparkSession, table: str) -> bool:
         rows = self.sql_rows(
             "select 1 from information_schema.tables where "
-            f"table_schema='{self.pgschema}' and table_name='{table}'"
+            f"table_schema={self._lit(self.pgschema)} "
+            f"and table_name={self._lit(table)}"
         )
         return bool(rows)
 
@@ -390,7 +423,7 @@ class PsqlCopySource(Source):
         return sorted(
             self.sql_rows(
                 "select table_name from information_schema.tables "
-                f"where table_schema='{self.pgschema}'"
+                f"where table_schema={self._lit(self.pgschema)}"
             )
         )
 

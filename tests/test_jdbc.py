@@ -395,3 +395,13 @@ def test_jdbc_live_reserved_word_table(spark, sf_dir, tmp_path):
     )
     assert src2.read(spark, "order").count() == 3
     assert src2.partition_bounds["order"] == (1, 3)
+
+
+def test_quote_source_ident_dot_inside_quotes():
+    # r6 review finding: a quoted part containing a dot must not be
+    # split into fragments and re-quoted
+    from pgwarehouse_spark.sync.engine import quote_source_ident as qi
+
+    assert qi('myschema."my.table"') == 'myschema."my.table"'
+    assert qi('"a.b".c') == '"a.b".c'
+    assert qi('"a.b".order') == '"a.b"."order"'

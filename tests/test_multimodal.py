@@ -750,3 +750,44 @@ def test_sample_frames_mjpeg_tier_on_spark(spark):
         body = bytes(r["frame_bytes"])
         assert len(body) == W * H * 3
         assert set(body) == {v}  # decoded RGB24, every byte genuine
+
+
+def test_mjpeg_divisible_mdat_not_misread_as_raw():
+    """r6 review finding: an MJPEG container whose concatenated-JPEG
+    mdat length happens to divide by width*height*3 must still decode
+    through the MJPEG tier (sample order: mjpeg walk first — far more
+    discriminating than raw's divisibility check)."""
+    from pgwarehouse_spark.operators.jpegdec import encode_baseline_jpeg
+    from pgwarehouse_spark.operators.multimodal import (
+        build_mp4_container,
+        extract_mjpeg_frames,
+        extract_raw_frames,
+    )
+
+    import struct
+
+    W, H = 16, 12
+    frame_size = W * H * 3  # 576
+    jpg = encode_baseline_jpeg(bytes([80]) * frame_size, W, H)
+    j2 = encode_baseline_jpeg(bytes([120]) * frame_size, W, H)
+    j3 = encode_baseline_jpeg(bytes([200]) * frame_size, W, H)
+    # pad the last JPEG with a legal COM (comment) segment before its
+    # EOI so the mdat total lands EXACTLY on a multiple of frame_size
+    pad = (-(len(jpg) + len(j2) + len(j3))) % frame_size
+    if pad < 4:
+        pad += frame_size
+    com = b"\xff\xfe" + struct.pack(">H", pad - 2) + b"P" * (pad - 4)
+    j3 = j3[:2] + com + j3[2:]  # header segment right after SOI
+    target = [jpg, j2, j3]
+    assert sum(len(f) for f in target) % frame_size == 0
+    payload = build_mp4_container(W, H, 3000, frames=target, codec="mjpeg")
+    # the pipeline decodes it as MJPEG (genuine pixels), not raw
+    out = extract_mjpeg_frames(payload)
+    assert out is not None and len(out) == 3
+    assert set(out[0][1]) == {80}
+    assert set(out[1][1]) == {120}
+    assert set(out[2][1]) == {200}
+    # and sample_frames' tier order agrees (mjpeg tried first)
+    raw = extract_raw_frames(payload)
+    assert raw is not None  # the trap exists...
+    assert len(raw[0][1]) == frame_size

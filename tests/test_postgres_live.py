@@ -510,3 +510,38 @@ def test_live_schema_evolution_resync(pg_server, spark, tmp_path):
     assert rows[6] == 42
     assert all(rows[i] is None for i in range(1, 6))  # old rows: null
     _psql(pg_server, "DROP TABLE evolving")
+
+
+def test_live_embedded_newlines_and_empty_strings(pg_server, spark, tmp_path):
+    """CSV fidelity edges (r6 review findings): quoted values carrying
+    embedded newlines must survive chunk rotation (records, not physical
+    lines, are the chunk unit) and the multiLine read; pg distinguishes
+    NULL from the empty string and so must the loaded frame."""
+    _psql(pg_server, (
+        "DROP TABLE IF EXISTS tricky;"
+        "CREATE TABLE tricky (id serial primary key, v text);"
+        "INSERT INTO tricky (v) VALUES"
+        "  (E'line1\\nline2\\nline3'),"   # embedded newlines
+        "  (''),"                          # empty string (NOT null)
+        "  (NULL),"
+        "  (E'quote \" comma, and\\nnewline'),"
+        "  ('plain');"
+        "INSERT INTO tricky (v) SELECT E'bulk\\n' || i FROM generate_series(6, 40) i;"
+    ))
+    src = PsqlCopySource(
+        str(tmp_path / "st"), host=pg_server["host"],
+        user=pg_server["user"], dbname=pg_server["dbname"],
+        chunk_bytes=64,  # rotate aggressively: every record boundary
+    )
+    files, rows = src.extract_to_staging("tricky")
+    assert rows == 40 and files > 5  # rotation really happened
+    df = src.read(spark, "tricky")
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert len(got) == 40
+    assert got[1] == "line1\nline2\nline3"
+    assert got[2] == ""          # empty string preserved, NOT null
+    assert got[3] is None        # NULL preserved, NOT ''
+    assert got[4] == 'quote " comma, and\nnewline'
+    assert got[5] == "plain"
+    assert got[40] == "bulk\n40"
+    _psql(pg_server, "DROP TABLE tricky")
