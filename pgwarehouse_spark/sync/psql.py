@@ -34,7 +34,6 @@ this class is reference-parity for the psql-only topology.
 
 from __future__ import annotations
 
-import glob
 import gzip
 import logging
 import os
