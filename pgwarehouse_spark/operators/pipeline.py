@@ -1694,3 +1694,129 @@ def sample_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split
+
+from .dedup import (  # noqa: E402  (oracle shares the dedup shingle CTE)
+    JACCARD_THRESHOLD as _LS_JT,
+    _SQL_SHINGLES as _LS_SHINGLES,
+    cluster_labels as _ls_cluster_labels,
+    verified_near_dup_pairs as _ls_pairs,
+)
+
+_SQL_SPLIT_LEAKAGE_SAFE = f"""
+    WITH RECURSIVE {_LS_SHINGLES},
+    p0 AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM p0
+      JOIN sizes s1 ON p0.id1 = s1.doc_id
+      JOIN sizes s2 ON p0.id2 = s2.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared) >= {_LS_JT}
+    ),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    closure(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT c.a, e.v FROM closure c JOIN edges e ON c.b = e.u
+    ),
+    labels AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM closure GROUP BY a
+    ),
+    assign AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN CAST('0x' || SUBSTR(
+                      md5(CAST(cluster_id AS VARCHAR)), 1, 13) AS BIGINT)
+                  % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM labels
+    ),
+    leak AS (
+      SELECT COUNT(*) AS leakage_pairs
+      FROM pairs p
+      JOIN assign a1 ON p.id1 = a1.doc_id
+      JOIN assign a2 ON p.id2 = a2.doc_id
+      WHERE a1.split <> a2.split
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           (SELECT leakage_pairs FROM leak) AS leakage_pairs
+    FROM assign GROUP BY split ORDER BY split
+"""
+
+
+@register(
+    "split_leakage_safe",
+    category="pipeline",
+    oracle=_SQL_SPLIT_LEAKAGE_SAFE,
+    doc="Near-dup-aware train/test split: hash the CLUSTER id (connected "
+    "components over verified near-dup pairs), not the doc id, so every "
+    "near-duplicate family lands wholly in one split — per-split doc and "
+    "cluster counts plus the cross-split near-dup pair count, which is "
+    "structurally zero and the oracle recomputes it independently.",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split that plain split_train_test cannot give you: hashing
+    doc_id sends two 0.99-Jaccard near-duplicates to opposite sides
+    about 2·p·(1-p) of the time, and the eval split then scores the
+    model on near-copies of its own training data. Here the split key
+    is the near-dup CLUSTER id (min doc_id of the component, from the
+    same large-star/small-star CC as dedup_clusters), so membership is
+    still a pure deterministic hash — append-stable, engine-stable —
+    but the leakage unit is the whole family. leakage_pairs counts
+    verified near-dup pairs whose endpoints disagree on split: zero BY
+    CONSTRUCTION (cluster members share cluster_id, hence split); the
+    column exists because the oracle derives it from ITS OWN closure +
+    assignment, making the guarantee cross-checked rather than assumed.
+
+    Scale: cluster_labels is the measured CC path (out_norm 0.09 at the
+    sf1 replica — see SCALE.md); the assignment adds one md5 per
+    cluster and the rollup is split-sized. The leakage audit joins the
+    pair list (near-dup-pair-sized, not corpus-sized) against the
+    assignment twice on doc_id."""
+    labels = _ls_cluster_labels(spark, sf_dir)
+    split = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    assign = labels.select("doc_id", "cluster_id", split.alias("split"))
+
+    pairs = _ls_pairs(spark, sf_dir).select("id1", "id2")
+    a1 = assign.select(
+        F.col("doc_id").alias("id1"), F.col("split").alias("split1")
+    )
+    a2 = assign.select(
+        F.col("doc_id").alias("id2"), F.col("split").alias("split2")
+    )
+    leak = (
+        pairs.join(a1, "id1")
+        .join(a2, "id2")
+        .filter(F.col("split1") != F.col("split2"))
+        .agg(F.count(F.lit(1)).alias("leakage_pairs"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )

@@ -101,6 +101,7 @@ def _ensure_loaded() -> None:
         graph,
         zorder,
         spatial,
+        sketches,
     )
 
     _LOADED = True
