@@ -2877,3 +2877,221 @@ def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.col("nv"))
         .alias("value_milli"),
     ).orderBy("event_type", "day_idx")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom membership rollup (the OR-merge sibling of the HLL /
+# quantile / count-min rollups — sketch quartet: distinct, quantile,
+# frequency, MEMBERSHIP)
+
+# 3 affine hashes over user_id; 64 words x 63 usable bits = 4032 bits
+# per day. 63 bits/word keeps every mask off the sign bit so shift/OR
+# semantics are identical (and ANSI-overflow-free) in Spark and DuckDB.
+_BF_HASHES = [(0, 48271, 101), (1, 69621, 203), (2, 40692, 307)]
+_BF_P = 2147483647
+_BF_WORD_BITS = 63
+_BF_WORDS = 64
+_BF_M = _BF_WORDS * _BF_WORD_BITS
+_BF_DIGEST_SALT = 2654435761  # Knuth multiplicative constant
+
+
+@register(
+    "events_bloom_membership_rollup",
+    category="events",
+    oracle=f"""
+    WITH hcfg AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({j}, {a}, {b})' for j, a, b in _BF_HASHES)}
+      ) h(j, a, b)
+    ),
+    pos AS (
+      SELECT date_trunc('day', ts) AS day,
+             ((h.a * user_id + h.b) % {_BF_P}) % {_BF_M} AS pos
+      FROM events CROSS JOIN hcfg h
+    ),
+    daily AS (
+      SELECT day, pos // {_BF_WORD_BITS} AS word,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST(pos % {_BF_WORD_BITS} AS INT)) AS bits
+      FROM pos GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', day) AS DATE) AS week_start, word,
+             bit_or(bits) AS bits
+      FROM daily GROUP BY 1, 2
+    ),
+    digest AS (
+      SELECT week_start,
+             bit_xor(xor(bits, word * {_BF_DIGEST_SALT})) AS filter_digest
+      FROM weekly GROUP BY week_start
+    ),
+    members AS (
+      SELECT week_start, user_id, TRUE AS is_member FROM (
+        SELECT week_start, user_id,
+               ROW_NUMBER() OVER (PARTITION BY week_start
+                                  ORDER BY user_id) AS rk
+        FROM (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+                     AS week_start, user_id
+              FROM events) e
+      ) WHERE rk <= 3
+    ),
+    absent AS (
+      SELECT w.week_start,
+             (SELECT MAX(user_id) FROM events) + g.o AS user_id,
+             FALSE AS is_member
+      FROM (SELECT DISTINCT week_start FROM weekly) w,
+           generate_series(1, 3) AS g(o)
+    ),
+    probes AS (SELECT * FROM members UNION ALL SELECT * FROM absent),
+    checks AS (
+      SELECT p.week_start, p.user_id, p.is_member,
+             bool_and(
+               (COALESCE(w.bits, 0)
+                & (CAST(1 AS BIGINT) <<
+                   CAST(((h.a * p.user_id + h.b) % {_BF_P}) % {_BF_M}
+                        % {_BF_WORD_BITS} AS INT)))
+               <> 0
+             ) AS bloom_hit
+      FROM probes p
+      CROSS JOIN hcfg h
+      LEFT JOIN weekly w
+        ON w.week_start = p.week_start
+       AND w.word = ((h.a * p.user_id + h.b) % {_BF_P}) % {_BF_M}
+                    // {_BF_WORD_BITS}
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.week_start, c.user_id AS probe_user, c.is_member, c.bloom_hit,
+           (c.bloom_hit OR NOT c.is_member) AS no_false_neg,
+           d.filter_digest
+    FROM checks c JOIN digest d ON c.week_start = d.week_start
+    ORDER BY c.week_start, probe_user
+    """,
+)
+def events_bloom_membership_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable MEMBERSHIP rollup: per-day Bloom words over user_id
+    roll day→week by bitwise OR (associative, commutative, IDEMPOTENT —
+    unlike the additive count-min counters, a replayed day cannot
+    corrupt the filter), then each week's filter answers 'was this user
+    active this week?' without touching raw events. Probes are the
+    week's 3 lowest active users (must hit — Bloom filters have no
+    false negatives; pinned by no_false_neg) and 3 ids beyond
+    MAX(user_id) (genuinely absent; their bloom_hit exposes the
+    false-positive behavior honestly at whatever the fill rate is).
+
+    The whole sketch is integer arithmetic on literal affine-hash
+    constants, so DuckDB replays build, merge, and probe bit-for-bit;
+    filter_digest (xor over word-salted filter cells) additionally pins
+    the merged filter CONTENTS cross-engine, so both engines must build
+    the identical filter, not merely agree on probe outcomes.
+
+    Scale: the build explodes each event into 3 positions whose word-OR
+    partial-aggregates MAP-SIDE — the shuffle carries at most
+    days × 64 word rows regardless of event volume; the week merge and
+    the probe join move only filter rows. The maintained streaming form
+    is stream_bloom_maintenance (same words, OR-merged per micro-batch
+    via update_rollup or_measures)."""
+    e = t(spark, sf_dir, "events")
+    pos = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(a) * F.col("user_id") + F.lit(b)) % _BF_P % _BF_M
+                    for _, a, b in _BF_HASHES
+                ]
+            )
+        ).alias("pos"),
+    )
+    daily = (
+        pos.select(
+            "day",
+            F.expr(f"pos DIV {_BF_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BF_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week_start"), "word"
+    ).agg(F.bit_or("bits").alias("bits"))
+
+    digest = weekly.groupBy("week_start").agg(
+        F.bit_xor(
+            F.col("bits").bitwiseXOR(F.col("word") * F.lit(_BF_DIGEST_SALT))
+        ).alias("filter_digest")
+    )
+
+    wk = W.partitionBy("week_start").orderBy("user_id")
+    members = (
+        e.select(
+            F.date_trunc("week", "ts").cast("date").alias("week_start"),
+            "user_id",
+        )
+        .distinct()
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("week_start", "user_id", F.lit(True).alias("is_member"))
+    )
+    maxu = e.agg(F.max("user_id").alias("mu"))
+    absent = (
+        weekly.select("week_start")
+        .distinct()
+        .crossJoin(F.broadcast(maxu))
+        .select(
+            "week_start",
+            F.explode(
+                F.array(*[(F.col("mu") + F.lit(o)) for o in (1, 2, 3)])
+            ).alias("user_id"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    probes = members.unionByName(absent)
+
+    hj = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        (F.lit(a) * F.col("user_id") + F.lit(b))
+                        % _BF_P
+                        % _BF_M
+                    ).alias("pos")
+                )
+                for _, a, b in _BF_HASHES
+            ]
+        )
+    ).alias("h")
+    pp = probes.select("week_start", "user_id", "is_member", hj).select(
+        "week_start",
+        "user_id",
+        "is_member",
+        F.expr(f"h.pos DIV {_BF_WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(h.pos % {_BF_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    hit = F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+    checks = (
+        pp.join(F.broadcast(weekly), ["week_start", "word"], "left")
+        .withColumn("hit", hit)
+        .groupBy("week_start", "user_id", "is_member")
+        .agg(F.bool_and("hit").alias("bloom_hit"))
+    )
+    return (
+        checks.join(F.broadcast(digest), "week_start")
+        .select(
+            "week_start",
+            F.col("user_id").alias("probe_user"),
+            "is_member",
+            "bloom_hit",
+            (F.col("bloom_hit") | ~F.col("is_member")).alias("no_false_neg"),
+            "filter_digest",
+        )
+        .orderBy("week_start", "probe_user")
+    )

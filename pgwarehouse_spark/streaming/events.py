@@ -826,3 +826,73 @@ def stream_countmin_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_bloom_maintenance(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained BLOOM MEMBERSHIP state (r6): every
+    micro-batch hashes its events' user_ids into the per-day 64-word
+    Bloom grid of `events_bloom_membership_rollup` and OR-merges the
+    (day, word) bit words into the bucketed rollup via update_rollup's
+    or_measures — completing the maintained-sketch QUARTET beside
+    distinct (HLL), quantile (log-grid), and frequency (count-min).
+
+    The semantics OR-merge buys over the additive siblings: bitwise OR
+    is IDEMPOTENT, so a replayed micro-batch leaves the filter
+    unchanged — membership state tolerates at-least-once delivery with
+    no checkpoint coordination (the additive counters double-count and
+    NEED the exactly-once epoch guarantee). Serving 'was user X active
+    on day D' is a ≤3-row probe of the table, never a raw-event scan;
+    day filters roll to weeks by further ORs at read time.
+
+    Per-batch work: ≤3 cells per event pre-combine, ≤ days × 64 word
+    rows post-combine; only rollup buckets containing touched days are
+    rewritten."""
+    from ..operators.eventwindows import (
+        _BF_HASHES,
+        _BF_M,
+        _BF_P,
+        _BF_WORD_BITS,
+    )
+    from ..sync.rollup import update_rollup
+
+    def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.select(
+            F.to_date("ts").alias("day"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.lit(a) * F.col("user_id") + F.lit(b))
+                        % _BF_P
+                        % _BF_M
+                        for _, a, b in _BF_HASHES
+                    ]
+                )
+            ).alias("pos"),
+        ).select(
+            "day",
+            F.expr(f"pos DIV {_BF_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BF_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        update_rollup(
+            batch_df.sparkSession,
+            rollup_path,
+            delta,
+            group_keys=["day", "word"],
+            measures=[],
+            or_measures=[("bits", F.bit_or("mask"))],
+            num_buckets=8,
+        )
+
+    writer = events.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -4,9 +4,12 @@ the reference's sync loop feeds but never maintains itself (its
 warehouses recompute aggregates per query; here the engine maintains
 them incrementally, the same way it maintains the base table).
 
-Only *additive* measures (SUM / COUNT partials) are maintained; derived
-ratios (avg = sum/count) are computed at read time from the partials —
-the standard incremental-view-maintenance decomposition.
+Three mergeable measure kinds are maintained: *additive* (SUM / COUNT
+partials), *sketch* (hll_sketch_agg partials, merged with hll_union),
+and *OR-masks* (int64 bit words — Bloom filters, presence bitmaps —
+merged with bitwise OR). Derived ratios (avg = sum/count) are computed
+at read time from the partials — the standard
+incremental-view-maintenance decomposition.
 
 Scale design: the delta is pre-aggregated to one row per touched group
 BEFORE any target IO (map-side combine + one small shuffle); the target
@@ -39,10 +42,12 @@ def rollup_delta(
     group_keys: list[str],
     measures: Measures,
     sketch_measures: Measures | None = None,
+    or_measures: Measures | None = None,
 ) -> DataFrame:
     """Pre-aggregate a delta to one partial row per touched group."""
     aggs = [m.alias(n) for n, m in measures]
     aggs += [m.alias(n) for n, m in (sketch_measures or [])]
+    aggs += [m.alias(n) for n, m in (or_measures or [])]
     return delta.groupBy(*group_keys).agg(*aggs)
 
 
@@ -54,23 +59,27 @@ def update_rollup(
     measures: Measures,
     num_buckets: int = 16,
     sketch_measures: Measures | None = None,
+    or_measures: Measures | None = None,
 ) -> int:
     """Merge a delta into the bucketed rollup at `path`: additive
     measures merge with `+`, sketch measures (e.g. ``hll_sketch_agg``
-    partials for distinct counts) merge with ``hll_union``.
+    partials for distinct counts) merge with ``hll_union``, and
+    or_measures (int64 bit masks — Bloom-filter words, presence
+    bitmaps) merge with bitwise OR.
 
     Delivery semantics differ per measure kind: additive partials
     double-count on redelivery (pair with exactly-once); sketch unions
-    are register-max and therefore IDEMPOTENT — re-applying the same
-    delta leaves the sketch unchanged, so distinct-count columns
+    are register-max and OR-merges are set-union — both IDEMPOTENT, so
+    re-applying the same delta leaves them unchanged and those columns
     tolerate at-least-once delivery.
 
     Creates the rollup on first call. Returns the number of target
     buckets rewritten (0 on create or empty delta).
     """
-    d = rollup_delta(delta, group_keys, measures, sketch_measures)
+    d = rollup_delta(delta, group_keys, measures, sketch_measures, or_measures)
     names = [n for n, _ in measures]
     sketch_names = [n for n, _ in (sketch_measures or [])]
+    or_names = [n for n, _ in (or_measures or [])]
     # Hadoop FS existence check, not os.path.exists: a rollup at an
     # s3://... or hdfs://... path would otherwise ALWAYS take the create
     # branch and overwrite the accumulated rollup with just this delta
@@ -106,6 +115,12 @@ def update_rollup(
             .otherwise(F.coalesce(F.col(f"t.{n}"), F.col(f"x.{n}")))
             .alias(n)
             for n in sketch_names
+        ],
+        *[
+            F.coalesce(F.col(f"t.{n}"), F.lit(0))
+            .bitwiseOR(F.coalesce(F.col(f"x.{n}"), F.lit(0)))
+            .alias(n)
+            for n in or_names
         ],
     ).withColumn(BUCKET_COL, bucket_expr(group_keys, num_buckets))
     # Materialize before overwriting the files the plan reads from

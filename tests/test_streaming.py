@@ -810,3 +810,93 @@ def test_stream_countmin_maintenance_matches_batch(
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_bloom_maintenance_matches_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Streaming Bloom membership state (r6): after draining the stream
+    through per-batch OR-merges, the maintained (day, word) filter words
+    equal the one-shot batch grid EXACTLY (bitwise OR is order/batching-
+    independent), every day-active user probes TRUE against the table,
+    and replaying the full event set through another merge leaves the
+    filter bit-identical (OR idempotency — the at-least-once tolerance
+    the additive count-min sibling does not have)."""
+    from pgwarehouse_spark.operators.eventwindows import (
+        _BF_HASHES,
+        _BF_M,
+        _BF_P,
+        _BF_WORD_BITS,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.streaming.events import (
+        read_event_stream,
+        stream_bloom_maintenance,
+    )
+    from pgwarehouse_spark.sync.rollup import read_rollup, update_rollup
+
+    rollup = str(tmp_path / "bfrollup")
+    ckpt = str(tmp_path / "bfckpt")
+    stream = read_event_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    q = stream_bloom_maintenance(stream, rollup, checkpoint=ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    events = load_table(spark, sf_dir, "events")
+    grid = lambda df: df.select(
+        F.to_date("ts").alias("day"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(a) * F.col("user_id") + F.lit(b)) % _BF_P % _BF_M
+                    for _, a, b in _BF_HASHES
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "day",
+        F.expr(f"pos DIV {_BF_WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BF_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+
+    def snapshot():
+        return {
+            (r.day, r.word): r.bits
+            for r in read_rollup(spark, rollup).collect()
+        }
+
+    got = snapshot()
+    want = {
+        (r.day, r.word): r.bits
+        for r in grid(events).groupBy("day", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    }
+    assert got == want and got
+
+    # every (day, user) actually active must probe all-bits-set
+    probe = (
+        grid(events)
+        .join(
+            read_rollup(spark, rollup).withColumnRenamed("bits", "tbits"),
+            ["day", "word"],
+        )
+        .withColumn("hit", F.col("tbits").bitwiseAND(F.col("mask")) != 0)
+        .agg(F.bool_and("hit").alias("all_hit"))
+        .collect()[0]
+    )
+    assert probe.all_hit
+
+    # full replay through another OR-merge: filter bit-identical
+    update_rollup(
+        spark,
+        rollup,
+        grid(events),
+        group_keys=["day", "word"],
+        measures=[],
+        or_measures=[("bits", F.bit_or("mask"))],
+        num_buckets=8,
+    )
+    assert snapshot() == got

@@ -508,6 +508,46 @@ def test_incremental_rollup_sketch_distinct_idempotent(spark, sf_dir, tmp_path):
         assert n > got[k][0]
 
 
+
+def test_incremental_rollup_or_masks_idempotent(spark, sf_dir, tmp_path):
+    """OR-merged mask measures (r6, update_rollup or_measures): (a) two
+    delta waves OR-merged must equal the one-shot bit_or over all data;
+    (b) RE-applying a wave leaves the mask unchanged — bitwise OR is
+    set-union, fully idempotent, so unlike additive counters a Bloom/
+    bitmap column needs no exactly-once coordination at all."""
+    from pgwarehouse_spark.sources.tables import load_table
+    from pgwarehouse_spark.sync.rollup import read_rollup, update_rollup
+
+    path = str(tmp_path / "rollup_or")
+    events = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    ors = lambda: [("bits", F.bit_or(mask.alias("m")))]
+
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+    update_rollup(spark, path, wave1, keys, [], 4, or_measures=ors())
+    update_rollup(spark, path, wave2, keys, [], 4, or_measures=ors())
+
+    def snapshot():
+        return {
+            r.event_type: r.bits for r in read_rollup(spark, path).collect()
+        }
+
+    got = snapshot()
+    want = {
+        r.event_type: r.bits
+        for r in events.groupBy("event_type")
+        .agg(F.bit_or(mask).alias("bits"))
+        .collect()
+    }
+    assert got == want and got
+
+    # redelivery: OR-merge is a no-op on a replayed wave
+    update_rollup(spark, path, wave2, keys, [], 4, or_measures=ors())
+    assert snapshot() == got
+
+
 def test_zorder_write_narrows_bands_on_both_dimensions(spark, sf_dir, tmp_path):
     """Z-ordered files must carry usefully narrow min/max footer bands on
     BOTH clustered columns (the property multi-dim pruning needs), where
