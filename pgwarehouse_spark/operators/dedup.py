@@ -773,9 +773,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     )
 
 
-def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_labels(
+    spark: SparkSession, sf_dir: str, *, with_pairs: bool = False
+):
     """(doc_id, cluster_id) via large-star/small-star connected
     components over the verified near-dup pairs — see dedup_clusters.
+    With ``with_pairs=True`` returns ``(labels, pairs)`` where pairs is
+    the verified representative pair list the components were built
+    from, localCheckpointed so a consumer auditing against it (e.g.
+    split_leakage_safe) does not re-run the LSH/verify pass.
 
     EXACT duplicates are collapsed before any shingling (one md5 groupBy
     over the exact word sequence; min doc_id per key is the
@@ -817,16 +823,19 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", hashed_shingles_expr(F.col("text")).alias("shingles")
     ).localCheckpoint()
     pairs = verified_pairs_from_shingled(sh).select("id1", "id2")
+    if with_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
     labels = connected_components(pairs).select(
         F.col("doc_id").alias("rep"), "cluster_id"
     )
-    return (
+    out = (
         membership.join(labels, "rep", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
         )
     )
+    return (out, pairs) if with_pairs else out
 
 
 @register(

@@ -1703,7 +1703,6 @@ from .dedup import (  # noqa: E402  (oracle shares the dedup shingle CTE)
     JACCARD_THRESHOLD as _LS_JT,
     _SQL_SHINGLES as _LS_SHINGLES,
     cluster_labels as _ls_cluster_labels,
-    verified_near_dup_pairs as _ls_pairs,
 )
 
 _SQL_SPLIT_LEAKAGE_SAFE = f"""
@@ -1780,10 +1779,16 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: cluster_labels is the measured CC path (out_norm 0.09 at the
     sf1 replica — see SCALE.md); the assignment adds one md5 per
-    cluster and the rollup is split-sized. The leakage audit joins the
-    pair list (near-dup-pair-sized, not corpus-sized) against the
-    assignment twice on doc_id."""
-    labels = _ls_cluster_labels(spark, sf_dir)
+    cluster and the rollup is split-sized. The leakage audit reuses the
+    REPRESENTATIVE pair list the components were built from (returned
+    by cluster_labels(with_pairs=True), checkpointed — the LSH/verify
+    pass runs ONCE, not twice) and joins it against the assignment
+    twice on doc_id. Representative pairs suffice for the audit:
+    exact-duplicate twins carry their representative's cluster_id, so a
+    member-level pair straddles splits iff its representative pair
+    does — and the oracle independently recomputes the count over ALL
+    exact-Jaccard pairs from its own closure."""
+    labels, pairs = _ls_cluster_labels(spark, sf_dir, with_pairs=True)
     split = F.when(
         F.conv(
             F.substring(
@@ -1798,7 +1803,6 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("test"))
     assign = labels.select("doc_id", "cluster_id", split.alias("split"))
 
-    pairs = _ls_pairs(spark, sf_dir).select("id1", "id2")
     a1 = assign.select(
         F.col("doc_id").alias("id1"), F.col("split").alias("split1")
     )
