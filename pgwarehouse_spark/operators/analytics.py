@@ -1890,6 +1890,167 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused
 
 
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: precision@k / MRR / nDCG over dense top-k
+# ---------------------------------------------------------------------------
+
+_REV_NQ = 8    # queries: vec_id 0..7
+_REV_K = 10    # cutoff
+# 1e6-scaled DCG gains 1/log2(rank+1) for ranks 1..10, precomputed as
+# INTEGER LITERALS shared by both engines — no runtime log2, so DCG and
+# IDCG are pure int64 sums, bit-identical everywhere.
+_REV_GAINS = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_REV_CUM_GAINS = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560]  # IDCG prefix sums for truncation at nrel < k
+
+
+def _retrieval_eval_oracle() -> str:
+    from ..functions.vector import sql_cosine_fixed
+
+    gains_rows = ", ".join(
+        f"({i + 1}, {g})" for i, g in enumerate(_REV_GAINS)
+    )
+    cum_rows = ", ".join(
+        f"({i + 1}, {c})" for i, c in enumerate(_REV_CUM_GAINS)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS q_emb, label AS q_label
+      FROM embeddings WHERE vec_id < {_REV_NQ}
+    ),
+    scored AS (
+      SELECT q.qid, q.q_label, e.vec_id, e.label,
+             {sql_cosine_fixed('e.embedding', 'q.q_emb')} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, q_label, vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rk <= {_REV_K}),
+    gains AS (SELECT * FROM (VALUES {gains_rows}) g(rk, gain)),
+    cums AS (SELECT * FROM (VALUES {cum_rows}) c(n, cum_gain)),
+    nrel AS (
+      SELECT q.qid,
+             (SELECT COUNT(*) FROM embeddings e
+              WHERE e.label = q.q_label AND e.vec_id <> q.qid) AS n_relevant
+      FROM q
+    ),
+    per_q AS (
+      SELECT t.qid,
+             CAST(SUM(CASE WHEN t.label = t.q_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(SUM(CASE WHEN t.label = t.q_label THEN g.gain ELSE 0 END)
+                  AS BIGINT) AS dcg_micro,
+             MIN(CASE WHEN t.label = t.q_label THEN t.rk END) AS first_rel
+      FROM topk t JOIN gains g ON g.rk = t.rk
+      GROUP BY t.qid
+    )
+    SELECT p.qid AS query_id,
+           p.n_hits,
+           p.n_hits * 1000000 // {_REV_K} AS precision_micro,
+           COALESCE(1000000 // p.first_rel, 0) AS rr_micro,
+           CASE WHEN n.n_relevant = 0 THEN 0
+                ELSE p.dcg_micro * 1000000 //
+                     (SELECT cum_gain FROM cums
+                      WHERE n = LEAST(n.n_relevant, {_REV_K}))
+           END AS ndcg_micro
+    FROM per_q p JOIN nrel n ON p.qid = n.qid
+    ORDER BY query_id
+    """
+
+
+@register(
+    "retrieval_eval_metrics",
+    category="similarity",
+    oracle=_retrieval_eval_oracle(),
+    doc="Retrieval evaluation harness: precision@10, MRR, and nDCG@10 "
+    "for 8 dense queries against label-match ground truth, all in "
+    "1e6-scaled integer arithmetic (DCG gains are precomputed literal "
+    "constants, so both engines fold identical int64 sums — no runtime "
+    "log2, no float drift).",
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval loop every retrieval/RAG stack needs next to its index:
+    given ranked lists and a relevance oracle (here: embedding label
+    match, self excluded), score each query with precision@k, MRR, and
+    nDCG@k. Rank-gain arithmetic is where cross-engine float drift
+    usually creeps in (1/log2(rank+1) sums); precomputing the ten gains
+    as 1e6-scaled INTEGER literals makes DCG, the truncated IDCG
+    (prefix-sum constants, cut at min(n_relevant, k)), and every final
+    metric pure int64 — bit-identical across engines, partitionings,
+    and cluster sizes. MRR uses the same convention (1e6 DIV rank).
+
+    Plan: queries broadcast onto one corpus scan (8·N fixed-point dots,
+    map-side); per-query top-10 via a window over the 8 query
+    partitions; the relevant-count side is a label-sized aggregate
+    broadcast back. At 100 TB the scoring arm swaps brute-force for the
+    IVF/LSH probes (sim_topk_*) exactly as retrieval_hybrid_rrf does —
+    the metric fold is rank-arithmetic on k rows per query and never
+    changes. Reference class: the warehouse-side eval SQL the reference
+    defers to its backends (README.md:15-25)."""
+    from ..functions.vector import dot_fixed
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _REV_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cos = (
+        dot_fixed(F.col("embedding"), F.col("q_emb"))
+        / (
+            F.sqrt(dot_fixed(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot_fixed(F.col("q_emb"), F.col("q_emb")))
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "q_label", "vec_id", "label", cos.alias("cosine"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    topk = scored.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= _REV_K
+    )
+    gain = F.element_at(
+        F.array(*[F.lit(g) for g in _REV_GAINS]), F.col("rk")
+    ).cast("bigint")
+    rel = F.col("label") == F.col("q_label")
+    per_q = topk.groupBy("qid").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.sum(F.when(rel, gain).otherwise(0)).cast("bigint").alias("dcg_micro"),
+        F.min(F.when(rel, F.col("rk"))).alias("first_rel"),
+    )
+    label_counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    nrel = q.join(
+        F.broadcast(label_counts), q.q_label == label_counts.label
+    ).select("qid", (F.col("c") - 1).alias("n_relevant"))
+    idcg = F.element_at(
+        F.array(*[F.lit(c) for c in _REV_CUM_GAINS]),
+        F.least(F.col("n_relevant"), F.lit(_REV_K)).cast("int"),
+    ).cast("bigint")
+    return (
+        per_q.join(F.broadcast(nrel), "qid")
+        .withColumn("_idcg", idcg)
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_hits",
+            F.expr(f"n_hits * 1000000 DIV {_REV_K}").alias("precision_micro"),
+            F.coalesce(
+                F.expr("1000000 DIV first_rel").cast("bigint"), F.lit(0)
+            ).alias("rr_micro"),
+            F.when(F.col("n_relevant") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("(dcg_micro * 1000000) DIV _idcg"))
+            .alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _DID_CUT = "1998-01-01"
 
 
