@@ -399,9 +399,12 @@ _SQL_HQ = f"""
       FROM n, (VALUES {", ".join(f"({p})" for p in _HQ_PCTS)}) AS v(p)
     ),
     est AS (
+      -- CAST: DuckDB's SUM window returns HUGEINT, which would
+      -- propagate decimal128 into the output; Spark side is int64
       SELECT pct.p, pct.r,
-             cum.bin * {_HQ_BIN}
-               + ((pct.r - cum.cumb) * {_HQ_BIN}) // cum.cnt AS est_cents
+             CAST(cum.bin * {_HQ_BIN}
+               + ((pct.r - cum.cumb) * {_HQ_BIN}) // cum.cnt
+               AS BIGINT) AS est_cents
       FROM pct JOIN cum ON cum.cumb < pct.r AND cum.cum >= pct.r
     ),
     vals AS (
