@@ -2029,9 +2029,14 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrel = q.join(
         F.broadcast(label_counts), q.q_label == label_counts.label
     ).select("qid", (F.col("c") - 1).alias("n_relevant"))
+    # clamp the index to >=1: element_at is evaluated unconditionally
+    # (before the n_relevant == 0 guard below), and index 0 throws
+    # under ANSI; the guard still forces ndcg_micro = 0 for that row
     idcg = F.element_at(
         F.array(*[F.lit(c) for c in _REV_CUM_GAINS]),
-        F.least(F.col("n_relevant"), F.lit(_REV_K)).cast("int"),
+        F.greatest(
+            F.least(F.col("n_relevant"), F.lit(_REV_K)), F.lit(1)
+        ).cast("int"),
     ).cast("bigint")
     return (
         per_q.join(F.broadcast(nrel), "qid")

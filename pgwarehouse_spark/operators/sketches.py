@@ -313,15 +313,16 @@ _SQL_CMS = rf"""
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency estimation with constant state: exact token counting
     shuffles a vocabulary-sized key space; the CMS shuffles at most
-    d·w = 2048 cells PER PARTITION regardless of vocabulary (the
-    map-side partial aggregate collapses each partition's token stream
-    into its local cell grid before any exchange), and sketches from
-    disjoint corpora merge by cell-wise SUM. The probe side here takes
-    the true top-k terms as its candidate set — that's the evaluation
-    harness (exact counts exist to measure the sketch against);
-    production probes whatever candidate stream it has (a prior round's
-    heavy hitters, a watchlist) with a broadcast join against the
-    ≤2048-row sketch, never re-scanning the corpus.
+    d·w cells PER PARTITION (32 at this fixture's deliberately
+    undersized 4×8 geometry — see _CMS_W) regardless of vocabulary
+    (the map-side partial aggregate collapses each partition's token
+    stream into its local cell grid before any exchange), and sketches
+    from disjoint corpora merge by cell-wise SUM. The probe side here
+    takes the true top-k terms as its candidate set — that's the
+    evaluation harness (exact counts exist to measure the sketch
+    against); production probes whatever candidate stream it has (a
+    prior round's heavy hitters, a watchlist) with a broadcast join
+    against the d·w-row sketch, never re-scanning the corpus.
 
     The over_ok column is the CMS guarantee made testable: every
     estimate is min over d cells that each count a SUPERSET of the

@@ -162,3 +162,44 @@ def test_ivf_layout_partition_pruned_probes(spark, sf_dir, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "centroid_id" in pf.group(1), plan
+
+
+def test_retrieval_eval_zero_relevant_label(spark, sf_dir, tmp_path):
+    """A query whose label is UNIQUE in the corpus (n_relevant = 0) must
+    yield ndcg_micro = 0, not crash: the IDCG element_at index is
+    clamped to 1 because Spark evaluates it before the n_relevant == 0
+    guard and index 0 throws under ANSI (review finding, r6). The
+    oracle handles the same case via its CASE branch — both engines
+    must agree on the degenerate row."""
+    import os
+    import sys
+
+    from pgwarehouse_spark.registry import all_queries
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from pgwarehouse_spark.oraclecheck import compare, duckdb_conn
+
+    # single-FILE parquet (Spark's writer emits a directory, which the
+    # DuckDB side's read_parquet('<file>') registration does not glob)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = tbl.to_pandas()
+    df.loc[df["vec_id"] == 3, "label"] = 999  # label nobody else has
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    spec = all_queries()["retrieval_eval_metrics"]
+    con = duckdb_conn(str(tmp_path))
+    report = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert report["ok"], report
+    row = [
+        r
+        for r in spec.fn(spark, str(tmp_path)).collect()
+        if r.query_id == 3
+    ][0]
+    assert row.n_hits == 0 and row.ndcg_micro == 0 and row.rr_micro == 0
