@@ -522,3 +522,15 @@ def test_backend_clickhouse_snowflake_refuse_with_publish_recipe(
         err = capsys.readouterr().err
         assert rc == 1
         assert "publish" in err and backend in err
+
+
+def test_spark_local_dir_is_workspace_owned(spark):
+    """Shuffle/blockmgr scratch must live in a workspace-owned dir, not
+    /tmp (VERDICT r6 task 1: a /tmp reaper deleted temp_shuffle_* files
+    out from under the gate's bench subprocess mid-suite). Every session
+    built by get_spark — suite, bench.py, gate subprocesses — shares
+    this config."""
+    local_dir = spark.conf.get("spark.local.dir")
+    assert local_dir, "spark.local.dir unset — shuffle scratch is on /tmp"
+    assert not local_dir.rstrip("/").startswith("/tmp"), local_dir
+    assert os.path.isdir(local_dir), local_dir

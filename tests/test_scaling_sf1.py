@@ -75,18 +75,36 @@ _OUTPUT_NORMALIZED_BUDGETS = {
 }
 
 
+# stderr signatures of INFRASTRUCTURE death, not a budget breach or code
+# defect: shuffle temp files deleted out from under the subprocess (the
+# round-6 judge run reproduced temp_shuffle_* vanishing under
+# /tmp/blockmgr-* mid-suite). spark.local.dir now points at a
+# workspace-owned dir (session.py:_workspace_local_dir) so this class
+# should be extinct; the retry is the second line of defense — one
+# retry, and only when the signature matches, so a genuine crash still
+# fails fast.
+_INFRA_SIGNATURES = (
+    "temp_shuffle_",
+    "blockmgr-",
+    "java.io.FileNotFoundException",
+)
+
+
 def _run_bench(
     queries: list[str] | None,
     out_path: str,
     runs: int = 2,
     all_only: bool = False,
+    _attempt: int = 0,
 ) -> dict:
     """One fresh-JVM bench subprocess over `queries` (base + matching
     sf1 section), or — with ``all_only`` — the full-registry timing
     pass alone; returns the full payload. Full subprocess stdout and
     stderr are persisted next to `out_path` so a failed run is
     diagnosable (pytest's assert truncates the middle of long blobs —
-    exactly where the JVM's root exception lives)."""
+    exactly where the JVM's root exception lives). A failure whose
+    stderr carries an infra signature (reaped shuffle temp files) is
+    retried once before failing the gate."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=_BASE,
@@ -125,10 +143,19 @@ def _run_bench(
     for suffix, blob in (("stdout", proc.stdout), ("stderr", proc.stderr)):
         with open(f"{out_path}.{suffix}", "w") as f:
             f.write(blob)
-    assert proc.returncode == 0, (
-        f"bench subprocess failed (full logs: {out_path}.stdout/.stderr): "
-        f"{proc.stderr[-2000:]}"
-    )
+    if proc.returncode != 0:
+        infra = any(sig in (proc.stderr or "") for sig in _INFRA_SIGNATURES)
+        if infra and _attempt == 0:
+            return _run_bench(
+                queries, out_path + ".retry", runs=runs,
+                all_only=all_only, _attempt=1,
+            )
+        assert proc.returncode == 0, (
+            f"bench subprocess failed"
+            f"{' (after one infra retry)' if _attempt else ''} "
+            f"(full logs: {out_path}.stdout/.stderr): "
+            f"{proc.stderr[-2000:]}"
+        )
     with open(out_path) as f:
         return json.load(f)
 
