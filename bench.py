@@ -193,6 +193,14 @@ TOP_N_STDOUT = 24
 # statistic for fixed work on a warm JVM; the per-run spread is kept in
 # BENCH_FULL so the noise stays visible, not hidden).
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+# Adaptive escalation (VERDICT r6 item 2): best-of-2 does not survive a
+# contended box — BENCH_r06's driver artifact carried 6.3x run-to-run
+# spreads and a +21% phantom total regression on untouched code. When
+# the runs so far disagree by more than DISAGREE_RATIO, the query gets
+# up to MAX_EXTRA_RUNS more measurements before taking the min: genuine
+# cost reproduces in every run, a contention spike does not.
+DISAGREE_RATIO = 1.5
+MAX_EXTRA_RUNS = 2
 # Slope denominators below this are overhead-dominated; the scaling gate
 # (tests/test_scaling_sf1.py) and the bench share this floor so the two
 # can never disagree on what a slope IS (VERDICT r04 item 6).
@@ -220,14 +228,48 @@ def time_query(fn, spark, sf_dir: str, runs: int = RUNS):
     re-executes from the parquet source — Spark reuses nothing across
     separate actions on freshly-built DataFrames, so repeated runs
     measure the same work; only OS page cache and JIT state are warm,
-    which is exactly the steady state the bench wants."""
+    which is exactly the steady state the bench wants.
+
+    Contention escalation: when the runs disagree by more than
+    DISAGREE_RATIO (max/min), up to MAX_EXTRA_RUNS additional runs are
+    taken before reporting the min — a contended box inflates SOME runs,
+    so the min over more samples converges on the true cost while a
+    genuine regression reproduces in all of them."""
     all_runs: list[float] = []
     n = 0
     for _ in range(runs):
         start = time.perf_counter()
         n = fn(spark, sf_dir).count()
         all_runs.append(round(time.perf_counter() - start, 4))
+    extra = 0
+    while (
+        runs > 1
+        and extra < MAX_EXTRA_RUNS
+        and max(all_runs) > min(all_runs) * DISAGREE_RATIO
+    ):
+        start = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        all_runs.append(round(time.perf_counter() - start, 4))
+        extra += 1
     return min(all_runs), all_runs, n
+
+
+def micro_task_sec(spark) -> float:
+    """Fixed-work JVM micro-task (sum over a 200M range, no I/O): its
+    wall time is a pure contention probe — identical work every round,
+    so artifact-to-artifact drift in this number measures the BOX, not
+    the code. Published in the contention index so a judge comparing
+    BENCH_r{N} totals across rounds can normalize out machine load."""
+    start = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id % 7) as s").collect()
+    return round(time.perf_counter() - start, 4)
+
+
+def _p90(values: list[float]) -> float:
+    if not values:
+        return 0.0
+    s = sorted(values)
+    return s[min(len(s) - 1, int(0.9 * (len(s) - 1) + 0.999))]
 
 
 
@@ -349,6 +391,8 @@ def main() -> None:
     nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).groupBy(
         "r_name"
     ).count().collect()
+    micro_task_sec(spark)  # untimed codegen warm-up for the micro-task
+    micro_start = micro_task_sec(spark)
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -385,12 +429,14 @@ def main() -> None:
         if sf1_dir:
             sf1_timings: dict[str, float] = {}
             sf1_rows: dict[str, int] = {}
+            sf1_spreads: dict[str, list[float]] = {}
             heavy_set = [
                 n for n in HEAVY if n in specs and (not extra or n in names)
             ]
             for name in heavy_set:
                 best, all_runs, n = time_query(specs[name].fn, spark, sf1_dir)
                 sf1_timings[name], sf1_rows[name] = best, n
+                sf1_spreads[name] = all_runs
                 print(
                     f"# sf1 {name}: {best:.3f}s {all_runs} ({n} rows)",
                     file=sys.stderr,
@@ -399,6 +445,7 @@ def main() -> None:
                 "sf": sf * 10,
                 "queries": sf1_timings,
                 "rows": sf1_rows,
+                "spread": sf1_spreads,
                 "total": round(sum(sf1_timings.values()), 4),
                 "slope_vs_base": {
                     n: round(sf1_timings[n] / timings[n], 2)
@@ -489,6 +536,30 @@ def main() -> None:
         if allq_errors:
             full_payload["all_queries"]["errors"] = allq_errors
 
+    # Contention index (VERDICT r6 item 2): BENCH artifacts from a
+    # contended box are otherwise indistinguishable from regressions —
+    # r6's driver artifact read +21% on code whose clean-machine run was
+    # flat. Two machine-load signals ride every artifact:
+    #   spread_p90 — p90 over per-query max/min run ratios (identical
+    #     work per run, so ratio >> 1 means the box, not the code);
+    #   micro_sec_start/end — fixed JVM-only micro-task timed before and
+    #     after the measured sections (cross-round comparable: the work
+    #     never changes).
+    ratios = [
+        max(r) / min(r)
+        for r in list(spreads.values())
+        + (list(sf1_spreads.values()) if "sf1" in full_payload else [])
+        if r and min(r) > 0
+    ]
+    full_payload["contention"] = {
+        "spread_p90": round(_p90(ratios), 3),
+        "spread_max": round(max(ratios), 3) if ratios else 0.0,
+        "micro_sec_start": micro_start,
+        "micro_sec_end": micro_task_sec(spark),
+        "disagree_ratio": DISAGREE_RATIO,
+        "max_extra_runs": MAX_EXTRA_RUNS,
+    }
+
     emit(full_payload)
 
 
@@ -538,6 +609,14 @@ def compact_line(full_payload: dict) -> str:
             "total": a["total"],
             "max": a["max_name"],
             "max_sec": round(a["max_sec"], 2),
+        }
+    if "contention" in full_payload:
+        c = full_payload["contention"]
+        # machine-load signals on stdout so the driver's tail capture
+        # records whether this artifact's totals are comparable
+        payload["contention"] = {
+            "spread_p90": c["spread_p90"],
+            "micro_sec": c["micro_sec_end"],
         }
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > STDOUT_BUDGET and payload["queries"]:

@@ -323,6 +323,14 @@ def test_bench_stdout_budget():
             "max_sec": 123.4567,
             "queries": {},
         },
+        "contention": {
+            "spread_p90": 99.999,
+            "spread_max": 99.999,
+            "micro_sec_start": 123.4567,
+            "micro_sec_end": 123.4567,
+            "disagree_ratio": 1.5,
+            "max_extra_runs": 2,
+        },
     }
     line = bench.compact_line(payload)
     assert len(line) <= bench.STDOUT_BUDGET, len(line)
@@ -332,6 +340,7 @@ def test_bench_stdout_budget():
     assert parsed["sf1"]["slope_vs_base"]
     assert parsed["sf1"]["out_norm"]["dedup_containment"] == 99.999
     assert parsed["allq"]["n"] == 270 and parsed["allq"]["max_sec"] == 123.46
+    assert parsed["contention"]["spread_p90"] == 99.999
     assert len(parsed["queries"]) > 0
 
 
@@ -534,3 +543,33 @@ def test_spark_local_dir_is_workspace_owned(spark):
     assert local_dir, "spark.local.dir unset — shuffle scratch is on /tmp"
     assert not local_dir.rstrip("/").startswith("/tmp"), local_dir
     assert os.path.isdir(local_dir), local_dir
+
+
+def test_bench_time_query_contention_escalation():
+    """VERDICT r6 item 2: when best-of-2 disagrees by more than
+    DISAGREE_RATIO, time_query must take up to MAX_EXTRA_RUNS more
+    samples before reporting the min; when runs agree, it must not."""
+    import time as _time
+
+    import bench
+
+    class _FakeDF:
+        def __init__(self, sleeps):
+            self._sleeps = sleeps
+
+        def count(self):
+            _time.sleep(self._sleeps.pop(0))
+            return 1
+
+    # one contention spike then steady: 2 base runs disagree 6x -> escalate
+    spiky = [0.3, 0.05, 0.05, 0.05]
+    best, runs, n = bench.time_query(
+        lambda s, d: _FakeDF(spiky), None, "", runs=2
+    )
+    assert len(runs) == 2 + bench.MAX_EXTRA_RUNS, runs
+    assert best == min(runs) and n == 1
+
+    # steady runs: no escalation
+    steady = [0.05, 0.05]
+    _, runs2, _ = bench.time_query(lambda s, d: _FakeDF(steady), None, "", runs=2)
+    assert len(runs2) == 2, runs2
