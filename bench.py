@@ -149,6 +149,9 @@ HEADLINE = [
     "sample_epoch_repetition",
     "text_quality_classifier",
     "multimodal_raw_frame_stats",
+    "events_bloom_membership_rollup",
+    "sketch_cms_heavy_hitters",
+    "split_leakage_safe",
 ]
 
 
@@ -179,6 +182,13 @@ HEAVY = [
     "spatial_grid_neighbors",
     "corpus_boilerplate_removal",
     "spatial_dbscan_grid",
+    # round-6 newcomers under the slope gate (VERDICT r6 item 4): the
+    # sketch family's shuffle is bounded by sketch geometry so slopes
+    # should stay ~linear-in-scan; split_leakage_safe rides the LSH+CC
+    # pair machinery, the heaviest new pipeline query.
+    "events_bloom_membership_rollup",
+    "sketch_cms_heavy_hitters",
+    "split_leakage_safe",
 ]
 # stdout-line budget: the driver tail-captures 2000 bytes of stdout, so
 # the one-line JSON must stay under this (full detail goes to the file)

@@ -51,6 +51,11 @@ _BASE = "/root/testdata/sf0.1"
 # isolated re-measurements, which is what these budgets bound.
 # r5 measured: triangles 7.2-8.1, pagerank 3.4-4.3, kcore 2.9-3.1,
 # bfs 2.33, pq 2.29, minhash 2.24, ivfpq 2.05, everything else <= 2.2.
+# r7 newcomers (VERDICT r6 item 4) measured in a fresh JVM:
+# events_bloom_membership_rollup 0.90, sketch_cms_heavy_hitters 1.06,
+# split_leakage_safe 1.03 — all near-flat (sketch shuffles are bounded
+# by sketch geometry, not rows; split reuses the capped CC pair list),
+# so the 4.0 default budget already bounds them at ~4x measured.
 _DEFAULT_BUDGET = 4.0
 _BUDGETS = {
     # wedge/iteration work genuinely grows faster than rows on the
