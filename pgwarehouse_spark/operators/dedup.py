@@ -215,7 +215,7 @@ def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB-side shingles (list_zip with shifted slices; zip pads with NULL
 # so trailing partial grams drop out via the IS NOT NULL filter).
-_SQL_SHINGLES = r"""
+SQL_SHINGLES = r"""
     words AS (
       SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w FROM documents
     ),
@@ -230,7 +230,7 @@ _SQL_SHINGLES = r"""
 """
 
 _SQL_EXACT_JACCARD = f"""
-    WITH {_SQL_SHINGLES},
+    WITH {SQL_SHINGLES},
     pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -478,7 +478,7 @@ _DELTA_MOD = 5
 _DELTA_REM = 3
 
 _SQL_INCREMENTAL_DELTA = f"""
-    WITH {_SQL_SHINGLES},
+    WITH {SQL_SHINGLES},
     pairs AS (
       SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
              COUNT(*) AS n_shared
@@ -574,7 +574,7 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_INCREMENTAL_SURVIVORS = f"""
-    WITH {_SQL_SHINGLES},
+    WITH {SQL_SHINGLES},
     jac AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
@@ -628,7 +628,7 @@ def dedup_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     category="dedup",
     oracle=f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
+    WITH RECURSIVE {SQL_SHINGLES},
     p0 AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -842,7 +842,7 @@ def cluster_labels(
     "dedup_survivors",
     category="dedup",
     oracle=f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
+    WITH RECURSIVE {SQL_SHINGLES},
     p0 AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1309,7 +1309,7 @@ CONTAINMENT_THRESHOLD = 0.8
 CONTAINMENT_MAX_SHINGLE_FREQ = 128
 
 _SQL_CONTAINMENT = f"""
-    WITH {_SQL_SHINGLES},
+    WITH {SQL_SHINGLES},
     kept AS (
       SELECT sh.doc_id, sh.s FROM sh
       JOIN (SELECT s FROM sh GROUP BY s
@@ -1400,7 +1400,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_ngram_novelty",
     category="text",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
+    WITH {SQL_SHINGLES},
     firsts AS (
       SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
     )

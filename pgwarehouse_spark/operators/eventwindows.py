@@ -3055,25 +3055,21 @@ def events_bloom_membership_rollup(
     hj = F.explode(
         F.array(
             *[
-                F.struct(
-                    (
-                        (F.lit(a) * F.col("user_id") + F.lit(b))
-                        % _BF_P
-                        % _BF_M
-                    ).alias("pos")
+                (
+                    (F.lit(a) * F.col("user_id") + F.lit(b)) % _BF_P % _BF_M
                 )
                 for _, a, b in _BF_HASHES
             ]
         )
-    ).alias("h")
+    ).alias("pos")
     pp = probes.select("week_start", "user_id", "is_member", hj).select(
         "week_start",
         "user_id",
         "is_member",
-        F.expr(f"h.pos DIV {_BF_WORD_BITS}").alias("word"),
+        F.expr(f"pos DIV {_BF_WORD_BITS}").alias("word"),
         F.expr(
             f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(h.pos % {_BF_WORD_BITS} AS INT))"
+            f"CAST(pos % {_BF_WORD_BITS} AS INT))"
         ).alias("mask"),
     )
     hit = F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0

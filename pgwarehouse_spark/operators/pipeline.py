@@ -18,8 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h13
+from ..functions.vector import sql_cosine_fixed as _semcon_cos
 from ..registry import register
 from ._helpers import dsum, t
+from .dedup import (
+    COSINE_MAX_VECTORS as _SEMCON_MV,
+    JACCARD_THRESHOLD as _LS_JT,
+    SQL_SHINGLES as _LS_SHINGLES,
+    cluster_labels as _ls_cluster_labels,
+)
 from .textstats import GOPHER_FEAT_SQL, fingerprint_expr, gopher_flags, token_count
 
 PACK_BUDGET = 512  # tokens per packed sequence bin
@@ -1481,9 +1489,6 @@ _SEMCON_TEST_MOD = 10
 _SEMCON_THRESHOLD = 0.4
 
 
-from .dedup import COSINE_MAX_VECTORS as _SEMCON_MV
-from ..functions.vector import sql_cosine_fixed as _semcon_cos
-
 _SEMCON_COS = _semcon_cos("t.embedding", "r.embedding")
 
 
@@ -1699,12 +1704,6 @@ def sample_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Leakage-safe train/test split
 
-from .dedup import (  # noqa: E402  (oracle shares the dedup shingle CTE)
-    JACCARD_THRESHOLD as _LS_JT,
-    _SQL_SHINGLES as _LS_SHINGLES,
-    cluster_labels as _ls_cluster_labels,
-)
-
 _SQL_SPLIT_LEAKAGE_SAFE = f"""
     WITH RECURSIVE {_LS_SHINGLES},
     p0 AS (
@@ -1790,15 +1789,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pairs from its own closure."""
     labels, pairs = _ls_cluster_labels(spark, sf_dir, with_pairs=True)
     split = F.when(
-        F.conv(
-            F.substring(
-                F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 13
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10
-        < 8,
+        h13(F.col("cluster_id").cast("string")) % 10 < 8,
         F.lit("train"),
     ).otherwise(F.lit("test"))
     assign = labels.select("doc_id", "cluster_id", split.alias("split"))

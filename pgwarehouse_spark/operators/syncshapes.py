@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_int64
 from ..registry import register
 from ._helpers import t
 
@@ -41,9 +42,7 @@ def canon_row_digest(*components) -> F.Column:
     canon = F.concat_ws(
         "|", *[F.coalesce(c, F.lit("<NULL>")) for c in components]
     )
-    return F.conv(F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    return md5_int64(canon, 15)
 
 
 def canon_float_component(col: F.Column) -> F.Column:

@@ -112,11 +112,12 @@ def parse_schema_text(text: str, table: str | None = None) -> dict:
 
 def _csv_read_type(pg_type: str) -> T.DataType:
     """The type Spark's CSV reader can PARSE for a pg column. Arrays
-    arrive as ``{a,b}`` literals and booleans as ``t``/``f`` — neither
-    is CSV-parseable as its Spark type, so both stage as string and are
-    repaired by :func:`_cast_on_load` (cast-on-load projection, A9)."""
+    arrive as ``{a,b}`` literals, booleans as ``t``/``f``, and bytea as
+    ``\\x…`` hex — none is CSV-parseable as its Spark type (Spark's CSV
+    source rejects BinaryType outright), so they stage as string and
+    are repaired by :func:`_cast_on_load` (cast-on-load projection, A9)."""
     dt = pg_type_to_spark(pg_type)
-    if isinstance(dt, (T.ArrayType, T.BooleanType)):
+    if isinstance(dt, (T.ArrayType, T.BooleanType, T.BinaryType)):
         return T.StringType()
     return dt
 
@@ -158,6 +159,12 @@ def _cast_on_load(df: DataFrame, columns: "OrderedDict[str, str]") -> DataFrame:
             )
         elif isinstance(dt, T.ArrayType):
             out.append(_pg_array_column(name, dt.elementType))
+        elif isinstance(dt, T.BinaryType):
+            # pg bytea default output is hex ('\x0102fe'); unhex the
+            # payload after stripping the \x marker
+            out.append(
+                F.unhex(F.regexp_replace(F.col(name), r"^\\x", "")).alias(name)
+            )
         else:
             out.append(F.col(name))
     return df.select(*out)

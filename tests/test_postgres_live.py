@@ -114,6 +114,36 @@ SELECT md5(i::text)::uuid,
        i % 2 = 0,
        TIMESTAMPTZ '2024-06-01 12:00:00+00' + (i || ' days')::interval
 FROM generate_series(1, 20) AS i;
+
+-- full SURVEY §1.3 type matrix (VERDICT r6 task 6), incl. a
+-- composite PK with a quoted mixed-case identifier
+CREATE TABLE type_matrix (
+    id integer NOT NULL,
+    "Mixed Case" smallint NOT NULL,
+    c_smallint smallint,
+    c_real real,
+    c_double double precision,
+    c_numeric numeric(10,3),
+    c_numeric_free numeric,
+    c_char character(5),
+    c_varchar varchar(20),
+    c_date date,
+    c_time time,
+    c_timetz time with time zone,
+    c_ts timestamp without time zone,
+    c_tstz timestamptz,
+    c_interval interval,
+    c_bytea bytea,
+    PRIMARY KEY (id, "Mixed Case")
+);
+INSERT INTO type_matrix VALUES
+ (1, 7, 3, 1.5, 2.25, 123.456, 9.87654321,
+  'abc', 'varchar val', DATE '2024-02-29', TIME '13:14:15',
+  TIME WITH TIME ZONE '13:14:15+02', TIMESTAMP '2024-03-01 06:07:08',
+  TIMESTAMPTZ '2024-03-01 06:07:08+00', INTERVAL '1 day 02:03:04',
+  '\\x0102fe'::bytea),
+ (2, 8, NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
 """
 
 
@@ -228,7 +258,7 @@ def test_live_discovery(source):
     assert source.exists(None, "my_orders")
     assert not source.exists(None, "nonexistent")
     assert set(source.list_tables()) == {
-        "users10", "my_orders", "local_parks", "gadgets"
+        "users10", "my_orders", "local_parks", "gadgets", "type_matrix"
     }
 
 
@@ -545,3 +575,80 @@ def test_live_embedded_newlines_and_empty_strings(pg_server, spark, tmp_path):
     assert got[5] == "plain"
     assert got[40] == "bulk\n40"
     _psql(pg_server, "DROP TABLE tricky")
+
+
+# ---- full SURVEY §1.3 type matrix, live from real `\d` output ----
+# (VERDICT r6 task 6: mirrors tests/test_jdbc_pg_types.py but the type
+# names come from a real server's psql scrape, and the values ride the
+# actual \copy → CSV → cast-on-load pipeline end-to-end.)
+
+_TYPE_MATRIX_EXPECTED = [
+    # (column as the SOURCE reports it — raw spelling; the engine
+    # sanitizes at warehouse-load time, covered by
+    # test_live_reserved_word_table_syncs — `\d` type name, Spark
+    # type, nullable)
+    ("id", "integer", T.IntegerType(), False),
+    ("Mixed Case", "smallint", T.ShortType(), False),
+    ("c_smallint", "smallint", T.ShortType(), True),
+    ("c_real", "real", T.FloatType(), True),
+    ("c_double", "double precision", T.DoubleType(), True),
+    ("c_numeric", "numeric(10,3)", T.DecimalType(10, 3), True),
+    ("c_numeric_free", "numeric", T.DecimalType(38, 18), True),
+    ("c_char", "character(5)", T.StringType(), True),
+    ("c_varchar", "character varying(20)", T.StringType(), True),
+    ("c_date", "date", T.DateType(), True),
+    ("c_time", "time without time zone", T.StringType(), True),
+    ("c_timetz", "time with time zone", T.StringType(), True),
+    ("c_ts", "timestamp without time zone", T.TimestampType(), True),
+    ("c_tstz", "timestamp with time zone", T.TimestampType(), True),
+    ("c_interval", "interval", T.StringType(), True),
+    ("c_bytea", "bytea", T.BinaryType(), True),
+]
+
+
+@pytest.mark.parametrize(
+    "col,pg_name,spark_type,nullable",
+    _TYPE_MATRIX_EXPECTED,
+    ids=[c for c, *_ in _TYPE_MATRIX_EXPECTED],
+)
+def test_live_type_matrix_schema(source, col, pg_name, spark_type, nullable):
+    """Every §1.3 type's `\\d` spelling and typemap translation, from a
+    real server (composite quoted-identifier PK drives the two
+    nullable=False rows)."""
+    info = source.schema_info("type_matrix")
+    assert info["columns"][col] == pg_name
+    schema = source.spark_schema("type_matrix")
+    assert schema[col].dataType == spark_type, col
+    assert schema[col].nullable is nullable, col
+    assert info["primary_key_cols"] == ["id", "Mixed Case"]
+
+
+def test_live_type_matrix_values_roundtrip(pg_server, spark, source):
+    """The matrix's VALUES through the live \\copy → gzip CSV →
+    cast-on-load pipeline: typed fidelity plus NULL propagation."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    rows = {r["id"]: r for r in source.read(spark, "type_matrix").collect()}
+    assert len(rows) == 2
+    r = rows[1]
+    assert r["Mixed Case"] == 7 and r["c_smallint"] == 3
+    assert r["c_real"] == 1.5 and r["c_double"] == 2.25
+    assert r["c_numeric"] == Decimal("123.456")
+    assert r["c_numeric_free"] == Decimal("9.87654321")
+    assert r["c_char"].rstrip() == "abc"  # char(5) space padding
+    assert r["c_varchar"] == "varchar val"
+    assert r["c_date"] == date(2024, 2, 29)
+    assert r["c_time"] == "13:14:15"
+    assert r["c_timetz"] == "13:14:15+02"
+    assert r["c_ts"] == datetime(2024, 3, 1, 6, 7, 8)
+    # session + server are both UTC, so tstz round-trips to the same
+    # wall-clock instant as the naive timestamp
+    assert r["c_tstz"] == r["c_ts"]
+    assert r["c_interval"] == "1 day 02:03:04"
+    assert bytes(r["c_bytea"]) == b"\x01\x02\xfe"
+    n = rows[2]
+    for c, *_ in _TYPE_MATRIX_EXPECTED:
+        if c in ("id", "Mixed Case"):
+            continue
+        assert n[c] is None, f"{c} should be NULL"

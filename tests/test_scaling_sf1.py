@@ -258,6 +258,8 @@ _ALLQ_CEILING_SEC = 30.0
 def test_full_registry_timing_ceiling(tmp_path):
     from pgwarehouse_spark.registry import all_queries
 
+    from tests.timing_gate import timing_ceiling_violations
+
     if not os.path.isdir("/root/testdata/sf0.01"):
         pytest.skip("sf0.01 not present")
     out = tmp_path / "bench_allq.json"
@@ -272,3 +274,42 @@ def test_full_registry_timing_ceiling(tmp_path):
         f"registered queries exceeded the {_ALLQ_CEILING_SEC}s single-run "
         f"ceiling at sf0.01: {over}"
     )
+    # Ratcheted per-query ceilings (VERDICT r6 item 5): the 30s absolute
+    # ceiling above catches order-of-magnitude blowups; the snapshot
+    # ceilings catch constant-factor ones — each query must stay under
+    # max(2x its recorded clean-run floor, 5s). Regenerate floors after
+    # intentional cost changes: python tests/update_timing_snapshot.py
+    with open(os.path.join(_REPO, "tests", "timing_snapshot.json")) as f:
+        floors = json.load(f)["floors"]
+    violations, unsnapshotted = timing_ceiling_violations(timings, floors)
+    assert not unsnapshotted, (
+        f"queries missing from tests/timing_snapshot.json (run "
+        f"tests/update_timing_snapshot.py to ratchet them in): "
+        f"{unsnapshotted}"
+    )
+    assert not violations, (
+        f"per-query timing ceiling exceeded (2x snapshot floor, min 5s) "
+        f"at sf0.01: {violations}"
+    )
+
+
+def test_timing_ceiling_red_path():
+    """The gate logic itself must fail a deliberately-slowed query and
+    flag an unsnapshotted one (VERDICT r6 item 5's demonstration)."""
+    from tests.timing_gate import ABS_FLOOR_SEC, timing_ceiling_violations
+
+    floors = {"fast_q": 0.2, "heavy_q": 4.0}
+    timings = {
+        "fast_q": ABS_FLOOR_SEC - 0.1,  # jitter on a tiny query: OK
+        "heavy_q": 9.0,  # 2.25x its 4s floor: a real regression
+        "brand_new_q": 0.1,  # not in the snapshot: must be flagged
+    }
+    violations, unsnapshotted = timing_ceiling_violations(timings, floors)
+    assert list(violations) == ["heavy_q"]
+    assert violations["heavy_q"]["ceiling"] == 8.0
+    assert unsnapshotted == ["brand_new_q"]
+
+    # and a slowed SMALL query is still caught once it clears the
+    # absolute jitter floor
+    v2, _ = timing_ceiling_violations({"fast_q": 5.5}, floors)
+    assert list(v2) == ["fast_q"]
