@@ -404,9 +404,17 @@ def _jpeg_end(buf: bytes, pos: int, end: int) -> int | None:
                 if buf[q] == 0xFF and buf[q + 1] != 0x00 and not (
                     0xD0 <= buf[q + 1] <= 0xD7
                 ):
-                    return q + 2 if buf[q + 1] == 0xD9 else None
+                    if buf[q + 1] == 0xD9:
+                        return q + 2
+                    # progressive frames carry multiple scans: resume
+                    # the marker walk at the between-scan marker
+                    # (DHT/SOS/…) instead of rejecting the frame
+                    break
                 q += 1
-            return None
+            else:
+                return None
+            p = q
+            continue
         p += seglen
     return None
 
@@ -1620,6 +1628,100 @@ def multimodal_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for _c in range(3)
                     )
                     jpegs.append(encode_baseline_jpeg(rgb, W_, H_))
+                rows.append((
+                    k,
+                    "video",
+                    build_mp4_container(
+                        W_, H_, 1000 * n, version=k % 2,
+                        frames=jpegs, codec="mjpeg",
+                    ),
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "modality", "payload"])
+
+    payloads = d.mapInPandas(
+        _payloads, schema="doc_id bigint, modality string, payload binary"
+    )
+    frames = sample_frames(payloads)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("frame_bytes").cast("int").alias("nb"),
+        F.conv(F.hex(F.expr("substring(frame_bytes, 1, 1)")), 16, 10)
+        .cast("int")
+        .alias("head_byte"),
+        F.conv(F.hex(F.expr("substring(frame_bytes, -1, 1)")), 16, 10)
+        .cast("int")
+        .alias("tail_byte"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_progressive_jpeg_stats",
+    category="multimodal",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id < 100
+    ),
+    f AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, CAST(n_frames - 1 AS INT))) AS frame_idx
+      FROM vid
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 1000 AS INT) AS ts_ms,
+           CAST(576 AS INT) AS nb,
+           CAST(((doc_id * 37 + frame_idx * 19) % 128) * 2 AS INT) AS head_byte,
+           CAST(((doc_id * 11 + frame_idx * 23) % 128) * 2 AS INT) AS tail_byte
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) decode end-to-end (VERDICT r6 task 8 — the
+    multi-scan sibling of `multimodal_mjpeg_frame_stats`): each frame is
+    ENCODED as a real progressive JPEG (jpegdec.encode_progressive_jpeg:
+    interleaved DC-first at Al=1, DC refinement scan, then one spectral
+    AC scan per component — five SOS segments per frame), concatenated
+    into an MJPEG-in-MP4 mdat, then `sample_frames`' MJPEG tier
+    marker-walks the multi-scan frames (the walk resumes after each
+    scan's entropy data) and the decoder accumulates coefficients
+    across scans before IDCT. head_byte/tail_byte are the first/last
+    DECODED pixel bytes, stated in closed form by the oracle — the DC
+    point transform drops bit 0 in scan 1 and the refinement scan must
+    restore it exactly, so an off-by-one anywhere in the successive-
+    approximation path shifts every decoded pixel and reds the gate.
+
+    Scale: identical contract to the baseline-MJPEG query — one
+    Arrow-batched mapInPandas pass builds payloads, a second decodes
+    only the SAMPLED frames; stats are JVM-side expressions."""
+    W_, H_ = 16, 12
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 100))
+        .select("doc_id")
+    )
+
+    def _payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegdec import encode_progressive_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id)
+                n = 2 + k % 3
+                jpegs = []
+                for i in range(n):
+                    e1 = ((k * 37 + i * 19) % 128) * 2
+                    e2 = ((k * 11 + i * 23) % 128) * 2
+                    rgb = bytes(
+                        (e1 if x < W_ // 2 else e2)
+                        for _y in range(H_)
+                        for x in range(W_)
+                        for _c in range(3)
+                    )
+                    jpegs.append(encode_progressive_jpeg(rgb, W_, H_))
                 rows.append((
                     k,
                     "video",
