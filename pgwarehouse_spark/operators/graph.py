@@ -415,39 +415,82 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_SLICE = 11  # every 11th order contributes edges — a sparse subgraph
+# pointer-jumping rounds for the oracle's unrolled HybridCC: distance
+# to each component's min label at least halves per round, so 24
+# rounds converge for any component up to ~2^24 nodes — far beyond any
+# test scale; the in-SQL convergence guard makes a too-small budget
+# fail LOUD (empty result -> row-count mismatch), never silently wrong
+_CC_ORACLE_ROUNDS = 24
+
+
+def _cc_hybrid_oracle(slice_: int, rounds: int = _CC_ORACLE_ROUNDS) -> str:
+    """Generated DuckDB oracle for connected components: unrolled
+    HybridCC (per round: neighbor-min, then pointer jump lbl := lbl's
+    lbl), O(E) work per round and O(E log V) total.
+
+    The natural WITH RECURSIVE transitive closure is O(V^2) rows on a
+    giant component — at sf0.1 this graph is one ~18.7k-node component,
+    whose closure is ~350M pairs and took DuckDB 40+ minutes and 30 GB
+    (the r7 two-sf artifact run caught it); the unrolled form answers
+    in ~2 s. Every CTE is MATERIALIZED: each round references the
+    previous one twice, so inlining would double the plan per round.
+    The final guard runs one extra neighbor-min step and EMPTIES the
+    result if any label would still improve."""
+    head = f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % {slice_} = 0
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS part FROM base),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS id1, b.l_partkey AS id2
+      FROM base a JOIN base b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT part, part AS lbl FROM nodes)"""
+    ctes = [head]
+    for i in range(rounds):
+        ctes.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT part, MIN(lbl) AS lbl FROM (
+        SELECT part, lbl FROM l{i}
+        UNION ALL
+        SELECT e.v AS part, l.lbl FROM l{i} l JOIN edges e ON l.part = e.u
+      ) GROUP BY part
+    ),
+    l{i + 1} AS MATERIALIZED (
+      SELECT a.part, x.lbl FROM a{i} a JOIN a{i} x ON a.lbl = x.part
+    )""")
+    last = f"l{rounds}"
+    ctes.append(f"""
+    extra AS MATERIALIZED (
+      SELECT part, MIN(lbl) AS lbl FROM (
+        SELECT part, lbl FROM {last}
+        UNION ALL
+        SELECT e.v AS part, l.lbl FROM {last} l JOIN edges e ON l.part = e.u
+      ) GROUP BY part
+    ),
+    unconverged AS MATERIALIZED (
+      SELECT COUNT(*) AS n FROM {last} l JOIN extra x
+        ON l.part = x.part AND l.lbl <> x.lbl
+    )""")
+    return ",".join(ctes) + f"""
+    SELECT part, lbl AS component_id,
+           COUNT(*) OVER (PARTITION BY lbl) AS component_size
+    FROM {last}
+    WHERE (SELECT n FROM unconverged) = 0
+    ORDER BY part
+    """
 
 
 @register(
     "graph_connected_components",
     category="graph",
-    oracle=f"""
-    WITH RECURSIVE base AS (
-      SELECT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey % {_CC_SLICE} = 0
-    ),
-    pairs AS (
-      SELECT DISTINCT a.l_partkey AS id1, b.l_partkey AS id2
-      FROM base a JOIN base b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    nodes AS (SELECT DISTINCT l_partkey AS part FROM base),
-    edges AS (
-      SELECT id1 AS u, id2 AS v FROM pairs
-      UNION ALL SELECT id2, id1 FROM pairs
-    ),
-    closure(a, b) AS (
-      SELECT part, part FROM nodes
-      UNION
-      SELECT c.a, e.v FROM closure c JOIN edges e ON c.b = e.u
-    ),
-    labeled AS (
-      SELECT a AS part, MIN(b) AS component_id FROM closure GROUP BY a
-    )
-    SELECT part, component_id,
-           COUNT(*) OVER (PARTITION BY component_id) AS component_size
-    FROM labeled
-    ORDER BY part
-    """,
+    oracle=_cc_hybrid_oracle(_CC_SLICE),
     doc="Connected components as a first-class graph query (the "
     "identity-stitching / entity-resolution primitive): parts linked by "
     "co-purchase within a sparse order slice, labeled with their "
@@ -455,7 +498,10 @@ _CC_SLICE = 11  # every 11th order contributes edges — a sparse subgraph
     "contraction dedup_clusters uses (Kiveris et al. 2014 — O(log²) "
     "rounds on chains and skewed stars, localCheckpoint-truncated "
     "lineage), with isolated nodes kept as singleton components. The "
-    "oracle replays the closure with DuckDB WITH RECURSIVE. Scale: "
+    "oracle replays the labeling with an unrolled HybridCC "
+    "(neighbor-min + pointer jumping, O(E log V) — the recursive "
+    "closure it replaced was O(V^2) on the sf0.1 giant component, "
+    "40+ min in DuckDB) with an in-SQL convergence guard. Scale: "
     "per-round shuffles are O(edges); the slice keeps the demo graph "
     "sparse, exactly the regime (many small components) where the "
     "min-label star contraction converges in a handful of rounds.",
