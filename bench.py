@@ -535,15 +535,37 @@ def main() -> None:
         and (all_only or (not extra and sf >= 0.1))
         and os.path.isdir(allq_dir)
     ):
+        # all-only mode honors SPARK_GRAFT_BENCH_QUERIES so the timing-
+        # ceiling gate can re-measure individual offenders in an
+        # isolated fresh JVM (same confirmation policy as the slope
+        # gates: a real constant-factor regression reproduces alone; a
+        # suite-contention artifact does not)
+        allq_restrict = {
+            n.strip()
+            for n in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+            if n.strip()
+        } if all_only else set()
         allq: dict[str, float] = {}
         allq_errors: dict[str, str] = {}
         for name, spec in sorted(specs.items()):
-            start = time.perf_counter()
+            if allq_restrict and name not in allq_restrict:
+                continue
             # one failing query must not destroy the whole artifact —
             # the headline/sf1 sections above already completed; errors
             # are recorded (and fail the ceiling gate's completeness
             # check) instead of crashing before emit()
             try:
+                if allq_restrict:
+                    # narrowed re-measurement (ceiling-gate retry): the
+                    # full pass measures queries mid-sequence with warm
+                    # shared codegen, so a single isolated run would
+                    # carry cold-compile cost the floors never saw —
+                    # best-of-RUNS measures the reproducible steady
+                    # state instead
+                    best, _, _ = time_query(spec.fn, spark, allq_dir)
+                    allq[name] = best
+                    continue
+                start = time.perf_counter()
                 spec.fn(spark, allq_dir).count()
             except Exception as exc:  # noqa: BLE001
                 allq_errors[name] = str(exc)[:200]
