@@ -300,16 +300,7 @@ def _decode_scan(buf, pos, frame, scan, qt, restart_interval):
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align()
-                # consume the RSTn marker
-                try:
-                    reader.bit()
-                    raise ValueError("expected restart marker")
-                except _MarkerHit as hit:
-                    if hit.marker is None or not (0xD0 <= hit.marker <= 0xD7):
-                        raise ValueError("bad restart marker")
-                    reader.pos += 1  # step past the marker byte
-                    reader.nbits = 0
+                _consume_restart(reader)
                 preds = [0] * len(comps)
             for ci, dc_tab, ac_tab in scan:
                 _cid, hf, vf, tq = comps[ci]
