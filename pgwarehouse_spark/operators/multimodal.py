@@ -401,7 +401,10 @@ def _jpeg_end(buf: bytes, pos: int, end: int) -> int | None:
         if m == 0xDA:  # SOS → entropy data follows the header
             q = p + seglen
             while q + 1 < end:
-                if buf[q] == 0xFF and buf[q + 1] != 0x00 and not (
+                # buf[q+1] == 0xFF is a legal T.81 fill byte before a
+                # marker, not a marker itself — keep walking (ADVICE r7;
+                # matches jpegdec._progressive_scan's next-marker search).
+                if buf[q] == 0xFF and buf[q + 1] not in (0x00, 0xFF) and not (
                     0xD0 <= buf[q + 1] <= 0xD7
                 ):
                     if buf[q + 1] == 0xD9:

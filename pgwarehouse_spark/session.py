@@ -29,14 +29,35 @@ def _workspace_local_dir() -> str:
     via SPARK_GRAFT_LOCAL_DIR; honored by every session this factory
     builds, which covers the test suite, bench.py, and the scaling
     gate's fresh-JVM subprocesses alike.
+
+    For a non-editable (site-packages) install the package-adjacent
+    directory may be read-only; fall back to cwd, then a tempdir, so
+    ``get_spark()`` never fails just because the install location is
+    not writable (ADVICE r7).
     """
-    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".spark-local",
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    candidates = (
+        [override]
+        if override
+        else [
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".spark-local",
+            ),
+            os.path.join(os.getcwd(), ".spark-local"),
+        ]
     )
-    d = os.path.abspath(d)
-    os.makedirs(d, exist_ok=True)
-    return d
+    for cand in candidates:
+        d = os.path.abspath(cand)
+        try:
+            os.makedirs(d, exist_ok=True)
+            if os.access(d, os.W_OK):
+                return d
+        except OSError:
+            continue
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="spark-graft-local-")
 
 
 def get_spark(

@@ -959,3 +959,22 @@ def test_jpeg_end_walks_multi_scan_frames():
     buf = prog + base
     assert _jpeg_end(buf, 0, len(buf)) == len(prog)
     assert _jpeg_end(buf, len(prog), len(buf)) == len(buf)
+
+
+def test_jpeg_end_skips_ff_fill_bytes_in_entropy_scan():
+    """T.81 permits 0xFF fill bytes before a marker: the entropy scan
+    must treat FF FF as padding (keep walking), not as a between-scan
+    marker whose 'length' is read from entropy bytes (ADVICE r7). Built
+    by splicing a legal fill byte in front of a frame's EOI."""
+    from pgwarehouse_spark.operators.jpegdec import encode_baseline_jpeg
+    from pgwarehouse_spark.operators.multimodal import _jpeg_end
+
+    rgb = bytes([100]) * (16 * 12 * 3)
+    base = encode_baseline_jpeg(rgb, 16, 12)
+    assert base.endswith(b"\xff\xd9")
+    padded = base[:-2] + b"\xff" + base[-2:]  # ... FF | FF D9
+    assert _jpeg_end(padded, 0, len(padded)) == len(padded)
+    # and concatenated frames still split at the right boundary
+    buf = padded + base
+    assert _jpeg_end(buf, 0, len(buf)) == len(padded)
+    assert _jpeg_end(buf, len(padded), len(buf)) == len(buf)

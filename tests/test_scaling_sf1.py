@@ -91,8 +91,16 @@ _OUTPUT_NORMALIZED_BUDGETS = {
 _INFRA_SIGNATURES = (
     "temp_shuffle_",
     "blockmgr-",
-    "java.io.FileNotFoundException",
 )
+
+
+def _is_infra_failure(stderr: str) -> bool:
+    """True only for the shuffle-reaper signature class. A bare
+    java.io.FileNotFoundException is NOT sufficient (ADVICE r7: it also
+    matches genuine code/data failures like a missing table path) — it
+    counts only when it co-occurs with a shuffle/blockmgr path on the
+    same run's stderr."""
+    return any(sig in stderr for sig in _INFRA_SIGNATURES)
 
 
 def _run_bench(
@@ -151,7 +159,7 @@ def _run_bench(
         with open(f"{out_path}.{suffix}", "w") as f:
             f.write(blob)
     if proc.returncode != 0:
-        infra = any(sig in (proc.stderr or "") for sig in _INFRA_SIGNATURES)
+        infra = _is_infra_failure(proc.stderr or "")
         if infra and _attempt == 0:
             return _run_bench(
                 queries, out_path + ".retry", runs=runs,
