@@ -1,20 +1,131 @@
 """Packaging parity (VERDICT r6 task 3; reference pyproject.toml:26-27
 exposes `pgwarehouse = pgwarehouse.__main__:main`). The full
-`pip install -e .` round-trip was proven manually in a clean
+`pip install -e .` round-trip was proven in a clean
 --system-site-packages venv (console script runs `queries` from /tmp,
-276 rows); these tests pin the pieces that make that work and stay
-fast/offline-safe: valid metadata, resolvable entry points, and a
-working `python -m pgwarehouse_spark`.
+277 rows); these tests pin the pieces that make that work plus the two
+live install round-trips (VERDICT r7 task 2): the PEP 660 path when the
+interpreter's tooling supports it (needs `wheel` or setuptools>=70,
+loudly skipped otherwise), and the `setup.py develop` fallback that
+works on this container's wheel-less default interpreter.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
 import sys
 import tomllib
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _editable_tooling_available() -> bool:
+    """PEP 660 editable metadata generation under setuptools<70 shells
+    out to bdist_wheel, which lives in the `wheel` package; setuptools
+    70+ ships it built-in. Offline build isolation cannot fetch either,
+    so the real `pip install -e .` only works when one is present."""
+    try:
+        import wheel  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    try:
+        import setuptools
+
+        return int(setuptools.__version__.split(".")[0]) >= 70
+    except Exception:
+        return False
+
+
+def _fresh_src_tree(tmp_path) -> str:
+    """Copy just the installable pieces to a scratch dir so install
+    side effects (egg-info, build/) never land in the repo."""
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    for f in ("pyproject.toml", "setup.py", "README.md"):
+        shutil.copy(os.path.join(_REPO, f), src)
+    shutil.copytree(
+        os.path.join(_REPO, "pgwarehouse_spark"),
+        os.path.join(src, "pgwarehouse_spark"),
+        ignore=shutil.ignore_patterns("__pycache__"),
+    )
+    return src
+
+
+def _make_venv(tmp_path) -> str:
+    venv_dir = os.path.join(str(tmp_path), "venv")
+    proc = subprocess.run(
+        [sys.executable, "-m", "venv", "--system-site-packages", venv_dir],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    return venv_dir
+
+
+def _assert_console_script_works(venv_dir: str) -> None:
+    script = os.path.join(venv_dir, "bin", "pgwarehouse-spark")
+    assert os.path.exists(script), "console script not installed"
+    proc = subprocess.run(
+        [script, "--help"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/tmp",
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    assert "sync" in proc.stdout and "queries" in proc.stdout
+
+
+def test_pip_editable_install_roundtrip(tmp_path):
+    """The real `pip install -e .` in a clean venv, when the tooling
+    can do PEP 660 offline. On an interpreter without `wheel` and with
+    setuptools<70 this skips LOUDLY — that environment is covered by
+    the `setup.py develop` fallback test below (README 'Install')."""
+    if not _editable_tooling_available():
+        pytest.skip(
+            "pip install -e . needs the `wheel` package or setuptools>=70 "
+            "(PEP 660 editable builds); this interpreter has neither — "
+            "covered by test_setup_py_develop_fallback_roundtrip"
+        )
+    src = _fresh_src_tree(tmp_path)
+    venv_dir = _make_venv(tmp_path)
+    proc = subprocess.run(
+        [
+            os.path.join(venv_dir, "bin", "pip"),
+            "install", "-e", src,
+            "--no-build-isolation", "--no-index", "-q",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    _assert_console_script_works(venv_dir)
+
+
+def test_setup_py_develop_fallback_roundtrip(tmp_path):
+    """The documented fallback for wheel-less interpreters (this
+    container's pyenv default): `python setup.py develop` needs only
+    setuptools, and must yield working console scripts."""
+    src = _fresh_src_tree(tmp_path)
+    venv_dir = _make_venv(tmp_path)
+    proc = subprocess.run(
+        [os.path.join(venv_dir, "bin", "python"), "setup.py", "develop", "-q"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=src,
+    )
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-2000:]
+    # install side effects must stay inside the venv/source scratch dirs
+    assert not os.path.exists(os.path.join(_REPO, "pgwarehouse_spark.egg-info"))
+    _assert_console_script_works(venv_dir)
 
 
 def _pyproject() -> dict:
