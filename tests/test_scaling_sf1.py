@@ -79,6 +79,38 @@ _OUTPUT_NORMALIZED_BUDGETS = {
     "spatial_grid_neighbors": 2.0,
 }
 
+# Trend ratchet on top of the absolute budgets (VERDICT r7 task 4):
+# containment's per-pair ratio doubled r6->r7 (0.075 -> 0.122 clean)
+# while staying 16x under the 2.0 budget — a second doubling should
+# fail BEFORE it matters. tests/out_norm_trend.json records the clean
+# measurement per round; the gate bounds the current measurement at
+# _TREND_FACTOR x the last recorded value. Append the current round's
+# measurement with SPARK_GRAFT_RECORD_TREND=1 (plus SPARK_GRAFT_ROUND).
+_TREND_FACTOR = 1.5
+_TREND_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "out_norm_trend.json")
+
+
+def _trend_last(name: str) -> float | None:
+    with open(_TREND_PATH) as f:
+        trend = json.load(f)
+    hist = trend.get(name) or []
+    return hist[-1]["ratio"] if hist else None
+
+
+def _trend_record(name: str, ratio: float) -> None:
+    with open(_TREND_PATH) as f:
+        trend = json.load(f)
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", "0"))
+    hist = trend.setdefault(name, [])
+    if hist and hist[-1]["round"] == rnd:
+        hist[-1]["ratio"] = round(ratio, 4)
+    else:
+        hist.append({"round": rnd, "ratio": round(ratio, 4)})
+    with open(_TREND_PATH, "w") as f:
+        json.dump(trend, f, indent=2)
+        f.write("\n")
+
 
 # stderr signatures of INFRASTRUCTURE death, not a budget breach or code
 # defect: shuffle temp files deleted out from under the subprocess (the
@@ -227,7 +259,11 @@ def test_output_bound_queries_sublinear_per_pair(heavy_payload, tmp_path):
     replica, assert wall-per-result-pair, not wall. Measured, not
     argued: a regression that makes containment superlinear in its
     OUTPUT (e.g. losing the inverted-index join for all-pairs) raises
-    per-pair cost by orders of magnitude and fails here."""
+    per-pair cost by orders of magnitude and fails here. On top of the
+    absolute budget, a trend ratchet (VERDICT r7 task 4) bounds the
+    measurement at 1.5x the last round's recorded clean value in
+    tests/out_norm_trend.json, so a slow round-over-round drift fails
+    while still far under the absolute budget."""
     norm = heavy_payload["sf1"].get("output_normalized", {})
     failures = {}
     for name, budget in _OUTPUT_NORMALIZED_BUDGETS.items():
@@ -238,7 +274,10 @@ def test_output_bound_queries_sublinear_per_pair(heavy_payload, tmp_path):
         )
         assert entry["sf1_rows"] > entry["base_rows"] > 0, entry
         ratio = entry["per_row_cost_ratio"]
-        if ratio > budget:
+        last = _trend_last(name)
+        trend_cap = _TREND_FACTOR * last if last is not None else budget
+        effective = min(budget, trend_cap)
+        if ratio > effective:
             # best-of-3 fresh-JVM confirmation, same policy as the wall gate
             retries = []
             for r in range(3):
@@ -247,10 +286,45 @@ def test_output_bound_queries_sublinear_per_pair(heavy_payload, tmp_path):
                     p["sf1"]["output_normalized"][name]["per_row_cost_ratio"]
                 )
             ratio = min(retries)
-        if ratio > budget:
+        if ratio > effective:
             failures[name] = {"per_pair_ratio": ratio, "budget": budget,
+                              "trend_cap": round(trend_cap, 4),
                               "detail": entry}
-    assert not failures, f"output-normalized superlinearity: {failures}"
+        elif os.environ.get("SPARK_GRAFT_RECORD_TREND") == "1":
+            _trend_record(name, ratio)
+    assert not failures, (
+        f"output-normalized superlinearity (budget = min(absolute, "
+        f"{_TREND_FACTOR}x last recorded trend value)): {failures}"
+    )
+
+
+def test_out_norm_trend_ratchet_logic(tmp_path, monkeypatch):
+    """Red path for the trend ratchet without the heavy bench: a ratio
+    that fits the absolute budget but exceeds 1.5x the last recorded
+    round's value must be flagged; recording appends/updates in place."""
+    trend_file = tmp_path / "trend.json"
+    trend_file.write_text(json.dumps({"dedup_containment": [
+        {"round": 6, "ratio": 0.075}, {"round": 7, "ratio": 0.122},
+    ]}))
+    monkeypatch.setattr(
+        sys.modules[__name__], "_TREND_PATH", str(trend_file)
+    )
+    last = _trend_last("dedup_containment")
+    assert last == 0.122
+    # a third doubling: 0.25 < 2.0 absolute budget but > 1.5 * 0.122
+    budget = _OUTPUT_NORMALIZED_BUDGETS["dedup_containment"]
+    effective = min(budget, _TREND_FACTOR * last)
+    assert 0.25 > effective, "ratchet must catch the drift the budget misses"
+    assert 0.15 <= effective, "healthy jitter must still pass"
+    # unseen query falls back to the absolute budget alone
+    assert _trend_last("never_recorded") is None
+    # recording: same round updates in place, new round appends
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+    _trend_record("dedup_containment", 0.1301)
+    _trend_record("dedup_containment", 0.1188)
+    hist = json.loads(trend_file.read_text())["dedup_containment"]
+    assert [h["round"] for h in hist] == [6, 7, 8]
+    assert hist[-1]["ratio"] == 0.1188
 
 
 # ---- full-registry timing floor (VERDICT r5 item 4) ----
