@@ -123,6 +123,26 @@ def _build_parser() -> argparse.ArgumentParser:
                         "parquet")
     p.add_argument("--seed", type=int, default=0,
                    help="RNG seed for --sample")
+    p.add_argument("--only", default=None,
+                   help="for `queries --sample`: restrict the oracle "
+                        "self-check to a comma-separated list of query "
+                        "names and/or name prefixes (e.g. 'dedup_,graph_') "
+                        "— the driver-format escape hatch for families "
+                        "the round driver never samples")
+    p.add_argument("--parallel", type=int, default=1,
+                   help="for `sync all`: sync up to N tables concurrently "
+                        "(bounded thread pool, per-table FAIR scheduler "
+                        "pools, per-table error isolation preserved)")
+    p.add_argument("--consistent", action="store_true",
+                   help="for `sync all`: hold one exported REPEATABLE "
+                        "READ snapshot across every table extract so the "
+                        "warehouse copy is transactionally consistent "
+                        "even against a live, mutating source (requires "
+                        "a live-Postgres source)")
+    p.add_argument("--audit-fk", dest="audit_fk", action="store_true",
+                   help="for `sync all`: after syncing, count orphan "
+                        "child rows per discovered FK edge and report "
+                        "one fk_orphans row per edge")
     p.add_argument("--zorder", default=None,
                    help="for `optimize`: two comma-separated integer/date/timestamp "
                         "columns to z-order the table on")
@@ -218,6 +238,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             specs = {
                 n: s for n, s in all_queries().items() if s.oracle
             }
+            if args.only:
+                # name-or-prefix subset (VERDICT r7 task 7): lets the
+                # repo emit driver-shaped artifacts for families the
+                # round driver never samples
+                terms = [t.strip() for t in args.only.split(",") if t.strip()]
+                specs = {
+                    n: s for n, s in specs.items()
+                    if any(n == t or n.startswith(t) for t in terms)
+                }
+                if not specs:
+                    print(f"--only matched no registered queries: {args.only}",
+                          file=sys.stderr)
+                    return 1
             if args.sample <= 0:  # the FULL surface, deterministic order
                 picked = sorted(specs)
             else:
@@ -571,7 +604,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     # sync
     if args.table in (None, "all"):
-        results = eng.sync_all()
+        results = eng.sync_all(
+            parallel=args.parallel,
+            consistent=args.consistent,
+            audit_fk=args.audit_fk,
+        )
     else:
         try:
             results = [eng.sync(args.table)]

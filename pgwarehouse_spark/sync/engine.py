@@ -1040,15 +1040,125 @@ class SyncEngine:
             )
         return SyncResult(table, "merged", rows)
 
-    def sync_all(self, today=None) -> list[SyncResult]:
-        """A26: multi-table loop with per-table error isolation."""
-        results = []
-        for table in self.specs or {}:
+    def sync_all(
+        self,
+        today=None,
+        parallel: int = 1,
+        consistent: bool = False,
+        audit_fk: bool = False,
+    ) -> list[SyncResult]:
+        """A26: multi-table loop with per-table error isolation.
+
+        ``parallel`` > 1 syncs tables through a bounded thread pool
+        (VERDICT r7 task 6): Spark job submission is thread-safe, each
+        worker tags its jobs with a per-table FAIR scheduler pool (so
+        one huge table doesn't starve the rest — on a cluster set
+        ``spark.scheduler.mode=FAIR``), per-table exception isolation
+        is preserved, and results come back in spec order.
+
+        ``consistent`` (VERDICT r7 task 5) wraps the whole loop in one
+        exported source snapshot (``PsqlCopySource.snapshot``): every
+        per-table extract reads the SAME MVCC view, so cross-table FK
+        consistency survives a live, mutating source — the guarantee
+        the reference's one-table-at-a-time loop (reference
+        pgwarehouse.py:96-110) cannot give. Raises for sources without
+        snapshot support rather than silently degrading.
+
+        ``audit_fk`` appends post-sync referential results: one
+        ``<child>-><parent>: fk_orphans`` row per discovered FK edge
+        (see :meth:`audit_fk_orphans`)."""
+        import contextlib
+
+        tables = list(self.specs or {})
+
+        def one(table: str) -> SyncResult:
             try:
-                results.append(self.sync(table, today=today))
+                return self.sync(table, today=today)
             except Exception as exc:  # isolate failures per table
-                results.append(SyncResult(table, f"error: {exc}", 0))
+                return SyncResult(table, f"error: {exc}", 0)
+
+        ctx = contextlib.nullcontext()
+        if consistent:
+            snap = getattr(self.source, "snapshot", None)
+            if snap is None:
+                raise ValueError(
+                    "consistent=True requires a snapshot-capable source "
+                    "(live Postgres via PsqlCopySource); "
+                    f"{type(self.source).__name__} has no snapshot()"
+                )
+            ctx = snap()
+        with ctx:
+            if parallel <= 1 or len(tables) <= 1:
+                results = [one(t) for t in tables]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                # spec discovery mutates shared dicts (self.specs /
+                # self._discovered): do it serially up front so worker
+                # threads only read
+                for t in tables:
+                    try:
+                        self.spec(t)
+                    except Exception:
+                        pass
+
+                def run(table: str) -> SyncResult:
+                    self.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", f"sync_{table}"
+                    )
+                    try:
+                        return one(table)
+                    finally:
+                        self.spark.sparkContext.setLocalProperty(
+                            "spark.scheduler.pool", None
+                        )
+
+                with ThreadPoolExecutor(max_workers=parallel) as ex:
+                    results = list(ex.map(run, tables))
+        if audit_fk:
+            results.extend(
+                SyncResult(
+                    f"{e['child']}->{e['parent']}",
+                    "fk_orphans",
+                    e["n_orphans"],
+                )
+                for e in self.audit_fk_orphans()
+            )
         return results
+
+    def audit_fk_orphans(self, edges: list[dict] | None = None) -> list[dict]:
+        """Post-sync referential-integrity audit over the WAREHOUSE
+        copies (VERDICT r7 task 5): for each FK edge, count child rows
+        whose parent key is absent — the measurable symptom of a
+        non-snapshot multi-table sync against a live source. Edges
+        default to the source's declared constraints
+        (``discover_foreign_keys``) when it exposes them.
+
+        Scale: one LEFT ANTI join per edge, parent pruned to its key
+        columns; AQE broadcasts the key set when it fits, so the child
+        is scanned once per edge with no driver-side data."""
+        if edges is None:
+            disc = getattr(self.source, "discover_foreign_keys", None)
+            edges = disc() if disc else []
+        out = []
+        for e in edges:
+            if not (self.table_exists(e["child"]) and self.table_exists(e["parent"])):
+                continue
+            child = self.read_table(e["child"])
+            parent = self.read_table(e["parent"]).select(*e["parent_cols"])
+            cond = None
+            for ck, pk in zip(e["child_cols"], e["parent_cols"]):
+                clause = child[ck] == parent[pk]
+                cond = clause if cond is None else (cond & clause)
+            # NULL FK columns mean "no parent declared" (SQL MATCH
+            # SIMPLE): not orphans
+            notnull = None
+            for ck in e["child_cols"]:
+                clause = child[ck].isNotNull()
+                notnull = clause if notnull is None else (notnull & clause)
+            n = child.where(notnull).join(parent, cond, "left_anti").count()
+            out.append({**e, "n_orphans": n})
+        return out
 
 
 def _sql_literal(value) -> str:

@@ -34,12 +34,15 @@ this class is reference-parity for the psql-only topology.
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import logging
 import os
 import re
 import shutil
 import subprocess
+import tempfile
+import time
 from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -197,6 +200,10 @@ class PsqlCopySource(Source):
         self.chunk_bytes = chunk_bytes
         self.psql = psql
         self._schemas: dict[str, dict] = {}
+        # set while a snapshot() context is open: every extract in the
+        # window imports this exported snapshot, so a multi-table sync
+        # reads ONE transactionally-consistent view of the source
+        self._snapshot_id: str | None = None
 
     # -- psql plumbing ---------------------------------------------------
     def _argv(self, *extra: str) -> list[str]:
@@ -235,6 +242,115 @@ class PsqlCopySource(Source):
         """Tuple-only unaligned query output, one line per row."""
         out = self._run("--tuples-only", "--pset=format=unaligned", "-c", sql)
         return [ln for ln in out.splitlines() if ln.strip()]
+
+    # -- snapshot-consistent multi-table extract (VERDICT r7 task 5) -----
+    @contextlib.contextmanager
+    def snapshot(self, timeout: float = 30.0):
+        """Hold one ``REPEATABLE READ`` snapshot across every extract in
+        the ``with`` block.
+
+        The reference's ``sync all`` copies tables one at a time
+        (reference pgwarehouse.py:96-110) — each ``\\copy`` sees its own
+        point in time, so a parent row inserted between the parent and
+        child extracts leaves the warehouse pair mutually inconsistent.
+        Postgres' exported-snapshot machinery fixes this without holding
+        one session open for all the data: an exporter session runs
+        ``BEGIN ISOLATION LEVEL REPEATABLE READ, READ ONLY`` +
+        ``pg_export_snapshot()`` and stays idle-alive; every per-table
+        ``\\copy`` session then imports that snapshot with
+        ``SET TRANSACTION SNAPSHOT``, reading the exact same MVCC view.
+        Works identically for the bounded-parallel ``sync_all`` — the
+        snapshot id is a constant shared by all worker threads.
+
+        The id is exported through an ``\\o file`` redirect rather than
+        a stdout pipe: psql block-buffers a piped stdout, so a readline
+        could block forever on an unflushed id."""
+        tmpdir = tempfile.mkdtemp(prefix="pgsnap-")
+        out = os.path.join(tmpdir, "snapshot_id")
+        proc = subprocess.Popen(
+            self._argv("--tuples-only", "--pset=format=unaligned"),
+            env=self._env(),
+            stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            assert proc.stdin is not None
+            proc.stdin.write(
+                "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ, READ ONLY;\n"
+                f"\\o {out}\n"
+                "SELECT pg_export_snapshot();\n"
+                "\\o\n"
+            )
+            proc.stdin.flush()
+            snap = None
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                if os.path.exists(out):
+                    with open(out) as f:
+                        txt = f.read().strip()
+                    if txt:
+                        snap = txt.splitlines()[0].strip()
+                        break
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.05)
+            if not snap or not re.fullmatch(r"[0-9A-Fa-f-]+", snap):
+                err = ""
+                if proc.poll() is not None and proc.stderr is not None:
+                    err = proc.stderr.read()
+                proc.kill()
+                raise RuntimeError(
+                    f"pg_export_snapshot failed (got {snap!r}): {err.strip()}"
+                )
+            self._snapshot_id = snap
+            try:
+                yield snap
+            finally:
+                self._snapshot_id = None
+                try:
+                    proc.stdin.write("COMMIT;\n\\q\n")
+                    proc.stdin.flush()
+                    proc.wait(timeout=10)
+                except Exception:
+                    proc.kill()
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+    def discover_foreign_keys(self) -> list[dict]:
+        """Declared FK edges from ``pg_constraint`` (contype='f'),
+        column-aligned via the conkey/confkey attnum arrays — the input
+        to the engine's post-sync orphan audit. Composite keys come back
+        as parallel column lists."""
+        sql = (
+            "SELECT c.conrelid::regclass::text, c.confrelid::regclass::text, "
+            "  (SELECT string_agg(a.attname, ',' ORDER BY k.ord) "
+            "     FROM unnest(c.conkey) WITH ORDINALITY k(attnum, ord) "
+            "     JOIN pg_attribute a ON a.attrelid = c.conrelid "
+            "      AND a.attnum = k.attnum), "
+            "  (SELECT string_agg(a.attname, ',' ORDER BY k.ord) "
+            "     FROM unnest(c.confkey) WITH ORDINALITY k(attnum, ord) "
+            "     JOIN pg_attribute a ON a.attrelid = c.confrelid "
+            "      AND a.attnum = k.attnum) "
+            "FROM pg_constraint c "
+            "JOIN pg_namespace n ON n.oid = c.connamespace "
+            f"WHERE c.contype = 'f' AND n.nspname = '{self.pgschema}'"
+        )
+        edges = []
+        for row in self.sql_rows(sql):
+            child, parent, ccols, pcols = row.split("|")
+            edges.append(
+                {
+                    "child": child.split(".")[-1].strip('"'),
+                    "child_cols": ccols.split(","),
+                    "parent": parent.split(".")[-1].strip('"'),
+                    "parent_cols": pcols.split(","),
+                }
+            )
+        return edges
 
     # -- schema scrape (A4/A5) --------------------------------------------
     def dump_schema(self, table: str, schema_file: str | None = None) -> str:
@@ -314,10 +430,23 @@ class PsqlCopySource(Source):
         # stderr goes to a file, not a pipe: we drain stdout line-by-line
         # for the whole extract, and a chatty psql could fill a 64 KiB
         # stderr pipe and deadlock the copy mid-stream
+        # Inside a snapshot() window, every extract session imports the
+        # exporter's snapshot BEFORE its first query, so all tables read
+        # one MVCC view. Multiple -c strings run sequentially on ONE
+        # connection; --quiet suppresses the BEGIN/SET command tags so
+        # the CSV stream on stdout stays pure.
+        pre: list[str] = []
+        if self._snapshot_id:
+            pre = [
+                "-c",
+                "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ, READ ONLY",
+                "-c",
+                f"SET TRANSACTION SNAPSHOT '{self._snapshot_id}'",
+            ]
         err_path = os.path.join(out_dir, ".psql_stderr")
         err_file = open(err_path, "wb")
         proc = subprocess.Popen(
-            self._argv("-c", copy_cmd),
+            self._argv(*pre, "-c", copy_cmd),
             env=self._env(),
             stdout=subprocess.PIPE,
             stderr=err_file,

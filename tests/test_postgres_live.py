@@ -652,3 +652,139 @@ def test_live_type_matrix_values_roundtrip(pg_server, spark, source):
         if c in ("id", "Mixed Case"):
             continue
         assert n[c] is None, f"{c} should be NULL"
+
+
+# ---- snapshot-consistent multi-table sync (VERDICT r7 task 5) ----
+
+FK_SETUP = """
+CREATE TABLE fk_parent (id serial primary key, name text);
+CREATE TABLE fk_child  (id serial primary key,
+                        parent_id integer NOT NULL REFERENCES fk_parent(id),
+                        note text);
+INSERT INTO fk_parent (name) SELECT 'p' || i FROM generate_series(1, 5) i;
+INSERT INTO fk_child (parent_id, note)
+SELECT 1 + (i % 5), 'c' || i FROM generate_series(1, 10) i;
+"""
+
+FK_TEARDOWN = "DROP TABLE IF EXISTS fk_child; DROP TABLE IF EXISTS fk_parent;"
+
+# one INSERT statement so parent+child commit atomically: the live
+# writer we simulate is itself transactional — the inconsistency under
+# test comes from the SYNC reading tables at different times, not from
+# a torn source write
+FK_MUTATE = """
+WITH p AS (INSERT INTO fk_parent (name) VALUES ('late parent') RETURNING id)
+INSERT INTO fk_child (parent_id, note) SELECT id, 'late child' FROM p;
+"""
+
+
+def _fk_engine(spark, pg_server, tmp_path, tag):
+    src = PsqlCopySource(
+        str(tmp_path / f"staging_{tag}"),
+        host=pg_server["host"],
+        user=pg_server["user"],
+        dbname=pg_server["dbname"],
+    )
+    eng = SyncEngine(
+        spark,
+        src,
+        str(tmp_path / f"wh_{tag}"),
+        specs={
+            "fk_parent": TableSpec("fk_parent", ["id"]),
+            "fk_child": TableSpec("fk_child", ["id"]),
+        },
+        num_buckets=4,
+    )
+    return src, eng
+
+
+def _mutate_after_first_sync(eng, pg_server):
+    """Simulate a live writer committing between the per-table extracts
+    of `sync all` — the exact window the reference's one-table-at-a-time
+    loop (reference pgwarehouse.py:96-110) leaves open."""
+    orig, fired = eng.sync, {"done": False}
+
+    def wrapped(table, today=None):
+        res = orig(table, today=today)
+        if not fired["done"]:
+            fired["done"] = True
+            _psql(pg_server, FK_MUTATE)
+        return res
+
+    eng.sync = wrapped
+    return fired
+
+
+def test_live_discover_foreign_keys(pg_server, spark, tmp_path):
+    _psql(pg_server, FK_SETUP)
+    try:
+        src, _ = _fk_engine(spark, pg_server, tmp_path, "disc")
+        edges = [e for e in src.discover_foreign_keys()
+                 if e["child"] == "fk_child"]
+        assert edges == [{
+            "child": "fk_child", "child_cols": ["parent_id"],
+            "parent": "fk_parent", "parent_cols": ["id"],
+        }]
+    finally:
+        _psql(pg_server, FK_TEARDOWN)
+
+
+def test_live_naive_sync_all_is_inconsistent_under_writes(
+    pg_server, spark, tmp_path
+):
+    """Control: WITHOUT a snapshot, a parent+child pair committed
+    between the parent and child extracts leaves the warehouse child
+    citing a parent the warehouse never saw — a real FK orphan."""
+    _psql(pg_server, FK_SETUP)
+    try:
+        src, eng = _fk_engine(spark, pg_server, tmp_path, "naive")
+        _mutate_after_first_sync(eng, pg_server)
+        results = eng.sync_all(audit_fk=True)
+        by_table = {r.table: r for r in results}
+        assert by_table["fk_parent"].rows == 5   # pre-mutation view
+        assert by_table["fk_child"].rows == 11   # post-mutation view
+        assert by_table["fk_child->fk_parent"].action == "fk_orphans"
+        assert by_table["fk_child->fk_parent"].rows == 1  # the torn pair
+    finally:
+        _psql(pg_server, FK_TEARDOWN)
+
+
+def test_live_consistent_sync_all_survives_writes(pg_server, spark, tmp_path):
+    """With consistent=True the identical mid-sync commit is invisible
+    to BOTH extracts: one exported REPEATABLE READ snapshot spans every
+    per-table \\copy session, so the warehouse pair is mutually
+    consistent (0 orphans) and reflects one point in time."""
+    _psql(pg_server, FK_SETUP)
+    try:
+        src, eng = _fk_engine(spark, pg_server, tmp_path, "snap")
+        fired = _mutate_after_first_sync(eng, pg_server)
+        results = eng.sync_all(consistent=True, audit_fk=True)
+        assert fired["done"], "mutation hook never fired"
+        by_table = {r.table: r for r in results}
+        assert by_table["fk_parent"].rows == 5
+        assert by_table["fk_child"].rows == 10  # snapshot predates commit
+        assert by_table["fk_child->fk_parent"].rows == 0
+        # the source really did change — the snapshot is what hid it
+        assert _count(pg_server, "fk_child") == 11
+        # snapshot released on exit: a fresh sync sees the new rows
+        assert src._snapshot_id is None
+    finally:
+        _psql(pg_server, FK_TEARDOWN)
+
+
+def test_live_consistent_parallel_sync_all(pg_server, spark, tmp_path):
+    """parallel=2 + consistent=True compose: worker threads share the
+    one exported snapshot id, so concurrent per-table \\copy sessions
+    still read a single MVCC view."""
+    _psql(pg_server, FK_SETUP)
+    try:
+        src, eng = _fk_engine(spark, pg_server, tmp_path, "par")
+        with src.snapshot():
+            _psql(pg_server, FK_MUTATE)  # committed after export
+            results = eng.sync_all(parallel=2)
+        by_table = {r.table: r for r in results}
+        assert by_table["fk_parent"].rows == 5
+        assert by_table["fk_child"].rows == 10
+        assert eng.audit_fk_orphans()[0]["n_orphans"] == 0
+    finally:
+        _psql(pg_server, FK_TEARDOWN)
