@@ -604,11 +604,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     # sync
     if args.table in (None, "all"):
-        results = eng.sync_all(
-            parallel=args.parallel,
-            consistent=args.consistent,
-            audit_fk=args.audit_fk,
-        )
+        try:
+            results = eng.sync_all(
+                parallel=args.parallel,
+                consistent=args.consistent,
+                audit_fk=args.audit_fk,
+            )
+        except ValueError as exc:  # e.g. --consistent on a snapshot-less source
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
     else:
         try:
             results = [eng.sync(args.table)]
