@@ -191,6 +191,14 @@ def _engine(args, spark=None):
 
         return DuckDBSyncEngine.from_config(spark, config), config
     if wh_type in ("clickhouse", "snowflake"):
+        if (config.warehouse or {}).get("fake"):
+            # protocol-fidelity harness: the pinned golden statement
+            # sequences EXECUTE against an in-process fake warehouse
+            # (sync/fakes.py), so the reference's literal CH/SF dataflow
+            # runs end-to-end in this container
+            from .sync.fake_engine import FakeWarehouseSyncEngine
+
+            return FakeWarehouseSyncEngine.from_config(spark, config), config
         # No live ClickHouse/Snowflake loader exists in this build (their
         # services aren't reachable here) — refuse loudly rather than
         # silently writing the parquet lake while the user believes the
@@ -199,7 +207,9 @@ def _engine(args, spark=None):
             f"live {wh_type} loading is not available in this build; "
             f"sync to the parquet lake (default warehouse) and push it "
             f"with `publish <table> --jdbc-url <url> --jdbc-dialect "
-            f"{wh_type}` (byte-identical {wh_type} DDL dialect)"
+            f"{wh_type}` (byte-identical {wh_type} DDL dialect), or add "
+            f"`fake: true` to the warehouse config to run the pinned "
+            f"statement sequences against the in-process protocol fake"
         )
     return SyncEngine.from_config(spark, config, num_buckets=args.buckets), config
 
@@ -417,7 +427,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 1
 
     from .sync.duckdb_sink import DuckDBSyncEngine
+    from .sync.fake_engine import FakeWarehouseSyncEngine
 
+    _FAKE_WAREHOUSE_COMMANDS = {"init", "list", "listwh", "sync", "reload"}
+    if (
+        isinstance(eng, FakeWarehouseSyncEngine)
+        and args.command not in _FAKE_WAREHOUSE_COMMANDS
+    ):
+        print(
+            f"`{args.command}` is not supported by the {eng.backend} "
+            f"protocol-fake warehouse "
+            f"(supported: {' '.join(sorted(_FAKE_WAREHOUSE_COMMANDS))})",
+            file=sys.stderr,
+        )
+        return 1
     if (
         isinstance(eng, DuckDBSyncEngine)
         and args.command not in _DUCKDB_WAREHOUSE_COMMANDS

@@ -58,8 +58,10 @@ class FakeSnowflake:
     # Snowflake type names DuckDB doesn't know, mapped for execution
     _TYPE_MAP = {"STRING": "VARCHAR", "NUMERIC": "DOUBLE", "DATETIME": "TIMESTAMP"}
 
-    def __init__(self) -> None:
-        self.con = duckdb.connect()
+    def __init__(self, db_path: str | None = None) -> None:
+        # file-backed when the CLI config gives a path, so `sync` in one
+        # invocation is queryable in the next; in-memory for tests
+        self.con = duckdb.connect(db_path or ":memory:")
         self.stage_root = tempfile.mkdtemp(prefix="fake_sf_stage_")
         self.current_schema: str | None = None
         self.file_formats: dict[str, dict] = {}
@@ -124,6 +126,12 @@ class FakeSnowflake:
         ]
         col_list = ", ".join(f'"{c}"' for c in target_cols)
         src = "SELECT * FROM read_csv_auto(" + repr(files) + ", header=true)"
+        # a header-only staged file is legal (real Snowflake types it
+        # from the FILE FORMAT; a 0-row MERGE is a no-op) but defeats
+        # CSV sniffing here — skip the merge body instead of binding
+        # all-VARCHAR columns against the typed target
+        if not self.con.execute(f"SELECT count(*) FROM ({src})").fetchone()[0]:
+            return
         # MERGE semantics as delete-then-insert: WHEN MATCHED UPDATE SET
         # <all cols> + WHEN NOT MATCHED INSERT <all cols> is row
         # replacement by key — identical final state
@@ -212,8 +220,8 @@ class FakeClickHouse:
         "DateTime64(3)": "TIMESTAMP", "DateTime": "TIMESTAMP",
     }
 
-    def __init__(self) -> None:
-        self.con = duckdb.connect()
+    def __init__(self, db_path: str | None = None) -> None:
+        self.con = duckdb.connect(db_path or ":memory:")
         self.executed: list[str] = []
 
     # -- the client surface: clickhouse-client --query=<sql> [stdin] ----
@@ -289,9 +297,13 @@ class FakeClickHouse:
                     exprs.append(f"TRY_CAST({m.group(1)} AS TIMESTAMP)")
                 else:
                     exprs.append(item)
+            # sniffed types (not all_varchar): empty fields become NULL
+            # instead of '' (which would fail numeric casts on insert);
+            # a column with unparseable dates sniffs VARCHAR, which is
+            # exactly what the TRY_CAST repair expects
             self.con.execute(
                 f"INSERT INTO {table} SELECT {', '.join(exprs)} FROM "
-                f"read_csv_auto('{path}', header=true, all_varchar=true)"
+                f"read_csv_auto('{path}', header=true)"
             )
         finally:
             os.remove(path)
