@@ -170,7 +170,16 @@ def _engine(args, spark=None):
     from .session import get_spark
     from .sync.engine import SyncEngine
 
-    spark = spark or get_spark(app_name="pgwarehouse_spark_cli")
+    # FAIR scheduling is a SparkContext-creation conf: when this CLI
+    # builds the session itself and a parallel sync is requested, turn
+    # it on so the per-table scheduler pools actually round-robin
+    # (a caller-provided session keeps its own scheduler mode)
+    extra = (
+        {"spark.scheduler.mode": "FAIR"}
+        if getattr(args, "parallel", 1) and getattr(args, "parallel", 1) > 1
+        else None
+    )
+    spark = spark or get_spark(app_name="pgwarehouse_spark_cli", extra_conf=extra)
     config = Config.from_yaml(args.config)
     if getattr(args, "backend", None):
         # --backend forces the warehouse type per invocation (reference
