@@ -509,19 +509,24 @@ def _coordinate(sf_dir: str, sf: float) -> None:
     emit(full_payload)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # Fresh-JVM coordinator (default at the driver's headline scale):
-    # narrowed runs (gate subprocesses) and all-only runs stay single-JVM
-    # children. SPARK_GRAFT_BENCH_FRESH_JVM=1 forces on, =0 forces off.
+def _should_coordinate(sf: float) -> bool:
+    """Fresh-JVM coordinator dispatch (default at the driver's headline
+    scale): narrowed runs (gate subprocesses) and all-only runs stay
+    single-JVM children. SPARK_GRAFT_BENCH_FRESH_JVM=1 forces on,
+    =0 forces off."""
     fresh_env = os.environ.get("SPARK_GRAFT_BENCH_FRESH_JVM")
     fresh = (sf >= 0.1) if fresh_env is None else fresh_env == "1"
-    if (
+    return (
         fresh
         and not os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
         and os.environ.get("SPARK_GRAFT_BENCH_ALL_ONLY") != "1"
-    ):
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if _should_coordinate(sf):
         _coordinate(sf_dir, sf)
         return
     # The sf1 heavy section (graph/dedup at 10x on local[32]) runs close

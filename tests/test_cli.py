@@ -573,3 +573,42 @@ def test_bench_time_query_contention_escalation():
     steady = [0.05, 0.05]
     _, runs2, _ = bench.time_query(lambda s, d: _FakeDF(steady), None, "", runs=2)
     assert len(runs2) == 2, runs2
+
+
+def test_bench_heavy_is_subset_of_headline():
+    """The fresh-JVM coordinator (bench._coordinate) measures light
+    headline queries in chunk children and gets the HEAVY queries' base
+    timings from the heavy+sf1 child — so a HEAVY entry missing from
+    HEADLINE would silently drop out of the merged headline artifact.
+    Pin the invariant the merge relies on."""
+    import bench
+
+    missing = [n for n in bench.HEAVY if n not in bench.HEADLINE]
+    assert not missing, (
+        f"HEAVY queries not in HEADLINE (their base timings would vanish "
+        f"from the coordinated artifact): {missing}"
+    )
+
+
+def test_bench_coordinator_defers_to_children_when_narrowed(monkeypatch):
+    """Narrowed and all-only invocations (the scaling gate's subprocess
+    shapes) must never recurse into the coordinator; the full run at
+    headline scale must; tiny scales default to single-JVM unless
+    forced."""
+    import bench
+
+    for var in ("SPARK_GRAFT_BENCH_FRESH_JVM", "SPARK_GRAFT_BENCH_QUERIES",
+                "SPARK_GRAFT_BENCH_ALL_ONLY"):
+        monkeypatch.delenv(var, raising=False)
+    assert bench._should_coordinate(0.1)
+    assert not bench._should_coordinate(0.001)  # tiny scale: single JVM
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FRESH_JVM", "1")
+    assert bench._should_coordinate(0.001)      # unless forced on
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FRESH_JVM", "0")
+    assert not bench._should_coordinate(0.1)    # or forced off
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FRESH_JVM")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUERIES", "q1_pricing_summary")
+    assert not bench._should_coordinate(0.1)    # narrowed: child mode
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_QUERIES")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ALL_ONLY", "1")
+    assert not bench._should_coordinate(0.1)    # all-only: child mode
