@@ -225,8 +225,21 @@ class PsqlCopySource(Source):
         return env
 
     def _run(self, *extra: str) -> str:
+        # Inside a snapshot() window, metadata probes (\d scrape,
+        # existence checks, catalog listings) import the same snapshot
+        # as the extracts: Postgres catalogs are MVCC, so the scraped
+        # schema is guaranteed to describe the exact data the \copy
+        # sessions read even if a writer ALTERs the table mid-sync.
+        pre: list[str] = []
+        if self._snapshot_id:
+            pre = [
+                "-c",
+                "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ, READ ONLY",
+                "-c",
+                f"SET TRANSACTION SNAPSHOT '{self._snapshot_id}'",
+            ]
         proc = subprocess.run(
-            self._argv(*extra),
+            self._argv(*pre, *extra),
             env=self._env(),
             capture_output=True,
             text=True,

@@ -788,3 +788,30 @@ def test_live_consistent_parallel_sync_all(pg_server, spark, tmp_path):
         assert eng.audit_fk_orphans()[0]["n_orphans"] == 0
     finally:
         _psql(pg_server, FK_TEARDOWN)
+
+
+def test_live_snapshot_covers_schema_scrape_too(pg_server, spark, tmp_path):
+    """DDL committed mid-sync must not desync the scraped schema from
+    the \\copy data: inside a snapshot window the `\\d` scrape imports
+    the same snapshot (catalogs are MVCC), so both describe one point
+    in time — the extract parses with the matching column set even
+    though the live table now has an extra column."""
+    _psql(pg_server, FK_SETUP)
+    try:
+        src, eng = _fk_engine(spark, pg_server, tmp_path, "ddl")
+        with src.snapshot():
+            before = list(src.schema_info("fk_parent", refresh=True)["columns"])
+            _psql(pg_server, "ALTER TABLE fk_parent ADD COLUMN extra text "
+                             "DEFAULT 'x'")
+            # scrape re-run INSIDE the window: still the old schema
+            after = list(src.schema_info("fk_parent", refresh=True)["columns"])
+            assert after == before == ["id", "name"]
+            res = eng.sync("fk_parent")
+            assert res.action == "created" and res.rows == 5
+            assert eng.read_table("fk_parent").columns == ["id", "name"]
+        # window closed: the new column is visible again
+        assert list(src.schema_info("fk_parent", refresh=True)["columns"]) == [
+            "id", "name", "extra",
+        ]
+    finally:
+        _psql(pg_server, FK_TEARDOWN)
