@@ -402,22 +402,28 @@ def _run_child(env_overrides: dict, label: str) -> dict:
         SPARK_GRAFT_BENCH_FULL_PATH=out_path,
         **env_overrides,
     )
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        stdout=subprocess.PIPE,  # children's compact line must not
-        stderr=sys.stderr,       # pollute the coordinator's one-line stdout
-        text=True,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"bench child '{label}' failed rc={proc.returncode}: "
-            f"{(proc.stdout or '')[-500:]}"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,  # children's compact line must not
+            stderr=sys.stderr,       # pollute the coordinator's one-line stdout
+            text=True,
         )
-    with open(out_path) as f:
-        payload = json.load(f)
-    os.remove(out_path)
-    return payload
+        if proc.returncode != 0:
+            # child stderr streamed to our stderr already — point there
+            raise RuntimeError(
+                f"bench child '{label}' failed rc={proc.returncode} "
+                f"(diagnostics on stderr above; child stdout: "
+                f"{(proc.stdout or '')[-300:]!r})"
+            )
+        with open(out_path) as f:
+            return json.load(f)
+    finally:
+        try:
+            os.remove(out_path)
+        except OSError:
+            pass
 
 
 def _coordinate(sf_dir: str, sf: float) -> None:

@@ -635,22 +635,49 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     # sync
-    if args.table in (None, "all"):
-        try:
+    try:
+        if args.table in (None, "all"):
             results = eng.sync_all(
                 parallel=args.parallel,
                 consistent=args.consistent,
                 audit_fk=args.audit_fk,
             )
-        except ValueError as exc:  # e.g. --consistent on a snapshot-less source
-            print(f"error: {exc}", file=sys.stderr)
-            return 1
-    else:
-        try:
-            results = [eng.sync(args.table)]
-        except FileNotFoundError as exc:
-            print(f"error: {exc}", file=sys.stderr)
-            return 1
+        else:
+            # single-table sync honors the same flags instead of
+            # silently ignoring them: --consistent makes the schema
+            # scrape and the extract read one snapshot, --audit-fk
+            # appends the orphan rows; --parallel has nothing to
+            # parallelize over one table
+            import contextlib
+
+            from .sync.engine import SyncResult
+
+            ctx = contextlib.nullcontext()
+            if args.consistent:
+                snap = getattr(eng.source, "snapshot", None)
+                if snap is None:
+                    raise ValueError(
+                        "--consistent requires a snapshot-capable source "
+                        "(live Postgres via PsqlCopySource)"
+                    )
+                ctx = snap()
+            with ctx:
+                results = [eng.sync(args.table)]
+            if args.audit_fk:
+                results.extend(
+                    SyncResult(f"{e['child']}->{e['parent']}", "fk_orphans",
+                               e["n_orphans"])
+                    for e in eng.audit_fk_orphans()
+                )
+    except FileNotFoundError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    except (ValueError, RuntimeError) as exc:
+        # --consistent on a snapshot-less source (ValueError) or a
+        # failed pg_export_snapshot (RuntimeError): clean error, not a
+        # traceback
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
     for res in results:
         print(f"{res.table}: {res.action} ({res.rows} rows)")
     return 0

@@ -36,17 +36,25 @@ def _workspace_local_dir() -> str:
     not writable (ADVICE r7).
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    candidates = (
-        [override]
-        if override
-        else [
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                ".spark-local",
-            ),
-            os.path.join(os.getcwd(), ".spark-local"),
-        ]
-    )
+    if override:
+        # An EXPLICIT override that cannot be honored must fail loudly:
+        # the operator pinned this path precisely so shuffle spill does
+        # NOT land somewhere else (a silent tempdir fallback would fill
+        # the very disk the variable exists to protect).
+        d = os.path.abspath(override)
+        os.makedirs(d, exist_ok=True)
+        if not os.access(d, os.W_OK):
+            raise PermissionError(
+                f"SPARK_GRAFT_LOCAL_DIR={override!r} is not writable"
+            )
+        return d
+    candidates = [
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".spark-local",
+        ),
+        os.path.join(os.getcwd(), ".spark-local"),
+    ]
     for cand in candidates:
         d = os.path.abspath(cand)
         try:

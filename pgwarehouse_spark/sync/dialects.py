@@ -398,6 +398,32 @@ def reference_snowflake_merge_sql(
     ]
 
 
+def reference_snowflake_load_sql(
+    table: str,
+    csv_name: str,
+    csv_path: str | None = None,
+    database: str = "PGWAREHOUSE",
+    sf_schema: str = "PUBLIC",
+) -> list[str]:
+    """The statement SEQUENCE the reference's Snowflake backend executes
+    per staged CSV chunk during an initial/full LOAD
+    (snowflake_backend.py:148-157): USE SCHEMA → PUT into the table
+    stage → COPY INTO from the staged file with an inline FILE_FORMAT,
+    ON_ERROR=CONTINUE FORCE=TRUE and PURGE=TRUE (so no separate REMOVE).
+    Whitespace-normalized like the merge generator. This is the keyless
+    path — loads never merge; the reference reserves MERGE for
+    merge_table."""
+    path = csv_path or csv_name
+    return [
+        f"USE SCHEMA {sf_schema}",
+        f"PUT file://{path} @{database}.{sf_schema}.%{table};",
+        f"COPY INTO {database}.{sf_schema}.{table} FROM "
+        f"@{database}.{sf_schema}.%{table}/{csv_name} "
+        "FILE_FORMAT = (type = csv field_optionally_enclosed_by='\\\"' "
+        "SKIP_HEADER=1) ON_ERROR=CONTINUE FORCE=TRUE PURGE = TRUE",
+    ]
+
+
 def reference_clickhouse_upsert_sql(
     table: str,
     columns: dict[str, str],

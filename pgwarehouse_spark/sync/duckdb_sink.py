@@ -577,13 +577,53 @@ class DuckDBSyncEngine:
         ok = set(counts) <= {"identical"}
         return {"ok": ok, "counts": counts, "sample_keys": samples}
 
-    def sync_all(self, today=None):
-        from .engine import SyncResult
+    def sync_all(
+        self,
+        today=None,
+        parallel: int = 1,
+        consistent: bool = False,
+        audit_fk: bool = False,
+    ):
+        """Shared orchestration (engine.orchestrate_sync_all) so the
+        live-DuckDB warehouse honors the same sync-all contract as the
+        lake engine: ``consistent`` exports one source snapshot across
+        every extract, ``audit_fk`` appends warehouse-side orphan
+        counts. The DuckDB connection is single-threaded, so
+        ``parallel`` is accepted but runs serially."""
+        from .engine import orchestrate_sync_all
 
-        results = []
-        for table in self.specs or {}:
-            try:
-                results.append(self.sync(table, today=today))
-            except Exception as exc:
-                results.append(SyncResult(table, f"error: {exc}", 0))
-        return results
+        return orchestrate_sync_all(
+            self,
+            today=today,
+            parallel=parallel,
+            consistent=consistent,
+            audit_fk=audit_fk,
+            thread_safe=False,
+        )
+
+    def audit_fk_orphans(self, edges: list[dict] | None = None) -> list[dict]:
+        """Post-sync referential audit over the live-DuckDB warehouse:
+        child rows whose non-NULL FK has no parent, per edge (edges
+        default to the source's declared constraints)."""
+        if edges is None:
+            disc = getattr(self.source, "discover_foreign_keys", None)
+            edges = disc() if disc else []
+        out = []
+        for e in edges:
+            if not (
+                self.table_exists(e["child"]) and self.table_exists(e["parent"])
+            ):
+                continue
+            conds = " AND ".join(
+                f"c.{ck} = p.{pk}"
+                for ck, pk in zip(e["child_cols"], e["parent_cols"])
+            )
+            notnull = " AND ".join(
+                f"c.{ck} IS NOT NULL" for ck in e["child_cols"]
+            )
+            n = self.wh.query(
+                f"SELECT count(*) FROM {e['child']} c WHERE {notnull} "
+                f"AND NOT EXISTS (SELECT 1 FROM {e['parent']} p WHERE {conds})"
+            )[0][0]
+            out.append({**e, "n_orphans": n})
+        return out

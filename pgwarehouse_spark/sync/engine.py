@@ -1067,64 +1067,14 @@ class SyncEngine:
         ``audit_fk`` appends post-sync referential results: one
         ``<child>-><parent>: fk_orphans`` row per discovered FK edge
         (see :meth:`audit_fk_orphans`)."""
-        import contextlib
-
-        tables = list(self.specs or {})
-
-        def one(table: str) -> SyncResult:
-            try:
-                return self.sync(table, today=today)
-            except Exception as exc:  # isolate failures per table
-                return SyncResult(table, f"error: {exc}", 0)
-
-        ctx = contextlib.nullcontext()
-        if consistent:
-            snap = getattr(self.source, "snapshot", None)
-            if snap is None:
-                raise ValueError(
-                    "consistent=True requires a snapshot-capable source "
-                    "(live Postgres via PsqlCopySource); "
-                    f"{type(self.source).__name__} has no snapshot()"
-                )
-            ctx = snap()
-        with ctx:
-            if parallel <= 1 or len(tables) <= 1:
-                results = [one(t) for t in tables]
-            else:
-                from concurrent.futures import ThreadPoolExecutor
-
-                # spec discovery mutates shared dicts (self.specs /
-                # self._discovered): do it serially up front so worker
-                # threads only read
-                for t in tables:
-                    try:
-                        self.spec(t)
-                    except Exception:
-                        pass
-
-                def run(table: str) -> SyncResult:
-                    self.spark.sparkContext.setLocalProperty(
-                        "spark.scheduler.pool", f"sync_{table}"
-                    )
-                    try:
-                        return one(table)
-                    finally:
-                        self.spark.sparkContext.setLocalProperty(
-                            "spark.scheduler.pool", None
-                        )
-
-                with ThreadPoolExecutor(max_workers=parallel) as ex:
-                    results = list(ex.map(run, tables))
-        if audit_fk:
-            results.extend(
-                SyncResult(
-                    f"{e['child']}->{e['parent']}",
-                    "fk_orphans",
-                    e["n_orphans"],
-                )
-                for e in self.audit_fk_orphans()
-            )
-        return results
+        return orchestrate_sync_all(
+            self,
+            today=today,
+            parallel=parallel,
+            consistent=consistent,
+            audit_fk=audit_fk,
+            thread_safe=True,
+        )
 
     def audit_fk_orphans(self, edges: list[dict] | None = None) -> list[dict]:
         """Post-sync referential-integrity audit over the WAREHOUSE
@@ -1159,6 +1109,80 @@ class SyncEngine:
             n = child.where(notnull).join(parent, cond, "left_anti").count()
             out.append({**e, "n_orphans": n})
         return out
+
+
+def orchestrate_sync_all(
+    eng,
+    today=None,
+    parallel: int = 1,
+    consistent: bool = False,
+    audit_fk: bool = False,
+    thread_safe: bool = True,
+) -> list[SyncResult]:
+    """Shared `sync all` orchestration for every engine flavor (parquet
+    lake, live DuckDB, fake warehouses): one place owns the snapshot
+    context, the bounded thread pool, per-table error isolation, and
+    the FK-audit result rows, so the engines cannot drift on the
+    contract (a round-8 review found exactly that drift: the DuckDB
+    engine crashed on the CLI's new kwargs). Engines provide ``specs``,
+    ``spec``, ``sync``, ``source``, ``spark``, ``audit_fk_orphans``.
+    ``thread_safe=False`` (single-connection warehouses: DuckDB file,
+    protocol fakes) accepts ``parallel`` but runs serially — protocol
+    fidelity, not throughput."""
+    import contextlib
+
+    tables = list(eng.specs or {})
+
+    def one(table: str) -> SyncResult:
+        try:
+            return eng.sync(table, today=today)
+        except Exception as exc:  # isolate failures per table
+            return SyncResult(table, f"error: {exc}", 0)
+
+    ctx = contextlib.nullcontext()
+    if consistent:
+        snap = getattr(eng.source, "snapshot", None)
+        if snap is None:
+            raise ValueError(
+                "consistent=True requires a snapshot-capable source "
+                "(live Postgres via PsqlCopySource); "
+                f"{type(eng.source).__name__} has no snapshot()"
+            )
+        ctx = snap()
+    with ctx:
+        if parallel <= 1 or len(tables) <= 1 or not thread_safe:
+            results = [one(t) for t in tables]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # spec discovery mutates shared dicts (specs/_discovered):
+            # do it serially up front so worker threads only read
+            for t in tables:
+                try:
+                    eng.spec(t)
+                except Exception:
+                    pass
+
+            def run(table: str) -> SyncResult:
+                eng.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"sync_{table}"
+                )
+                try:
+                    return one(table)
+                finally:
+                    eng.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
+
+            with ThreadPoolExecutor(max_workers=parallel) as ex:
+                results = list(ex.map(run, tables))
+    if audit_fk:
+        results.extend(
+            SyncResult(f"{e['child']}->{e['parent']}", "fk_orphans",
+                       e["n_orphans"])
+            for e in eng.audit_fk_orphans()
+        )
+    return results
 
 
 def _sql_literal(value) -> str:

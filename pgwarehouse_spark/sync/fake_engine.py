@@ -21,11 +21,11 @@ publish; the fake engine exists so the A15/A16 statement paths run
 end-to-end (stage → sequence → warehouse → assert CONTENTS) in this
 container, not just emit.
 
-Known divergence, deliberate: the reference's INITIAL Snowflake load
-uses PUT + COPY INTO (snowflake_backend.py:132-134) rather than MERGE;
-COPY INTO is not among the pinned sequences, and MERGE into an empty
-table is content-identical, so first load reuses the pinned upsert
-sequence.
+Full/initial loads run the reference's actual LOAD sequence (PUT +
+COPY INTO … PURGE per chunk, snowflake_backend.py:148-157, now pinned
+via :func:`.dialects.reference_snowflake_load_sql`); deltas run the
+pinned MERGE sequence, which — like the reference's merge_table —
+requires a primary key (keyless tables take the reload strategy).
 """
 
 from __future__ import annotations
@@ -43,6 +43,7 @@ from .fakes import (
     FakeClickHouse,
     FakeSnowflake,
     run_clickhouse_upsert,
+    run_snowflake_load,
     run_snowflake_upsert,
 )
 
@@ -191,10 +192,21 @@ class FakeWarehouseSyncEngine:
         )
 
     def _load_chunks(
-        self, table: str, columns: dict[str, str], pk: list[str], chunks: list[str]
+        self,
+        table: str,
+        columns: dict[str, str],
+        pk: list[str],
+        chunks: list[str],
+        full: bool = False,
     ) -> None:
         if self.backend == "snowflake":
-            assert pk, "snowflake load path always derives a merge key"
+            if full or not pk:
+                # the reference's initial/full load path: PUT + COPY INTO
+                # … PURGE per chunk (snowflake_backend.py:148-157) —
+                # plain inserts, keyless by design, so multi-chunk loads
+                # can never collide on a key
+                run_snowflake_load(self.wh, table, chunks)
+                return
             run_snowflake_upsert(self.wh, table, columns, pk, chunks)
             return
         if pk:
@@ -229,19 +241,16 @@ class FakeWarehouseSyncEngine:
         spec = self.spec(table)
         columns = _pg_columns(self.source, table, df)
         self._columns[table] = columns
-        pk = spec.primary_key or []
-        if self.backend == "snowflake" and not pk:
-            # the MERGE sequence needs a key; a keyless Snowflake load
-            # degrades to keying on the first column (full reloads drop
-            # the table first, so no spurious dedup can occur)
-            pk = [next(iter(columns))]
         df.persist()
         try:
             rows = df.count()
             if self.table_exists(table):
                 self.wh.con.execute(f"DROP TABLE {table}")
             self._create(table, columns, spec.primary_key or [])
-            self._load_chunks(table, columns, pk, self._stage(table, df))
+            self._load_chunks(
+                table, columns, spec.primary_key or [],
+                self._stage(table, df), full=True,
+            )
         finally:
             df.unpersist()
         return rows
@@ -308,36 +317,20 @@ class FakeWarehouseSyncEngine:
         consistent: bool = False,
         audit_fk: bool = False,
     ) -> list[SyncResult]:
-        """Reference loop with per-table isolation. The fakes' DuckDB
-        connection is single-threaded, so ``parallel`` is accepted but
-        executes serially (protocol fidelity, not throughput);
-        ``consistent`` works exactly as in SyncEngine — one exported
-        source snapshot spans every extract."""
-        import contextlib
+        """Shared orchestration (engine.orchestrate_sync_all); the
+        fakes' DuckDB connection is single-threaded, so ``parallel`` is
+        accepted but executes serially (protocol fidelity, not
+        throughput)."""
+        from .engine import orchestrate_sync_all
 
-        ctx = contextlib.nullcontext()
-        if consistent:
-            snap = getattr(self.source, "snapshot", None)
-            if snap is None:
-                raise ValueError(
-                    "consistent=True requires a snapshot-capable source "
-                    "(live Postgres via PsqlCopySource)"
-                )
-            ctx = snap()
-        results = []
-        with ctx:
-            for table in self.specs or {}:
-                try:
-                    results.append(self.sync(table, today=today))
-                except Exception as exc:
-                    results.append(SyncResult(table, f"error: {exc}", 0))
-        if audit_fk:
-            results.extend(
-                SyncResult(f"{e['child']}->{e['parent']}", "fk_orphans",
-                           e["n_orphans"])
-                for e in self.audit_fk_orphans()
-            )
-        return results
+        return orchestrate_sync_all(
+            self,
+            today=today,
+            parallel=parallel,
+            consistent=consistent,
+            audit_fk=audit_fk,
+            thread_safe=False,
+        )
 
     def audit_fk_orphans(self, edges: list[dict] | None = None) -> list[dict]:
         if edges is None:

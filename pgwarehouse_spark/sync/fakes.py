@@ -140,6 +140,25 @@ class FakeSnowflake:
         )
         self.con.execute(f"INSERT INTO {table} ({col_list}) {src}")
 
+    def _copy_into(self, m: re.Match) -> None:
+        """The reference's LOAD statement (snowflake_backend.py:152-157):
+        plain insert of one staged file, PURGE removes it after."""
+        table, csv = m.group("table"), m.group("csv")
+        path = os.path.join(self.stage_root, table, csv)
+        if not os.path.exists(path):
+            raise FakeStatementError(f"COPY INTO source not staged: {csv}")
+        target_cols = [
+            r[0] for r in self.con.execute(
+                f"SELECT name FROM pragma_table_info('{table}')"
+            ).fetchall()
+        ]
+        col_list = ", ".join(f'"{c}"' for c in target_cols)
+        self.con.execute(
+            f"INSERT INTO {table} ({col_list}) SELECT * FROM "
+            f"read_csv_auto('{path}', header=true)"
+        )
+        os.remove(path)  # PURGE = TRUE
+
     def _remove(self, m: re.Match) -> None:
         table, pattern = m.group(1), m.group(2)
         stage = os.path.join(self.stage_root, table)
@@ -201,6 +220,16 @@ class FakeSnowflake:
         (
             re.compile(r"REMOVE @%(\w+) PATTERN = '([^']+)'$", re.I),
             _remove,
+        ),
+        (
+            re.compile(
+                r"COPY INTO (?:\w+)\.(?:\w+)\.(?P<table>\w+) FROM "
+                r"@(?:\w+)\.(?:\w+)\.%(?:\w+)/(?P<csv>\S+) "
+                r"FILE_FORMAT = \(type = csv [^)]*SKIP_HEADER=1\) "
+                r"ON_ERROR=CONTINUE FORCE=TRUE PURGE = TRUE$",
+                re.I,
+            ),
+            _copy_into,
         ),
     ]
 
@@ -343,6 +372,27 @@ def run_snowflake_upsert(
             sf_schema=sf_schema,
         )
         for stmt in stmts:
+            fake.execute(stmt)
+
+
+def run_snowflake_load(
+    fake: FakeSnowflake,
+    table: str,
+    chunk_paths: list[str],
+    database: str = "PGWAREHOUSE",
+    sf_schema: str = "PUBLIC",
+) -> None:
+    """Drive the reference's initial/full LOAD end-to-end: the exact
+    per-chunk PUT + COPY INTO … PURGE sequence (reference
+    snowflake_backend.py:148-157) executed on the fake. Keyless by
+    design — plain inserts, so chunk contents can never collide."""
+    from .dialects import reference_snowflake_load_sql
+
+    for path in chunk_paths:
+        for stmt in reference_snowflake_load_sql(
+            table, os.path.basename(path), csv_path=path,
+            database=database, sf_schema=sf_schema,
+        ):
             fake.execute(stmt)
 
 

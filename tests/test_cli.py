@@ -612,3 +612,17 @@ def test_bench_coordinator_defers_to_children_when_narrowed(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_QUERIES")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ALL_ONLY", "1")
     assert not bench._should_coordinate(0.1)    # all-only: child mode
+
+
+def test_local_dir_explicit_override_fails_loudly(monkeypatch):
+    """An operator-pinned SPARK_GRAFT_LOCAL_DIR that cannot be honored
+    must raise, not silently fall back to a tempdir (the variable
+    exists precisely to keep shuffle spill OFF other disks)."""
+    from pgwarehouse_spark.session import _workspace_local_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/proc/nonexistent/spill")
+    with pytest.raises(OSError):
+        _workspace_local_dir()
+    # default path still resolves to the workspace dir
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR")
+    assert _workspace_local_dir().endswith(".spark-local")

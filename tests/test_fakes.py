@@ -291,3 +291,105 @@ def test_fake_engine_clickhouse_keyless_plain_load(spark, sf_dir, tmp_path):
     assert eng.count_table("region") == region.count()
     assert eng.sync("region").action == "reloaded"  # no PK: always reload
     assert eng.count_table("region") == region.count()
+
+
+def test_snowflake_copy_load_sequence_golden_and_keyless_multichunk(sf, tmp_path):
+    """The reference's initial/full LOAD is PUT + COPY INTO ... PURGE
+    per chunk (reference snowflake_backend.py:148-157) — pinned by
+    reference_snowflake_load_sql and EXECUTED here. Keyless semantics:
+    plain inserts, so rows sharing a first-column value across chunks
+    all survive (the round-8 review caught the old fake-merge-key path
+    silently deleting chunk-1 rows on collisions)."""
+    from pgwarehouse_spark.sync.dialects import (
+        reference_create_table_sql,
+        reference_snowflake_load_sql,
+    )
+    from pgwarehouse_spark.sync.fakes import run_snowflake_load
+
+    sf.execute("USE SCHEMA PUBLIC")
+    sf.execute(reference_create_table_sql("snowflake", "t", COLUMNS, []))
+    # duplicate id=1 across two chunks: a keyed merge would lose one
+    c1 = _chunk(tmp_path, "t10.csv.gz", ["1,alpha,10.5,2024-01-01 00:00:00"])
+    c2 = _chunk(tmp_path, "t20.csv.gz", ["1,beta,20.0,2024-01-02 00:00:00",
+                                         "2,gamma,30.0,2024-01-03 00:00:00"])
+    run_snowflake_load(sf, "t", [c1, c2])
+    rows = sf.table_rows("t")
+    assert [r[:2] for r in rows] == [(1, "alpha"), (1, "beta"), (2, "gamma")]
+    # PURGE = TRUE removed every staged file
+    assert sf.staged_files("t") == []
+    # and the executed statements ARE the golden sequence verbatim
+    golden = reference_snowflake_load_sql("t", "t20.csv.gz", csv_path=c2)
+    assert sf.executed[-2:] == golden[1:]  # PUT + COPY (USE SCHEMA dedup'd)
+
+
+def test_fake_engine_snowflake_keyless_reload(spark, sf_dir, tmp_path):
+    """No PK -> COPY-load path + reload-only strategy, mirrored from
+    the clickhouse keyless test."""
+    import os as _os
+
+    from pgwarehouse_spark.catalog import TableSpec
+    from pgwarehouse_spark.sync.engine import ParquetSource
+    from pgwarehouse_spark.sync.fake_engine import FakeWarehouseSyncEngine
+
+    src_dir = str(tmp_path / "src_sf_keyless")
+    _os.makedirs(src_dir)
+    region = spark.read.parquet(_os.path.join(sf_dir, "region.parquet"))
+    # several partitions -> several staged chunks on the load path
+    region.repartition(3).write.mode("overwrite").parquet(
+        _os.path.join(src_dir, "region.parquet")
+    )
+    eng = FakeWarehouseSyncEngine(
+        spark,
+        ParquetSource(src_dir),
+        "snowflake",
+        specs={"region": TableSpec("region")},
+        staging_dir=str(tmp_path / "stage_sf_keyless"),
+    )
+    assert eng.sync("region").action == "created"
+    assert eng.count_table("region") == region.count()
+    assert eng.sync("region").action == "reloaded"
+    assert eng.count_table("region") == region.count()
+
+
+def test_duckdb_engine_sync_all_accepts_shared_contract(spark, sf_dir, tmp_path):
+    """The CLI forwards parallel/consistent/audit_fk to every engine's
+    sync_all; the live-DuckDB engine crashed on them before the shared
+    orchestrator (round-8 review finding). Drive the actual CLI path."""
+    import os as _os
+
+    import duckdb
+
+    from pgwarehouse_spark import cli
+
+    src_dir = str(tmp_path / "src_duck")
+    _os.makedirs(src_dir)
+    spark.read.parquet(_os.path.join(sf_dir, "nation.parquet")).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(src_dir, "nation.parquet"))
+    db_path = str(tmp_path / "wh.duckdb")
+    cfg = tmp_path / "duck.yaml"
+    cfg.write_text(
+        "source:\n"
+        f"  path: {src_dir}\n"
+        "warehouse:\n"
+        "  type: duckdb\n"
+        f"  path: {db_path}\n"
+        "tables:\n"
+        "  nation:\n"
+        "    primary_key: n_nationkey\n"
+    )
+    rc = cli.main(["sync", "all", "--config", str(cfg)], spark=spark)
+    assert rc == 0
+    con = duckdb.connect(db_path)
+    assert con.execute("SELECT count(*) FROM nation").fetchone()[0] == 25
+    con.close()
+    # --consistent on a snapshot-less source: clean error, not traceback
+    rc = cli.main(
+        ["sync", "all", "--consistent", "--config", str(cfg)], spark=spark
+    )
+    assert rc == 1
+    # single-table sync with --consistent on snapshot-less source too
+    rc = cli.main(
+        ["sync", "nation", "--consistent", "--config", str(cfg)], spark=spark
+    )
+    assert rc == 1
