@@ -129,6 +129,16 @@ def _build_parser() -> argparse.ArgumentParser:
                         "names and/or name prefixes (e.g. 'dedup_,graph_') "
                         "— the driver-format escape hatch for families "
                         "the round driver never samples")
+    p.add_argument("--exclude-artifacts", dest="exclude_artifacts",
+                   default=None,
+                   help="for `queries --sample`: comma-separated glob "
+                        "patterns of prior CORRECTNESS-shaped JSON "
+                        "artifacts; queries already appearing in ANY of "
+                        "them are excluded, so successive rounds rotate "
+                        "through the registry until every query has a "
+                        "committed driver-shaped result (VERDICT r8 "
+                        "task 3). The --out artifact then carries a "
+                        "_rotation_meta entry with the cumulative count")
     p.add_argument("--parallel", type=int, default=1,
                    help="for `sync all`: sync up to N tables concurrently "
                         "(bounded thread pool, per-table FAIR scheduler "
@@ -270,6 +280,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     print(f"--only matched no registered queries: {args.only}",
                           file=sys.stderr)
                     return 1
+            rotation_meta = None
+            if args.exclude_artifacts:
+                # Rotation mode (VERDICT r8 task 3): exclude every query
+                # already green in a prior committed driver-shaped
+                # artifact, so round-over-round the local artifacts
+                # cover the full registry even though the round driver
+                # keeps resampling the same subset.
+                import glob as _glob
+                import json as _json
+
+                covered: set[str] = set()
+                n_files = 0
+                for pat in args.exclude_artifacts.split(","):
+                    for path in sorted(_glob.glob(pat.strip())):
+                        n_files += 1
+                        with open(path) as f:
+                            covered |= set(_json.load(f).keys())
+                covered.discard("_rotation_meta")
+                before = len(specs)
+                specs = {n: s for n, s in specs.items() if n not in covered}
+                rotation_meta = {
+                    "prior_artifacts": n_files,
+                    "prior_covered": len(covered),
+                    "excluded_here": before - len(specs),
+                    "run_here": len(specs),
+                }
             if args.sample <= 0:  # the FULL surface, deterministic order
                 picked = sorted(specs)
             else:
@@ -301,6 +337,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.out:
                 import json as _json
 
+                if rotation_meta is not None:
+                    rotation_meta["registry_total"] = len(all_queries())
+                    rotation_meta["cumulative_covered"] = (
+                        rotation_meta["prior_covered"] + len(picked)
+                    )
+                    artifact["_rotation_meta"] = rotation_meta
                 with open(args.out, "w") as f:
                     _json.dump(artifact, f, indent=1, default=str)
                 print(f"# wrote {args.out} ({len(artifact)} queries)")
@@ -664,10 +706,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             with ctx:
                 results = [eng.sync(args.table)]
             if args.audit_fk:
+                # Same contract as orchestrate_sync_all (ADVICE r8):
+                # no FK discovery → loud error; zero declared edges →
+                # explicit marker row, never silence.
+                if getattr(eng.source, "discover_foreign_keys", None) is None:
+                    raise ValueError(
+                        "--audit-fk requires a source that can discover "
+                        "FK constraints (live Postgres via PsqlCopySource)"
+                    )
+                audited = eng.audit_fk_orphans()
+                if not audited:
+                    results.append(
+                        SyncResult("fk_audit", "no_fk_edges_declared", 0)
+                    )
                 results.extend(
                     SyncResult(f"{e['child']}->{e['parent']}", "fk_orphans",
                                e["n_orphans"])
-                    for e in eng.audit_fk_orphans()
+                    for e in audited
                 )
     except FileNotFoundError as exc:
         print(f"error: {exc}", file=sys.stderr)

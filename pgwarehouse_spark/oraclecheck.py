@@ -56,6 +56,9 @@ def _norm_cell(v):
         if isinstance(v, decimal.Decimal):
             return float(v)
     except ImportError:
+        # decimal is stdlib and should always import; if a stripped
+        # interpreter lacks it, no Decimal values can exist either, so
+        # falling through to the identity return is safe.
         pass
     return v
 

@@ -16,6 +16,9 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Process-wide cache for the tempdir fallback in _workspace_local_dir().
+_FALLBACK_LOCAL_DIR: str | None = None
+
 
 def _workspace_local_dir() -> str:
     """A session-owned scratch dir for Spark's shuffle/blockmgr files.
@@ -63,9 +66,22 @@ def _workspace_local_dir() -> str:
                 return d
         except OSError:
             continue
-    import tempfile
+    # Last resort: one tempdir PER PROCESS, cached (ADVICE r8) — minting
+    # a fresh mkdtemp on every get_spark() call would leak directories
+    # and deny repeated sessions a stable spill location.
+    global _FALLBACK_LOCAL_DIR
+    if _FALLBACK_LOCAL_DIR is None:
+        import tempfile
 
-    return tempfile.mkdtemp(prefix="spark-graft-local-")
+        _FALLBACK_LOCAL_DIR = tempfile.mkdtemp(prefix="spark-graft-local-")
+        import atexit
+
+        atexit.register(
+            lambda: __import__("shutil").rmtree(
+                _FALLBACK_LOCAL_DIR, ignore_errors=True
+            )
+        )
+    return _FALLBACK_LOCAL_DIR
 
 
 def get_spark(
@@ -118,5 +134,10 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
+        # Arrow toggling can be rejected on exotic driver sessions (conf
+        # marked static). Arrow is an optimization, not a correctness
+        # requirement — the Pandas-UDF paths degrade to non-Arrow
+        # transfer — so swallowing the refusal is safe; the timezone pin
+        # above (the correctness-critical one) is NOT guarded.
         pass
     return spark

@@ -1177,10 +1177,24 @@ def orchestrate_sync_all(
             with ThreadPoolExecutor(max_workers=parallel) as ex:
                 results = list(ex.map(run, tables))
     if audit_fk:
+        # Mirror the consistent=True contract (ADVICE r8): a source with
+        # no FK discovery at all cannot be audited — raise rather than
+        # silently appending zero rows ("audited, clean" vs "never
+        # audited" must be distinguishable). A capable source that
+        # declares zero constraints gets an explicit no-edges marker row.
+        if getattr(eng.source, "discover_foreign_keys", None) is None:
+            raise ValueError(
+                "audit_fk=True requires a source that can discover FK "
+                "constraints (live Postgres via PsqlCopySource); "
+                f"{type(eng.source).__name__} has no discover_foreign_keys()"
+            )
+        audited = eng.audit_fk_orphans()
+        if not audited:
+            results.append(SyncResult("fk_audit", "no_fk_edges_declared", 0))
         results.extend(
             SyncResult(f"{e['child']}->{e['parent']}", "fk_orphans",
                        e["n_orphans"])
-            for e in eng.audit_fk_orphans()
+            for e in audited
         )
     return results
 

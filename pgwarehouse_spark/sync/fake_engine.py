@@ -99,6 +99,7 @@ class FakeWarehouseSyncEngine:
             else FakeClickHouse(db_path)
         )
         self.staging_dir = staging_dir or tempfile.mkdtemp(prefix="fake_wh_stage_")
+        os.makedirs(self.staging_dir, exist_ok=True)
         self._discovered: set[str] = set()
         self._columns: dict[str, dict[str, str]] = {}
 
@@ -237,33 +238,58 @@ class FakeWarehouseSyncEngine:
             with open(path, "rb") as f:
                 self.wh.execute(stmt, stdin=f.read())
 
+    def _loading_marker(self, table: str) -> str:
+        return os.path.join(self.staging_dir, f"{table}.loading")
+
     def _full_load(self, table: str, df: DataFrame) -> int:
         spec = self.spec(table)
         columns = _pg_columns(self.source, table, df)
         self._columns[table] = columns
         df.persist()
+        # Crash-resume protocol (VERDICT r8 task 5): the reference's
+        # per-chunk PUT + COPY INTO … PURGE commits chunk-by-chunk
+        # (snowflake_backend.py:136-159 archives as it goes), so a crash
+        # mid-load leaves a PARTIAL table — and because chunks are
+        # arbitrary row partitions, the partial state is NOT a pk-prefix:
+        # a later watermark append would silently leave holes (the
+        # reference does exactly that on restart). This rebuild is
+        # stricter: a marker brackets the multi-chunk load; sync() sees
+        # a leftover marker and forces a reload instead of trusting the
+        # watermark.
+        marker = self._loading_marker(table)
         try:
             rows = df.count()
             if self.table_exists(table):
                 self.wh.con.execute(f"DROP TABLE {table}")
             self._create(table, columns, spec.primary_key or [])
+            with open(marker, "w") as f:
+                f.write("load in progress")
             self._load_chunks(
                 table, columns, spec.primary_key or [],
                 self._stage(table, df), full=True,
             )
+            os.remove(marker)
         finally:
             df.unpersist()
         return rows
 
     def _delta_load(self, table: str, delta: DataFrame, pk: list[str]) -> int:
         delta.persist()
+        # Same crash bracket as _full_load: a crash between delta chunks
+        # leaves the loaded chunks' keys in the table, which RAISES the
+        # watermark above the unloaded chunks' keys — the next plain
+        # append would skip them forever. Marker -> next sync reloads.
+        marker = self._loading_marker(table)
         try:
             rows = delta.count()
             if rows:
                 columns = self._columns.get(table) or _pg_columns(
                     self.source, table, delta
                 )
+                with open(marker, "w") as f:
+                    f.write("delta load in progress")
                 self._load_chunks(table, columns, pk, self._stage(table, delta))
+                os.remove(marker)
         finally:
             delta.unpersist()
         return rows
@@ -290,6 +316,11 @@ class FakeWarehouseSyncEngine:
             return SyncResult(table, "created", self._full_load(
                 table, self.extract(table)
             ))
+        if os.path.exists(self._loading_marker(table)):
+            # a prior multi-chunk load crashed mid-sequence: the table
+            # holds an arbitrary subset of rows, so the watermark paths
+            # below would leave holes — reload (see _full_load docstring)
+            return self.reload(table)
         if spec.should_reload(today):
             return self.reload(table)
         if spec.last_modified and spec.primary_key:

@@ -35,7 +35,11 @@ import re
 import shutil
 import tempfile
 
-import duckdb
+# duckdb is imported lazily inside each fake's __init__ (matching
+# duckdb_sink.py): it is a test-extra dependency, and this module is
+# imported unconditionally by cli.py's isinstance routing — a minimal
+# install (pyspark+pyyaml only) must not crash on `sync` against the
+# default parquet-lake warehouse just because the fakes exist.
 
 
 class FakeStatementError(ValueError):
@@ -59,6 +63,8 @@ class FakeSnowflake:
     _TYPE_MAP = {"STRING": "VARCHAR", "NUMERIC": "DOUBLE", "DATETIME": "TIMESTAMP"}
 
     def __init__(self, db_path: str | None = None) -> None:
+        import duckdb  # lazy: test extra, see module docstring note
+
         # file-backed when the CLI config gives a path, so `sync` in one
         # invocation is queryable in the next; in-memory for tests
         self.con = duckdb.connect(db_path or ":memory:")
@@ -66,6 +72,12 @@ class FakeSnowflake:
         self.current_schema: str | None = None
         self.file_formats: dict[str, dict] = {}
         self.executed: list[str] = []
+        # Per-COPY outcome rows mirroring the Snowflake COPY result set
+        # (rows_parsed / rows_loaded / errors_seen / status): the
+        # reference runs ON_ERROR=CONTINUE, so bad rows vanish silently
+        # there — here the skip is executed AND visible, so tests can
+        # pin exactly which rows a dirty chunk loses (VERDICT r8 task 5).
+        self.load_reports: list[dict] = []
 
     def close(self) -> None:
         shutil.rmtree(self.stage_root, ignore_errors=True)
@@ -142,21 +154,51 @@ class FakeSnowflake:
 
     def _copy_into(self, m: re.Match) -> None:
         """The reference's LOAD statement (snowflake_backend.py:152-157):
-        plain insert of one staged file, PURGE removes it after."""
+        insert of one staged file, PURGE removes it after. The pinned
+        statement carries ON_ERROR=CONTINUE, and the fake honors it for
+        real (VERDICT r8 task 5): the CSV is parsed against the TARGET
+        table's column types (Snowflake casts to the target schema, not
+        a sniffed one); rows that fail the parse/cast are skipped and
+        the rest load. Each COPY appends a result row to
+        ``load_reports`` shaped like Snowflake's COPY result set —
+        where the real engine loses bad rows silently, the fake makes
+        the loss assertable."""
         table, csv = m.group("table"), m.group("csv")
         path = os.path.join(self.stage_root, table, csv)
         if not os.path.exists(path):
             raise FakeStatementError(f"COPY INTO source not staged: {csv}")
-        target_cols = [
-            r[0] for r in self.con.execute(
-                f"SELECT name FROM pragma_table_info('{table}')"
-            ).fetchall()
-        ]
-        col_list = ", ".join(f'"{c}"' for c in target_cols)
+        info = self.con.execute(
+            f"SELECT name, type FROM pragma_table_info('{table}')"
+        ).fetchall()
+        col_list = ", ".join(f'"{n}"' for n, _ in info)
+        colspec = ", ".join(f"'{n}': '{t}'" for n, t in info)
+        # rows_parsed: physical records seen (all-varchar + null-padding
+        # so count failures can't hide short rows; overlong rows are the
+        # one class this undercounts, documented here)
+        rows_parsed = self.con.execute(
+            f"SELECT count(*) FROM read_csv('{path}', header=true, "
+            f"all_varchar=true, null_padding=true, ignore_errors=true)"
+        ).fetchone()[0]
+        before = self.con.execute(
+            f"SELECT count(*) FROM {table}"
+        ).fetchone()[0]
         self.con.execute(
             f"INSERT INTO {table} ({col_list}) SELECT * FROM "
-            f"read_csv_auto('{path}', header=true)"
+            f"read_csv('{path}', header=true, columns={{{colspec}}}, "
+            f"ignore_errors=true)"
         )
+        loaded = self.con.execute(
+            f"SELECT count(*) FROM {table}"
+        ).fetchone()[0] - before
+        self.load_reports.append({
+            "file": csv,
+            "table": table,
+            "rows_parsed": int(rows_parsed),
+            "rows_loaded": int(loaded),
+            "errors_seen": int(rows_parsed - loaded),
+            "status": "LOADED" if loaded == rows_parsed
+            else "PARTIALLY_LOADED",
+        })
         os.remove(path)  # PURGE = TRUE
 
     def _remove(self, m: re.Match) -> None:
@@ -250,6 +292,8 @@ class FakeClickHouse:
     }
 
     def __init__(self, db_path: str | None = None) -> None:
+        import duckdb  # lazy: test extra, see module docstring note
+
         self.con = duckdb.connect(db_path or ":memory:")
         self.executed: list[str] = []
 

@@ -516,6 +516,41 @@ def test_queries_sample_out_artifact(spark, tmp_path, capsys):
         assert row["err"] is None
 
 
+def test_queries_rotation_excludes_prior_artifacts(spark, tmp_path, capsys):
+    """`queries --sample N --exclude-artifacts G` (VERDICT r8 task 3):
+    queries already present in prior CORRECTNESS-shaped artifacts are
+    excluded from the pick, and the --out artifact carries a
+    _rotation_meta entry with the cumulative coverage count."""
+    import json as _json
+
+    from pgwarehouse_spark.registry import all_queries
+
+    # fabricate a prior artifact covering ALL BUT three queries
+    names = sorted(n for n, s in all_queries().items() if s.oracle)
+    keep = names[:3]
+    prior = {n: {"hash_match": True} for n in names if n not in keep}
+    prior_path = tmp_path / "prior_artifact.json"
+    prior_path.write_text(_json.dumps(prior))
+
+    out = tmp_path / "rotation.json"
+    rc = main(
+        ["queries", "--sample", "10", "--seed", "7",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--exclude-artifacts", str(prior_path), "--out", str(out)],
+        spark=spark,
+    )
+    assert rc == 0
+    data = _json.loads(out.read_text())
+    meta = data.pop("_rotation_meta")
+    # only the three uncovered queries remain eligible and all ran
+    assert sorted(data) == keep
+    assert all(row["hash_match"] for row in data.values())
+    assert meta["prior_covered"] == len(prior)
+    assert meta["run_here"] == 3 and meta["excluded_here"] == len(prior)
+    assert meta["registry_total"] == len(all_queries())
+    assert meta["cumulative_covered"] == len(prior) + 3
+
+
 def test_backend_clickhouse_snowflake_refuse_with_publish_recipe(
     spark, config_file, capsys
 ):

@@ -393,3 +393,192 @@ def test_duckdb_engine_sync_all_accepts_shared_contract(spark, sf_dir, tmp_path)
         ["sync", "nation", "--consistent", "--config", str(cfg)], spark=spark
     )
     assert rc == 1
+
+
+# ---- fault injection (VERDICT r8 task 5) ------------------------------
+# The reference's load is ON_ERROR=CONTINUE (snowflake_backend.py:
+# 153-157) — bad rows vanish silently — and its per-chunk PUT+COPY+
+# archive protocol commits chunk-by-chunk, so a crash mid-load leaves
+# partial state the reference's restart path silently mis-handles (the
+# watermark append skips the missing rows forever). The fakes let us
+# TEST both behaviors end-to-end, and pin where this rebuild is
+# stricter than the reference (README "Fault handling").
+
+
+def _crash_on(fake, substr: str, nth: int = 1):
+    """Monkeypatch fake.execute to raise on the nth statement containing
+    `substr`; returns the original for restoration."""
+    orig = fake.execute
+    state = {"seen": 0}
+
+    def wrapper(sql, **kw):
+        if substr in sql:
+            state["seen"] += 1
+            if state["seen"] == nth:
+                raise RuntimeError(f"injected crash at {substr!r} #{nth}")
+        return orig(sql, **kw)
+
+    fake.execute = wrapper
+    return orig
+
+
+def test_snowflake_on_error_continue_skips_bad_rows(sf, tmp_path):
+    """A malformed row in a staged chunk: the pinned COPY INTO carries
+    ON_ERROR=CONTINUE, and the fake executes that semantic for real —
+    rows failing the TARGET-typed parse are skipped, the rest load, and
+    the loss is visible in the COPY result report (where real Snowflake
+    loses them silently)."""
+    from pgwarehouse_spark.sync.dialects import reference_create_table_sql
+    from pgwarehouse_spark.sync.fakes import run_snowflake_load
+
+    sf.execute("USE SCHEMA PUBLIC")
+    sf.execute(reference_create_table_sql("snowflake", "t", COLUMNS, ["id"]))
+    dirty = _chunk(tmp_path, "t10.csv.gz", [
+        "1,alpha,10.5,2024-01-01 00:00:00",
+        "notanumber,bad,xx,also-not-a-timestamp",   # fails BIGINT cast
+        "3,gamma,30.0,2024-01-03 00:00:00",
+    ])
+    run_snowflake_load(sf, "t", [dirty])
+    rows = sf.table_rows("t")
+    assert [r[0] for r in rows] == [1, 3], "good rows load, bad row skipped"
+    rep = sf.load_reports[-1]
+    assert rep["rows_parsed"] == 3 and rep["rows_loaded"] == 2
+    assert rep["errors_seen"] == 1 and rep["status"] == "PARTIALLY_LOADED"
+    assert sf.staged_files("t") == []  # PURGE still ran
+
+
+def test_snowflake_clean_chunk_reports_loaded(sf, tmp_path):
+    from pgwarehouse_spark.sync.dialects import reference_create_table_sql
+    from pgwarehouse_spark.sync.fakes import run_snowflake_load
+
+    sf.execute("USE SCHEMA PUBLIC")
+    sf.execute(reference_create_table_sql("snowflake", "t", COLUMNS, ["id"]))
+    clean = _chunk(tmp_path, "t10.csv.gz", ["1,a,1.0,2024-01-01 00:00:00"])
+    run_snowflake_load(sf, "t", [clean])
+    assert sf.load_reports[-1]["status"] == "LOADED"
+    assert sf.load_reports[-1]["errors_seen"] == 0
+
+
+def test_snowflake_crash_between_chunks_leaves_partial_state(sf, tmp_path):
+    """Crash on the SECOND chunk's COPY INTO: chunk 1 is committed and
+    purged, chunk 2 is staged-but-unloaded — exactly the partial state
+    the reference's archive-as-you-go protocol can leave. The partial
+    table is NOT a pk-prefix (chunk 1 holds the HIGH keys here), which
+    is why a watermark append after the crash would lose rows."""
+    from pgwarehouse_spark.sync.dialects import reference_create_table_sql
+    from pgwarehouse_spark.sync.fakes import run_snowflake_load
+
+    sf.execute("USE SCHEMA PUBLIC")
+    sf.execute(reference_create_table_sql("snowflake", "t", COLUMNS, ["id"]))
+    c1 = _chunk(tmp_path, "t10.csv.gz", [
+        "10,j,1.0,2024-01-01 00:00:00", "11,k,2.0,2024-01-02 00:00:00",
+    ])
+    c2 = _chunk(tmp_path, "t20.csv.gz", [
+        "1,a,3.0,2024-01-03 00:00:00", "2,b,4.0,2024-01-04 00:00:00",
+    ])
+    _crash_on(sf, "COPY INTO", nth=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_snowflake_load(sf, "t", [c1, c2])
+    assert [r[0] for r in sf.table_rows("t")] == [10, 11]
+    # chunk 2 was PUT but never COPY'd: still in the table stage
+    assert sf.staged_files("t") == ["t20.csv.gz"]
+    # the hole: max(pk)=11, so `pk > 11` re-extracts nothing — keys 1,2
+    # would be lost forever by a watermark append (the engine's marker
+    # protocol forces a reload instead; test below)
+
+
+def test_fake_engine_crash_resume_reloads_not_appends(spark, sf_dir, tmp_path):
+    """End-to-end crash-resume through the sync engine: a crash mid
+    multi-chunk initial load leaves a partial table + the loading
+    marker; the next sync sees the marker and RELOADS (this rebuild is
+    stricter than the reference, whose restart would watermark-append
+    over the holes). Final contents equal the source exactly."""
+    import os as _os
+
+    from pgwarehouse_spark.catalog import TableSpec
+    from pgwarehouse_spark.sync.engine import ParquetSource
+    from pgwarehouse_spark.sync.fake_engine import FakeWarehouseSyncEngine
+
+    src_dir = str(tmp_path / "src")
+    _os.makedirs(src_dir)
+    nation = spark.read.parquet(_os.path.join(sf_dir, "nation.parquet"))
+    nation.repartition(3).write.mode("overwrite").parquet(
+        _os.path.join(src_dir, "nation.parquet")
+    )
+    # one scan partition per file -> 3 staged chunks (openCostInBytes
+    # forces no small-file packing for this test only)
+    prev_cost = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
+    try:
+        eng = FakeWarehouseSyncEngine(
+            spark, ParquetSource(src_dir), "snowflake",
+            specs={"nation": TableSpec("nation", ["n_nationkey"])},
+            staging_dir=str(tmp_path / "stage"),
+        )
+        orig = _crash_on(eng.wh, "COPY INTO", nth=2)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            eng.sync("nation")
+        # partial state + the crash marker
+        n_partial = eng.count_table("nation")
+        assert 0 < n_partial < 25
+        assert _os.path.exists(eng._loading_marker("nation"))
+        # resume: marker forces reload, not watermark append
+        eng.wh.execute = orig
+        res = eng.sync("nation")
+        assert res.action == "reloaded"
+        assert eng.count_table("nation") == 25
+        assert not _os.path.exists(eng._loading_marker("nation"))
+        # steady state afterwards: plain watermark paths resume
+        assert eng.sync("nation").action in ("appended", "noop")
+        assert eng.count_table("nation") == 25
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_cost)
+
+
+def test_clickhouse_mid_upsert_crash_self_heals_on_rerun(tmp_path):
+    """ClickHouse has no MERGE: the reference's delete-then-insert has a
+    window between ALTER DELETE and the target INSERT where matched rows
+    are GONE. Crash there, then re-run the full pinned sequence (what a
+    re-sync does): delete of already-deleted keys no-ops, insert
+    restores — the sequence is idempotent and the final state heals."""
+    from pgwarehouse_spark.sync.dialects import reference_create_table_sql
+
+    fake = FakeClickHouse()
+    fake.execute(reference_create_table_sql("clickhouse", "t", COLUMNS, ["id"]))
+    seed = _chunk(tmp_path, "t00.csv.gz", [
+        "1,alpha,10.5,2024-01-01 00:00:00",
+        "2,beta,20.0,2024-01-02 00:00:00",
+    ])
+    run_clickhouse_upsert(fake, "t", COLUMNS, ["id"], [seed])
+    delta = _chunk(tmp_path, "t10.csv.gz", [
+        "2,beta2,99.0,2024-02-01 08:30:00",
+        "3,gamma,30.0,2024-02-02 09:00:00",
+    ])
+    orig = _crash_on(fake, "INSERT INTO t SELECT * FROM", nth=1)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_clickhouse_upsert(fake, "t", COLUMNS, ["id"], [delta])
+    # the crash window: row 2 deleted, replacement never inserted
+    assert [r[0] for r in fake.table_rows("t")] == [1]
+    fake.execute = orig
+    run_clickhouse_upsert(fake, "t", COLUMNS, ["id"], [delta])
+    rows = fake.table_rows("t")
+    assert [r[:2] for r in rows] == [(1, "alpha"), (2, "beta2"), (3, "gamma")]
+
+
+def test_clickhouse_rejects_malformed_chunk_loudly(tmp_path):
+    """Contrast with Snowflake's ON_ERROR=CONTINUE: clickhouse-client
+    with the reference's settings rejects malformed input (default
+    input_format_allow_errors_num=0), so the fake fails the statement
+    rather than skipping rows — and the target stays untouched because
+    the failure happens in the __changes temp table."""
+    from pgwarehouse_spark.sync.dialects import reference_create_table_sql
+
+    fake = FakeClickHouse()
+    fake.execute(reference_create_table_sql("clickhouse", "t", COLUMNS, ["id"]))
+    bad = _chunk(tmp_path, "t00.csv.gz", [
+        "1,alpha,10.5,2024-01-01 00:00:00",
+        "2,only,three,fields,extra,columns,here",
+    ])
+    with pytest.raises(Exception):
+        run_clickhouse_upsert(fake, "t", COLUMNS, ["id"], [bad])
+    assert fake.table_rows("t") == []

@@ -179,3 +179,60 @@ def test_setup_py_is_a_pure_shim():
         body = f.read()
     assert "setup()" in body
     assert "name=" not in body and "version=" not in body
+
+
+def test_minimal_install_imports_without_duckdb(tmp_path):
+    """ADVICE r8 (medium): cli.py unconditionally imports
+    sync.fake_engine → sync.fakes; fakes.py had a module-level
+    `import duckdb`, so a minimal install (pyspark+pyyaml only — duckdb
+    is a test extra) crashed on EVERY warehouse command, including
+    `sync` against the default parquet lake. Simulate the minimal
+    install by blocking duckdb at the meta-path and prove (a) the CLI
+    module tree imports, (b) the routing isinstance checks work, and
+    (c) constructing a fake fails loudly only at USE time."""
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        """
+import sys
+import importlib.abc
+
+
+class _BlockDuckdb(importlib.abc.MetaPathFinder):
+    def find_spec(self, name, path=None, target=None):
+        if name == "duckdb" or name.startswith("duckdb."):
+            raise ImportError("duckdb blocked: minimal-install simulation")
+        return None
+
+
+sys.meta_path.insert(0, _BlockDuckdb())
+sys.modules.pop("duckdb", None)
+
+# (a) the whole CLI import tree must load without duckdb
+from pgwarehouse_spark import cli  # noqa: F401
+from pgwarehouse_spark.sync import fake_engine, fakes
+from pgwarehouse_spark.sync.duckdb_sink import DuckDBSyncEngine  # noqa: F401
+
+# (b) isinstance routing against the fake engine class works un-imported
+assert not isinstance(object(), fake_engine.FakeWarehouseSyncEngine)
+
+# (c) fakes fail loudly at construction (first duckdb use), not import
+for cls in (fakes.FakeSnowflake, fakes.FakeClickHouse):
+    try:
+        cls()
+    except ImportError as exc:
+        assert "duckdb" in str(exc)
+    else:
+        raise SystemExit(f"{cls.__name__}() should need duckdb")
+print("MINIMAL_OK")
+"""
+    )
+    proc = subprocess.run(
+        [sys.executable, str(probe)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/tmp",
+        env={**os.environ, "PYTHONPATH": _REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MINIMAL_OK" in proc.stdout

@@ -127,11 +127,14 @@ _INFRA_SIGNATURES = (
 
 
 def _is_infra_failure(stderr: str) -> bool:
-    """True only for the shuffle-reaper signature class. A bare
-    java.io.FileNotFoundException is NOT sufficient (ADVICE r7: it also
-    matches genuine code/data failures like a missing table path) — it
-    counts only when it co-occurs with a shuffle/blockmgr path on the
-    same run's stderr."""
+    """True only for the shuffle-reaper signature class: a
+    ``temp_shuffle_`` or ``blockmgr-`` path substring on stderr. A bare
+    java.io.FileNotFoundException is deliberately NOT in the signature
+    list (ADVICE r7: it also matches genuine code/data failures like a
+    missing table path); the shuffle/blockmgr path substrings alone are
+    the check — any exception mentioning those paths is by construction
+    about Spark-managed shuffle scratch, not user data (ADVICE r8:
+    docstring now matches the implemented substring-only test)."""
     return any(sig in stderr for sig in _INFRA_SIGNATURES)
 
 

@@ -897,3 +897,28 @@ def test_audit_fk_orphans_engine_counts(spark, sf_dir, workspace):
         [{"child": "nope", "child_cols": ["x"], "parent": "customer",
           "parent_cols": ["c_custkey"]}]
     ) == []
+
+def test_sync_all_audit_fk_requires_fk_capable_source(spark, sf_dir, workspace):
+    """audit_fk=True must refuse loudly on a source with no FK discovery
+    (ADVICE r8): silently appending zero audit rows is indistinguishable
+    from 'audited, found no orphans'. Mirrors the consistent=True
+    contract tested above."""
+    src, wh = workspace
+    _write_source(spark, src, "orders", _orders(spark, sf_dir, limit=10))
+    eng = make_engine(spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])})
+    assert getattr(eng.source, "discover_foreign_keys", None) is None
+    with pytest.raises(ValueError, match="discover_foreign_keys"):
+        eng.sync_all(audit_fk=True)
+
+
+def test_sync_all_audit_fk_zero_edges_marker_row(spark, sf_dir, workspace):
+    """A source that CAN discover FKs but declares none yields an
+    explicit no-edges marker row, so 'ran, nothing declared' is visible
+    in the results rather than silent."""
+    src, wh = workspace
+    _write_source(spark, src, "orders", _orders(spark, sf_dir, limit=10))
+    eng = make_engine(spark, src, wh, {"orders": TableSpec("orders", ["o_orderkey"])})
+    eng.source.discover_foreign_keys = lambda: []
+    results = eng.sync_all(audit_fk=True)
+    marker = [r for r in results if r.action == "no_fk_edges_declared"]
+    assert len(marker) == 1 and marker[0].table == "fk_audit"
