@@ -17,8 +17,11 @@ verified output equals the exact answer on real data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vector import dot_exact, dot_fixed, sql_cosine, sql_cosine_fixed
 from ..registry import register
@@ -671,11 +674,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_labels(spark, sf_dir).orderBy("doc_id")
 
 
-# rounds used by the most recent connected_components call (test/obs hook)
+# rounds used by the most recent connected_components call (test/obs hook);
+# 0 means the driver union-find path ran (no contraction rounds needed)
 LAST_CC_ROUNDS: int = 0
 
+# Size gate for the driver-side union-find fast path (r9 optimization,
+# guide §1.2 "the distributed algorithm" + §5 driver rules): below this
+# many DISTINCT canonical edges, components are computed on the driver —
+# the same bounded-collect class as a broadcast hash relation (Spark
+# itself collects up to 8 GB / 512M rows to the driver for every
+# broadcast join; 2M (long,long) edges ≈ 32 MB). The distributed
+# large-star/small-star contraction remains the path for bigger edge
+# sets, so nothing data-sized is ever collected: the gate is checked
+# with take(cap+1), which aborts as soon as cap+1 rows exist.
+#
+# Why this wins: the contraction loop costs ~4-6 Spark jobs per round
+# (two star passes × two exchanges + eager checkpoint + convergence
+# signature) — measured 4.5 s for a 241-edge pair graph at sf0.1 while
+# the union-find over the same edges is sub-millisecond. At 100 TB the
+# verified near-dup pair set (post exact-collapse) is exactly the kind
+# of heavy-tailed but edge-sparse graph that routinely fits the gate;
+# when it does not, the O(log²)-round contraction takes over unchanged.
+CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "2000000")
+)
 
-def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+
+def _driver_union_find(spark: SparkSession, edge_rows, id_type) -> DataFrame:
+    """Union-find with path compression over collected (a, b) edge rows;
+    roots are always the component-min id (unions attach the larger root
+    under the smaller), so labels equal the distributed contraction's
+    min-label output exactly. Returns (doc_id, cluster_id) for every
+    node incident to an edge — the same contract as the star loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    nodes = set()
+    for r in edge_rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    out = [(n, find(n)) for n in sorted(nodes)]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 30, driver_max_edges: int | None = None
+) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     2014): each round rewires every node toward its neighborhood min,
@@ -704,14 +770,25 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     per-round frames are cached then released."""
     global LAST_CC_ROUNDS
     # canonical big→small orientation, self-loops dropped
-    edges = (
+    canon = (
         pairs.select(
             F.greatest("id1", "id2").alias("a"), F.least("id1", "id2").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    cap = CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if cap > 0:
+        # take(cap+1) aborts the collect as soon as cap+1 rows exist, so
+        # an over-gate edge set costs one distinct pass, never an
+        # unbounded driver transfer; under the gate the rows in hand ARE
+        # the whole edge set and no further jobs run.
+        head = canon.take(cap + 1)
+        if len(head) <= cap:
+            LAST_CC_ROUNDS = 0
+            id_type = canon.schema["a"].dataType
+            return _driver_union_find(pairs.sparkSession, head, id_type)
+    edges = canon.localCheckpoint(eager=True)
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -720,12 +797,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # NO distinct here (r9, guide §2.4): the output feeds small_star,
+        # whose min-aggregate and final distinct are insensitive to
+        # duplicate rows — the dedup exchange the distinct would add per
+        # round is pure overhead (the duplicates are bounded by |sym|,
+        # and the map-side partial min/distinct aggregation compacts
+        # them before the shuffle anyway).
         return (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))  # larger neighbors re-attach
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:

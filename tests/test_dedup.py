@@ -115,11 +115,17 @@ def test_connected_components_star_contraction(spark):
     bridged-stars graph both converge in <= 10 rounds."""
     import pgwarehouse_spark.operators.dedup as dd
 
+    # driver_max_edges=0 forces the DISTRIBUTED contraction path — this
+    # test exists to pin the star loop's round bound, which the r9
+    # driver union-find gate would otherwise bypass on graphs this small
     # path 0-1-2-...-63
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id1 BIGINT, id2 BIGINT"
     )
-    labels = {r.doc_id: r.cluster_id for r in dd.connected_components(path).collect()}
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(path, driver_max_edges=0).collect()
+    }
     assert labels == {i: 0 for i in range(64)}
     assert dd.LAST_CC_ROUNDS <= 10, dd.LAST_CC_ROUNDS
 
@@ -133,7 +139,10 @@ def test_connected_components_star_contraction(spark):
         + [(7000, 7001), (7001, 7002), (7000, 7002)]  # triangle
     )
     g = spark.createDataFrame(edges, "id1 BIGINT, id2 BIGINT")
-    got = {r.doc_id: r.cluster_id for r in dd.connected_components(g).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(g, driver_max_edges=0).collect()
+    }
     assert all(got[n] == 0 for n in list(range(200)) + [1000 + i for i in range(50)])
     assert got[5000] == got[5001] == 5000
     assert got[7000] == got[7001] == got[7002] == 7000
@@ -143,8 +152,50 @@ def test_connected_components_star_contraction(spark):
     g2 = spark.createDataFrame(
         [(2, 1), (1, 2), (2, 3), (3, 2)], "id1 BIGINT, id2 BIGINT"
     )
-    got2 = {r.doc_id: r.cluster_id for r in dd.connected_components(g2).collect()}
+    got2 = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(g2, driver_max_edges=0).collect()
+    }
     assert got2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_driver_gate_equivalence(spark):
+    """r9: the size-gated driver union-find must label every graph
+    identically to the distributed star contraction, set LAST_CC_ROUNDS
+    to 0, and hand over to the distributed path when the edge count
+    exceeds the gate."""
+    import pgwarehouse_spark.operators.dedup as dd
+
+    graphs = [
+        [(i, i + 1) for i in range(63)],                     # chain
+        [(0, i) for i in range(1, 200)] + [(199, 1000)]      # star+bridge
+        + [(1000, 1000 + i) for i in range(1, 50)]
+        + [(5000, 5001), (7000, 7001), (7001, 7002), (7000, 7002)],
+        [(2, 1), (1, 2), (2, 3), (3, 2)],                    # dup/reversed
+        [(9, 9)],                                            # self-loop only
+    ]
+    for edges in graphs:
+        g = spark.createDataFrame(edges, "id1 BIGINT, id2 BIGINT")
+        fast = {
+            r.doc_id: r.cluster_id for r in dd.connected_components(g).collect()
+        }
+        assert dd.LAST_CC_ROUNDS == 0  # gate took the driver path
+        slow = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components(g, driver_max_edges=0).collect()
+        }
+        assert fast == slow
+
+    # over-gate edge sets run the distributed loop (rounds > 0)
+    g = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id1 BIGINT, id2 BIGINT"
+    )
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(g, driver_max_edges=10).collect()
+    }
+    assert labels == {i: 0 for i in range(41)}
+    assert dd.LAST_CC_ROUNDS > 0
 
 
 def test_embedding_cosine_all_pairs_guard(spark):
