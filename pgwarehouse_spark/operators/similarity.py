@@ -774,29 +774,51 @@ def pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
     decimal argmin, tie-break on k). One broadcast join against K rows,
     then `min(struct(dist, k))` — struct ordering compares the exact
     decimal first, k second, so the argmin is deterministic AND the
-    aggregate partial-combines map-side (no window sort of the
-    N·M·K candidate relation; the one exchange carries pre-reduced
-    (vec, subspace) partials)."""
-    sub = e.select(
-        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    aggregate partial-combines map-side.
+
+    r9 shape (guide §2.3 "shuffle fewer bytes" / §1.2 per-task work):
+    the join emits N·K rows and each row computes all PQ_M subspace
+    distances into PQ_M parallel min-struct aggregates — versus the
+    previous explode-m-first form whose join emitted N·M·K rows, each
+    dispatching a coalesce over M when-branches to recover which
+    subspace it was. 8× fewer joined rows, no branch dispatch, and the
+    map-side partials shrink from (N·M groups × K rows) to (N groups,
+    M structs); the per-subspace argmin decimals are computed by the
+    identical _sub_l2_exact expressions, so codes and dists are
+    bit-identical (equality over all 16k (vec, m) rows verified at
+    sf0.1 against the previous form)."""
+    bests = (
+        e.join(F.broadcast(codebook))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        _sub_l2_exact(
+                            F.col("embedding"), F.col("cb_emb"), m
+                        ).alias("dist"),
+                        F.col("k"),
+                    )
+                ).alias(f"b{m}")
+                for m in range(PQ_M)
+            ]
+        )
     )
-    dists = [
-        F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
-        for m in range(PQ_M)
-    ]
-    return (
-        sub.join(F.broadcast(codebook))
-        .select(
-            "vec_id", "m", "k", F.coalesce(*dists).alias("dist")
-        )
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist", "k")).alias("best"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("best.k").alias("code"),
-            F.col("best.dist").alias("dist"),
-        )
+    per_sub = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"b{m}.k").alias("code"),
+                F.col(f"b{m}.dist").alias("dist"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return bests.select("vec_id", F.explode(per_sub).alias("x")).select(
+        "vec_id",
+        F.col("x.m").alias("m"),
+        F.col("x.code").alias("code"),
+        F.col("x.dist").alias("dist"),
     )
 
 
@@ -897,7 +919,18 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_RERANK raw vectors per query."""
     e = t(spark, sf_dir, "embeddings")
     cb = pq_codebook(e)
-    codes = pq_encode(e, cb).select("vec_id", "m", "code")
+    # localCheckpoint truncates the encode subtree out of the verdict
+    # query's plan (r9, guide §3.3 "materialising an intermediate
+    # truncates the plan"): the full PQ-verdict plan nests encode + ADC
+    # + re-rank + exact top-k, and with AQE re-optimizing after every
+    # stage the driver re-walks that whole tree repeatedly — measured
+    # ~1 s of the query's 4.6 s at sf0.1 was exactly this. The codes
+    # frame is N·M fixed-width rows (the 32×-compressed index — the
+    # thing PQ exists to make small), so the materialization is cheap
+    # at any scale; on a cluster it is the persisted index table.
+    codes = (
+        pq_encode(e, cb).select("vec_id", "m", "code").localCheckpoint()
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES)
     # per-query distance table: (query_id, m, k, d) — PQ_M*PQ_K rows/query
     dists = [
@@ -964,9 +997,12 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(e)
     assigned = _assign_nearest(e, cents)  # (vec_id, embedding, centroid_id)
     cb = pq_codebook(e)
+    # checkpointed for the same plan-truncation reason as sim_topk_pq's
+    # codes (this plan is even deeper: cell assignment joins the encode
+    # output before ADC); N·M fixed-width rows, cheap at any scale
     codes = pq_encode(e, cb).join(
         assigned.select("vec_id", "centroid_id"), "vec_id"
-    ).select("vec_id", "centroid_id", "m", "code")
+    ).select("vec_id", "centroid_id", "m", "code").localCheckpoint()
 
     q = e.filter(F.col("vec_id") < N_QUERIES)
     w_probe = W.partitionBy("query_id").orderBy(
