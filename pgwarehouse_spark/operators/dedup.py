@@ -320,19 +320,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_df(
     shingled: DataFrame, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """(doc_id, sig array<long>) via explode + one groupBy with
-    `num_hashes` min-aggregates. One pass over the shingle strings (each
-    hashed to a long once), then long-only re-hashing per seed inside a
-    vectorized hash aggregate — unlike the array-expression form, no
-    subexpression is evaluated twice. One shuffle on doc_id."""
-    hashed = shingled.select(
-        "doc_id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h")
+    """(doc_id, sig array<long>) as a pure per-row expression: each
+    shingle hashes to a long once, then `num_hashes` seeded re-hash +
+    array_min passes — the SAME hash chain (xxhash64(xxhash64(s), j))
+    the previous explode + groupBy form computed, so signatures (and
+    therefore LSH candidate sets) are bit-identical (verified doc-by-doc
+    at sf0.1).
+
+    r9 shape (guide §2.4 "remove shuffles outright"): the explode +
+    48-min-aggregate form shuffled one row per (doc, shingle) — O(corpus
+    tokens) rows through an exchange — to compute something that never
+    needed rows from more than one document. The array form runs inside
+    the scan/projection stage with NO exchange at any scale; measured
+    1.24 -> 0.86 s at sf0.1 for the signature pass and 1.99 -> 1.29 s
+    for the full LSH+verify chain it feeds. Docs with empty shingle sets
+    are filtered (the exploded form dropped them by construction —
+    without the filter they would share all-NULL band hashes and
+    quadratically pair with each other)."""
+    hashed = F.transform("shingles", lambda s: F.xxhash64(s))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(j))))
+            for j in range(num_hashes)
+        ]
     )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("h", F.lit(j))).alias(f"m{j}") for j in range(num_hashes)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[f"m{j}" for j in range(num_hashes)]).alias("sig")
+    return shingled.filter(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("sig")
     )
 
 
