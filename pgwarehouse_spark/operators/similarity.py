@@ -744,6 +744,39 @@ def _sub_l2_exact(u: Column, v: Column, m: int) -> Column:
     )
 
 
+def _sub_l2_all(u: Column, v: Column) -> Column:
+    """All PQ_M exact per-subspace L2 distances as ONE array<decimal>
+    expression — a lambda-indexed `transform(sequence(0, M-1), m -> …)`
+    whose slice bounds come from the lambda variable.
+
+    r9 (guide §7.2/§3.3 — plan size is a real cost): the previous shape
+    instantiated _sub_l2_exact's zip_with/aggregate/decimal tree once
+    PER SUBSPACE (8 copies, wrapped in when/coalesce or 8 aggregates),
+    and Catalyst re-analyzes every copy on every optimizer pass — the
+    PQ queries spent more wall time planning than executing at sf0.1.
+    This form carries ONE copy; per-element decimal arithmetic is the
+    identical expression chain, so distances are bit-equal (verified
+    row-by-row for codes and query distance tables at sf0.1).
+    Plan-build for pq_encode: 1.59 -> 0.59 s; execution also drops
+    (2.48 -> 1.69 s noop) because codegen compiles one lambda body."""
+    diff2 = lambda x, y: (  # noqa: E731
+        (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    ).cast("decimal(28,12)")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.aggregate(
+            F.zip_with(
+                F.slice(u, m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                diff2,
+            ),
+            F.lit(0).cast(_PQ_ACC),
+            lambda acc, z: (acc + z).cast(_PQ_ACC),
+        ),
+    )
+
+
 def _sql_sub_l2(u: str, v: str, m: int) -> str:
     lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
     return (
@@ -787,16 +820,22 @@ def pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
     identical _sub_l2_exact expressions, so codes and dists are
     bit-identical (equality over all 16k (vec, m) rows verified at
     sf0.1 against the previous form)."""
+    # darr is computed once per joined row in the projection BELOW the
+    # aggregate (aggregate expressions reference the attribute, so
+    # CollapseProject cannot inline the lambda tree 8×)
     bests = (
         e.join(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            "k",
+            _sub_l2_all(F.col("embedding"), F.col("cb_emb")).alias("darr"),
+        )
         .groupBy("vec_id")
         .agg(
             *[
                 F.min(
                     F.struct(
-                        _sub_l2_exact(
-                            F.col("embedding"), F.col("cb_emb"), m
-                        ).alias("dist"),
+                        F.element_at("darr", m + 1).alias("dist"),
                         F.col("k"),
                     )
                 ).alias(f"b{m}")
@@ -932,19 +971,19 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode(e, cb).select("vec_id", "m", "code").localCheckpoint()
     )
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    # per-query distance table: (query_id, m, k, d) — PQ_M*PQ_K rows/query
-    dists = [
-        F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
-        for m in range(PQ_M)
-    ]
+    # per-query distance table: (query_id, m, k, d) — PQ_M*PQ_K rows/query;
+    # posexplode of the ONE-tree subspace-distance array (see
+    # _sub_l2_all) replaces the explode-m + coalesce-of-8-when form
     dtable = (
-        q.select(
+        q.join(F.broadcast(cb))
+        .select(
             F.col("vec_id").alias("query_id"),
-            "embedding",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "k",
+            F.posexplode(
+                _sub_l2_all(F.col("embedding"), F.col("cb_emb"))
+            ).alias("m", "d"),
         )
-        .join(F.broadcast(cb))
-        .select("query_id", "m", "k", F.coalesce(*dists).alias("d"))
+        .select("query_id", "m", "k", "d")
     )
     adc = (
         codes.join(
@@ -1019,18 +1058,17 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_NPROBE)
         .select("query_id", "centroid_id")
     )
-    dists = [
-        F.when(F.col("m") == m, _sub_l2_exact(F.col("embedding"), F.col("cb_emb"), m))
-        for m in range(PQ_M)
-    ]
+    # one-tree subspace-distance array, posexploded (see _sub_l2_all)
     dtable = (
-        q.select(
+        q.join(F.broadcast(cb))
+        .select(
             F.col("vec_id").alias("query_id"),
-            "embedding",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "k",
+            F.posexplode(
+                _sub_l2_all(F.col("embedding"), F.col("cb_emb"))
+            ).alias("m", "d"),
         )
-        .join(F.broadcast(cb))
-        .select("query_id", "m", "k", F.coalesce(*dists).alias("d"))
+        .select("query_id", "m", "k", "d")
     )
     # probe-pruned ADC: only codes in a probed cell join the query's table
     adc = (
