@@ -362,30 +362,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 here), and the orientation bounds every out-list by
     ~O(sqrt(E)), so the arrays stay task-sized even at hub nodes.
     Per-node counts: edge endpoints each get the intersection size,
-    every common neighbor gets 1 — a union of three projections,
-    partial-aggregated map-side. Top-N is TakeOrdered, not a global
-    sort."""
+    every common neighbor gets 1 — one weighted array per edge,
+    exploded once and partial-aggregated map-side (r9: the previous
+    3-projection Union re-executed the whole edge⋈adjacency subtree
+    per branch — 3 identical SMJ trees, 6 collect_list builds).
+    Top-N is TakeOrdered, not a global sort."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = _copurchase_edges(li).localCheckpoint()
-    deg = edges.groupBy(F.col("src").alias("part")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # Orientation in TWO exchanges (guide §2.4 — two operations keyed
+    # the same way share one exchange): the raw both-orientations pair
+    # stream is hash-partitioned by src ONCE, which serves both the
+    # (src, dst) dedup and the per-src degree window; then the two
+    # directed rows of each undirected edge meet in a single groupBy on
+    # the canonical (lo, hi) key, where each row carries its own
+    # source's exact degree, and the (degree, id) orientation is decided
+    # inside the aggregate. The former build (distinct + degree
+    # aggregate + two degree equi-joins) paid four exchanges and two
+    # sort-merge joins for the same result.
+    from pyspark.sql import Window as W
+
+    a0, b0 = li.alias("a"), li.alias("b")
+    raw = a0.join(
+        b0,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
-    und = edges.filter(F.col("src") < F.col("dst"))
-    d1 = deg.select(F.col("part").alias("src"), F.col("deg").alias("deg_s"))
-    d2 = deg.select(F.col("part").alias("dst"), F.col("deg").alias("deg_d"))
-    src_first = (F.col("deg_s") < F.col("deg_d")) | (
-        (F.col("deg_s") == F.col("deg_d")) & (F.col("src") < F.col("dst"))
+    directed = (
+        raw.repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src")))
     )
+    lo = F.least("src", "dst")
+    hi = F.greatest("src", "dst")
+    paired = directed.groupBy(lo.alias("lo"), hi.alias("hi")).agg(
+        F.max(F.when(F.col("src") == F.least("src", "dst"), F.col("deg"))).alias(
+            "deg_lo"
+        ),
+        F.max(
+            F.when(F.col("src") == F.greatest("src", "dst"), F.col("deg"))
+        ).alias("deg_hi"),
+    )
+    # ties orient lo -> hi, matching the (deg, id) order of the oracle
+    lo_first = F.col("deg_lo") <= F.col("deg_hi")
     ori = (
-        und.join(d1, "src")
-        .join(d2, "dst")
-        .select(
-            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
-            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        paired.select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
         )
         .localCheckpoint()
     )
-    adj = ori.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    # checkpoint the grouped adjacency: both join probes (on a and on b)
+    # read the one materialized copy instead of re-running the O(E)
+    # collect_list aggregation per probe
+    adj = (
+        ori.groupBy("a")
+        .agg(F.collect_list("b").alias("nbrs"))
+        .localCheckpoint()
+    )
     adj_a = adj.select("a", F.col("nbrs").alias("nbrs_a"))
     adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nbrs_b"))
     empty = F.array().cast("array<bigint>")
@@ -400,10 +434,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("common"),
         )
     )
+    # same (part, n) multiset as the former 3-projection union, from a
+    # single pass: [(a, |common|), (b, |common|)] ++ [(c, 1) per common]
+    contrib = et.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("part"), F.size("common").alias("n")
+                    ),
+                    F.struct(
+                        F.col("b").alias("part"), F.size("common").alias("n")
+                    ),
+                ),
+                F.transform(
+                    F.col("common"),
+                    lambda c: F.struct(c.alias("part"), F.lit(1).alias("n")),
+                ),
+            )
+        ).alias("pc")
+    )
     pern = (
-        et.select(F.col("a").alias("part"), F.size("common").alias("n"))
-        .unionByName(et.select(F.col("b").alias("part"), F.size("common").alias("n")))
-        .unionByName(et.select(F.explode("common").alias("part"), F.lit(1).alias("n")))
+        contrib.select(F.col("pc.part").alias("part"), F.col("pc.n").alias("n"))
         .groupBy("part")
         .agg(F.sum("n").alias("n_triangles"))
         .filter(F.col("n_triangles") > 0)
