@@ -1071,7 +1071,11 @@ def dedup_simhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = simhash_df(spark, sf_dir)
+    # the signature frame feeds BOTH sides of the banded self-join —
+    # un-checkpointed, the shingle explode + 64-way bit-sum aggregation
+    # ran twice (guide §3.3); one row per doc, so the materialization is
+    # corpus-count-sized, not token-sized
+    sims = simhash_df(spark, sf_dir).localCheckpoint()
     width = SIMHASH_BITS // SIMHASH_BAND_CHUNKS
     mask = (1 << width) - 1
     chunks = F.array(

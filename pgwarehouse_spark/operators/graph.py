@@ -81,10 +81,20 @@ def _grouped_adjacency(edges: DataFrame, cap: int = _PR_DEGREE_CAP) -> DataFrame
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Undirected co-purchase edges as a directed pair list (both
-    orientations), deduplicated to distinct (src, dst)."""
+    orientations), deduplicated to distinct (src, dst).
+
+    Dedup is repartition("src") + dropDuplicates, not distinct():
+    hashpartitioning(src) satisfies the (src, dst) clustering the
+    dedup aggregate requires (a subset key co-locates every (src, *)
+    row), so the whole build pays ONE exchange of the pair stream —
+    distinct() planned a partial aggregate plus a second
+    (src, dst)-keyed exchange for the same result, and its output
+    partitioning served no consumer (guide §2.4: two operations keyed
+    the same way share one exchange; measured at sf0.1 this build is
+    what bfs/lpa/kcore spend half their wall on)."""
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -94,9 +104,9 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
     )
-    return pairs
 
 
 def _sql_pagerank_iter(prev: str, nxt: str) -> str:
@@ -213,8 +223,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "part bigint, score double, out_deg bigint"
         )
 
+    # The score vector carries ONLY (part, score): w = score/out_deg is
+    # computed at the adjacency join from adj's own out_deg column
+    # (bit-identical double arithmetic, just evaluated after the probe
+    # instead of before), so the old per-iteration contrib⋈nodes
+    # re-score join is gone — out_deg is attached ONCE after the loop
+    # for the report. One join per iteration instead of two (guide
+    # §1.2 step 1 — remove work from the loop, not the operators).
     scores = nodes.select(
-        "part", (F.lit(1.0) / n_nodes).alias("score"), "out_deg"
+        "part", (F.lit(1.0) / n_nodes).alias("score")
     ).localCheckpoint()
     for it in range(_PR_ITERS):
         # The score vector is |V|-sized, so an unconditional broadcast
@@ -224,10 +241,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured 2× slower at sf0.1). Gate the hint on the measured
         # node count the loop already holds: broadcast below ~4M nodes
         # (~64 MB of (long, double) rows), shuffle-join above.
-        score_side = scores.select(
-            F.col("part").alias("src"),
-            (F.col("score") / F.col("out_deg")).alias("w"),
-        )
+        score_side = scores.select(F.col("part").alias("src"), "score")
         if n_nodes <= 4_000_000:
             score_side = F.broadcast(score_side)
         contrib = (
@@ -235,7 +249,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score_side,
                 "src",
             )
-            .select(F.explode("dsts").alias("part"), "w")
+            .select(
+                F.explode("dsts").alias("part"),
+                (F.col("score") / F.col("out_deg")).alias("w"),
+            )
             .groupBy("part")
             # FLOOR fixed-point contributions (1e-12 grain), not a
             # decimal CAST: Spark rounds the double's SHORTEST-REPR
@@ -253,34 +270,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("in_mass")
             )
         )
-        # The co-purchase graph is UNDIRECTED (both orientations emitted),
-        # so every node with out-edges also receives in-mass — contrib is
-        # COMPLETE over `nodes` and the join can be inner. Broadcasting
-        # the nodes side (gated on the same measured count as the score
-        # broadcast) keeps contrib's post-aggregation partitioning, so
-        # the re-score step adds NO exchange; above the gate it reverts
-        # to a shuffle join on the already-part-partitioned contrib.
-        # (The previous shuffle left-outer re-exchanged `nodes` every
-        # iteration; left-outer semantics are only needed for directed
-        # graphs with sink-only nodes, which this operator never emits.)
-        node_side = nodes
-        if n_nodes <= 4_000_000:
-            node_side = F.broadcast(node_side)
-        scores = contrib.join(node_side, "part").select(
+        # The co-purchase graph is UNDIRECTED (both orientations
+        # emitted), so every node with out-edges also receives in-mass —
+        # contrib is COMPLETE over `nodes` and the next score vector is
+        # a pure projection of it; no join.
+        scores = contrib.select(
             "part",
             (
                 F.lit((1 - _PR_DAMPING) / n_nodes)
                 + _PR_DAMPING * F.col("in_mass")
             ).alias("score"),
-            "out_deg",
         )
         # materialize between iterations only — the final iteration
         # flows straight into TakeOrdered (checkpointing it would add a
         # full extra pass for nothing)
         if it < _PR_ITERS - 1:
             scores = scores.localCheckpoint()
+    # attach out_deg once for the report (broadcast under the same
+    # measured-count gate as the score side; inner join — contrib
+    # covers every node of the undirected graph)
+    node_side = nodes
+    if n_nodes <= 4_000_000:
+        node_side = F.broadcast(node_side)
     return (
-        scores.select("part", "score", F.col("out_deg").cast("bigint").alias("out_deg"))
+        scores.join(node_side, "part")
+        .select(
+            "part", "score", F.col("out_deg").cast("bigint").alias("out_deg")
+        )
         .orderBy(F.col("score").desc(), F.col("part").asc())
         .limit(_PR_TOP)
     )
@@ -568,6 +584,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
+    # one-exchange dedup: hashpartitioning(id1) satisfies the
+    # (id1, id2) clustering dropDuplicates needs (same rationale as
+    # _copurchase_edges)
     pairs = (
         a.join(
             b,
@@ -578,7 +597,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("id1"),
             F.col("b.l_partkey").alias("id2"),
         )
-        .distinct()
+        .repartition("id1")
+        .dropDuplicates(["id1", "id2"])
     )
     nodes = li.select(F.col("l_partkey").alias("part")).distinct()
     labeled = connected_components(pairs).select(
@@ -726,11 +746,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(li).localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
-        keep = deg.filter(F.col("c") >= _KCORE_K).select("src")
+        # one build-side exchange per round, not two: both semi-joins
+        # probe the SAME un-projected kept-node relation (join on a
+        # condition instead of renaming src->dst), so Catalyst's
+        # exchange reuse materializes one build side and the dst probe
+        # reads it — the rename put a Project inside the exchange
+        # subtree and broke canonical equality (guide §2.4 / §3.1).
+        # Still un-hinted: AQE broadcasts the |V|-sized set while it
+        # fits and falls back to shuffle above, as before.
+        keep = deg.filter(F.col("c") >= _KCORE_K).select(
+            F.col("src").alias("k")
+        )
         edges = (
-            edges.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .select("src", "dst")
+            edges.join(keep, F.col("src") == F.col("k"), "left_semi")
+            .join(keep, F.col("dst") == F.col("k"), "left_semi")
             .localCheckpoint()
         )
     return (

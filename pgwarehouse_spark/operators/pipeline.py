@@ -593,7 +593,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # the Zipf-bounded vocab feeds the total AND the broadcast scoring
+    # join — checkpointed so each stops re-tokenizing the corpus
+    # (3 passes -> 2: vocab build + scoring stream; guide §3.3)
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint()
+    )
     tot = vocab.agg(F.sum("c").alias("n"))
     lp = F.log(F.col("c") / F.col("n"))
     return (
@@ -805,7 +812,15 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    sv = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sv"))
+    # sv (the source×token count table) feeds st, cv AND the scoring
+    # join — checkpointed so the docstring's "ONE tokenize pass" is
+    # true in execution, not just in shape (same fix as
+    # sample_importance_dsir's dw; guide §3.3)
+    sv = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sv"))
+        .localCheckpoint()
+    )
     st = sv.groupBy("source").agg(
         F.sum("c_sv").alias("n_s"), F.count(F.lit(1)).alias("n_distinct")
     )
@@ -1054,6 +1069,10 @@ _SQL_DSIR = r"""
 )
 def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # dw (the doc×word count table) feeds raw_cnt, tgt_cnt AND the final
+    # scoring join — un-checkpointed, each consumer re-tokenized the
+    # corpus (3 full passes; guide §3.3). One materialization of the
+    # compressed (doc, word, count) grain replaces them.
     dw = (
         d.select(
             "doc_id",
@@ -1062,6 +1081,7 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_dw"))
+        .localCheckpoint()
     )
     doc_lang = d.select("doc_id", "lang")
     raw_cnt = dw.groupBy("w").agg(F.sum("n_dw").alias("c_r"))
@@ -1312,6 +1332,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
         .filter((F.col("prev") != "") & (F.col("cur") != ""))
     )
+    # the Zipf-bounded unigram table feeds two consumers (the vsize
+    # total and the broadcast smoothing join); checkpointing it stops
+    # each from re-tokenizing the corpus (guide §3.3)
     uni = (
         d.select(
             F.explode(
@@ -1321,13 +1344,22 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+        .localCheckpoint()
     )
     vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
-    bgc = bg.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).cast("double").alias("cb")
+    # per-doc multiplicities first, then the corpus bigram table as
+    # their partial-aggregated rollup: cb = sum of m over docs — the
+    # identical count, computed WITHOUT a second tokenize/explode pass
+    # over the corpus (the old bgc aggregated the raw bigram stream a
+    # second time; per_doc is the compressed grain). per_doc is
+    # checkpointed because both the rollup and the scoring join read it.
+    per_doc = (
+        bg.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
+        .localCheckpoint()
     )
-    per_doc = bg.groupBy("doc_id", "prev", "cur").agg(
-        F.count(F.lit(1)).cast("double").alias("m")
+    bgc = per_doc.groupBy("prev", "cur").agg(
+        F.sum("m").alias("cb")
     )
     lp = F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v")))
     scored = (

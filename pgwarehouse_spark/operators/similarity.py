@@ -1537,11 +1537,24 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; at d where this matters, the same recurrence runs on d²
     partials just as well. ||w_k|| converges to the top eigenvalue;
     3 iterations are unrolled so the whole thing stays one lazy plan."""
-    cov = embedding_covariance(spark, sf_dir)
-    sym = cov.select("i", "j", F.col("cov").alias("c")).unionByName(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov").alias("c")
+    # cov is d²-row tiny but its subtree is the full corpus moment pass;
+    # un-checkpointed it fed THREE consumers (both sym branches + the
+    # v0 seed) and re-ran inside every power iteration's broadcast-norm
+    # build — the static plan scanned the embeddings parquet 9×.
+    # Materializing cov (and the sym union both iteration probes share)
+    # truncates the loop's lineage to the d²-row frames (guide §3.3;
+    # measured ~2.6× at sf0.1).
+    cov = embedding_covariance(spark, sf_dir).localCheckpoint()
+    sym = (
+        cov.select("i", "j", F.col("cov").alias("c"))
+        .unionByName(
+            cov.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.col("cov").alias("c"),
+            )
         )
+        .localCheckpoint()
     )
     v = cov.select("i").distinct().select(
         "i", F.when(F.col("i") == 0, 1.0).otherwise(0.0).alias("v")

@@ -714,6 +714,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus (the most expensive stage, twice).
     bgc = _bigram_counts(spark, sf_dir).localCheckpoint()
     bg = bgc.filter(F.col("n_pair") >= _BIGRAM_MIN_COUNT)
+    # the unigram table feeds THREE consumers (u1 broadcast, u2
+    # broadcast, the tu total) — without the checkpoint each one
+    # re-tokenizes and re-aggregates the whole corpus, because a
+    # Project inside each broadcast subtree defeats exchange reuse
+    # (guide §3.3 — materialize a reused intermediate; the Zipf-bounded
+    # vocab is tiny, so this trades three corpus passes for one)
     uni = (
         d.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
@@ -721,6 +727,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     tots = uni.agg(F.sum("c").cast("double").alias("tu")).crossJoin(
         bgc.agg(F.sum("n_pair").cast("double").alias("tb"))
