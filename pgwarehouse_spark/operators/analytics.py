@@ -454,7 +454,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency rollup AND the scoring join —
+    # checkpointed so the tokenize + tf aggregation runs once, not
+    # twice (guide §3.3; the dsir dw pattern)
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()
     scored = tf.join(df_counts, "word").select(
