@@ -216,6 +216,45 @@ MAX_EXTRA_RUNS = 2
 # can never disagree on what a slope IS (VERDICT r04 item 6).
 SLOPE_FLOOR = 1.0
 
+# Wall-clock budget (VERDICT r9 task 2): the driver also runs this bench
+# at a LOW core count to measure scaling, under its own timeout —
+# BENCH_r09_c8 died rc=124 because headline + sf1-heavy + all-registry
+# cannot finish at 8 cores within that budget, so round 9 shipped NO
+# scaling evidence at all. Three defenses, all contract-preserving
+# (the stdout line is still exactly one JSON object; nothing is ever
+# trimmed from a full-budget 32-core run):
+#   * SPARK_GRAFT_BENCH_BUDGET_S — soft wall-clock budget; once elapsed
+#     exceeds it the coordinator stops launching optional sections
+#     (sf1 heavy re-runs, all-registry pass) and, past the hard budget,
+#     remaining headline chunks, then emits whatever completed.
+#   * SPARK_GRAFT_CPUS <= LOW_CORE_CPUS: the sf1 heavy section and the
+#     all-registry pass are skipped up front — the scaling comparison
+#     the low-core run exists for is the per-query HEADLINE timings,
+#     and those must land inside the driver's timeout.
+#   * SIGTERM flush: `timeout` delivers SIGTERM first; the coordinator
+#     flushes the partial payload as the one-line JSON before dying so
+#     even a budget misestimate leaves a parseable artifact.
+LOW_CORE_CPUS = 8
+
+
+def _budget_s() -> float | None:
+    v = os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "").strip()
+    if not v:
+        return None
+    try:
+        b = float(v)
+    except ValueError:
+        return None
+    return b if b > 0 else None
+
+
+def _low_core_run() -> bool:
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    except ValueError:
+        return False
+    return 0 < cpus <= LOW_CORE_CPUS
+
 # Output-bound queries: wall time tracks the RESULT SIZE, which the
 # duplicate-dense 10x replica grows superlinearly, so the honest scale
 # metric is wall per result unit (VERDICT r04 item 4; spatial added per
@@ -389,8 +428,12 @@ def _ensure_sf1(spark, base_dir: str, copies: int = 10) -> str | None:
 FRESH_JVM_CHUNK = 20
 
 
+_CURRENT_CHILD = None  # in-flight bench child, terminated on SIGTERM
+
+
 def _run_child(env_overrides: dict, label: str) -> dict:
     """One bench child in a fresh JVM; returns its full payload."""
+    global _CURRENT_CHILD
     import subprocess
     import tempfile
 
@@ -403,23 +446,27 @@ def _run_child(env_overrides: dict, label: str) -> dict:
         **env_overrides,
     )
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             stdout=subprocess.PIPE,  # children's compact line must not
             stderr=sys.stderr,       # pollute the coordinator's one-line stdout
             text=True,
         )
+        _CURRENT_CHILD = proc
+        out, _ = proc.communicate()
+        _CURRENT_CHILD = None
         if proc.returncode != 0:
             # child stderr streamed to our stderr already — point there
             raise RuntimeError(
                 f"bench child '{label}' failed rc={proc.returncode} "
                 f"(diagnostics on stderr above; child stdout: "
-                f"{(proc.stdout or '')[-300:]!r})"
+                f"{(out or '')[-300:]!r})"
             )
         with open(out_path) as f:
             return json.load(f)
     finally:
+        _CURRENT_CHILD = None
         try:
             os.remove(out_path)
         except OSError:
@@ -427,7 +474,20 @@ def _run_child(env_overrides: dict, label: str) -> dict:
 
 
 def _coordinate(sf_dir: str, sf: float) -> None:
-    """Split the headline surface across fresh JVMs and merge payloads."""
+    """Split the headline surface across fresh JVMs and merge payloads.
+
+    Budget discipline (VERDICT r9 task 2): optional sections (sf1 heavy
+    re-runs, all-registry pass) are dropped when SPARK_GRAFT_CPUS is at
+    or below LOW_CORE_CPUS or when SPARK_GRAFT_BENCH_BUDGET_S is
+    exceeded, and a SIGTERM mid-run flushes the partial payload as the
+    one-line JSON — so the driver's low-core scaling run always yields
+    a parseable artifact with per-query headline timings."""
+    import signal
+
+    t0 = time.perf_counter()
+    budget = _budget_s()
+    low_core = _low_core_run()
+
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
     heavy = [n for n in HEAVY if n in specs]
@@ -439,9 +499,73 @@ def _coordinate(sf_dir: str, sf: float) -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
-    micro: list[float] = []
     child_payloads: list[dict] = []
+    trimmed: list[str] = []
+
+    def build_payload() -> dict:
+        micro: list[float] = []
+        for p in child_payloads:
+            c = p.get("contention", {})
+            micro += [c.get("micro_sec_start"), c.get("micro_sec_end")]
+        micro = [m for m in micro if m]
+        ordered = {n: timings[n] for n in names if n in timings}
+        payload = {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(ordered.values()), 4),
+            "unit": "sec",
+            "queries": ordered,
+            "runs_per_query": RUNS,
+            "spread": spreads,
+            "rows": rows,
+            "sf": sf,
+            "fresh_jvm": {
+                "chunk_size": FRESH_JVM_CHUNK,
+                "n_jvms": len(child_payloads),
+                "sections": ["headline-chunks"],
+            },
+        }
+        ratios = [_spread_ratio(r) for r in spreads.values() if r]
+        payload["contention"] = {
+            "spread_p90": round(_p90(ratios), 3),
+            "spread_max": round(max(ratios), 3) if ratios else 0.0,
+            "micro_sec_start": micro[0] if micro else 0.0,
+            "micro_sec_end": micro[-1] if micro else 0.0,
+            "micro_sec_per_jvm": micro,
+            "disagree_ratio": DISAGREE_RATIO,
+            "max_extra_runs": MAX_EXTRA_RUNS,
+        }
+        if trimmed:
+            payload["budget"] = {
+                "budget_s": budget,
+                "low_core": low_core,
+                "elapsed_s": round(time.perf_counter() - t0, 1),
+                "sections_trimmed": list(trimmed),
+            }
+        return payload
+
+    def flush_partial(signum, frame):  # noqa: ARG001
+        trimmed.append("sigterm")
+        child = _CURRENT_CHILD
+        if child is not None:
+            try:
+                child.terminate()
+            except OSError:
+                pass
+        emit(build_payload())
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, flush_partial)
+
+    def over(frac: float = 1.0) -> bool:
+        return budget is not None and (
+            time.perf_counter() - t0 > budget * frac
+        )
+
     for i, chunk in enumerate(chunks):
+        if over():
+            trimmed.append(f"headline-chunk{i}+")
+            break
         p = _run_child(
             {
                 "SPARK_GRAFT_BENCH_QUERIES": ",".join(chunk),
@@ -451,46 +575,46 @@ def _coordinate(sf_dir: str, sf: float) -> None:
             f"chunk{i}",
         )
         child_payloads.append(p)
-    # heavy queries get their base timings in the SAME JVM as their sf1
-    # re-run so the published slopes stay one-JVM-coherent (the gate's
-    # exact methodology); base timings merge into the headline
-    heavy_payload = _run_child(
-        {
-            "SPARK_GRAFT_BENCH_QUERIES": ",".join(heavy),
-            "SPARK_GRAFT_BENCH_ALL": "0",
-        },
-        "heavy",
-    )
-    child_payloads.append(heavy_payload)
-    for p in child_payloads:
         timings.update(p.get("queries", {}))
         spreads.update(p.get("spread", {}))
         rows.update(p.get("rows", {}))
-        c = p.get("contention", {})
-        micro += [c.get("micro_sec_start"), c.get("micro_sec_end")]
-    micro = [m for m in micro if m]
-    # order back to HEADLINE order for readability
-    timings = {n: timings[n] for n in names if n in timings}
-    full_payload = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "runs_per_query": RUNS,
-        "spread": spreads,
-        "rows": rows,
-        "sf": sf,
-        "fresh_jvm": {
-            "chunk_size": FRESH_JVM_CHUNK,
-            "n_jvms": len(child_payloads),
-            "sections": ["headline-chunks", "heavy+sf1"],
-        },
+    # heavy queries get their base timings in the SAME JVM as their sf1
+    # re-run so the published slopes stay one-JVM-coherent (the gate's
+    # exact methodology); base timings merge into the headline. At low
+    # core counts the sf1 re-run is skipped (base timings still run) so
+    # the driver's scaling comparison gets its headline numbers in time;
+    # past 70% of the budget the sf1 section is likewise dropped.
+    skip_sf1 = low_core or over(0.7)
+    heavy_env = {
+        "SPARK_GRAFT_BENCH_QUERIES": ",".join(heavy),
+        "SPARK_GRAFT_BENCH_ALL": "0",
     }
+    if skip_sf1:
+        heavy_env["SPARK_GRAFT_SF1"] = "0"
+        trimmed.append("sf1-heavy")
+    heavy_payload: dict = {}
+    if not over():
+        heavy_payload = _run_child(heavy_env, "heavy")
+        child_payloads.append(heavy_payload)
+        timings.update(heavy_payload.get("queries", {}))
+        spreads.update(heavy_payload.get("spread", {}))
+        rows.update(heavy_payload.get("rows", {}))
+    else:
+        trimmed.append("heavy")
+
+    allq_dir = os.environ.get("SPARK_GRAFT_ALLQ_DIR", "/root/testdata/sf0.01")
+    skip_allq = low_core or over(0.8)
+    if skip_allq:
+        trimmed.append("all-registry")
+    full_payload = build_payload()
+    full_payload["fresh_jvm"]["sections"] = ["headline-chunks"] + (
+        [] if skip_sf1 or not heavy_payload else ["heavy+sf1"]
+    )
     if "sf1" in heavy_payload:
         full_payload["sf1"] = heavy_payload["sf1"]
-    allq_dir = os.environ.get("SPARK_GRAFT_ALLQ_DIR", "/root/testdata/sf0.01")
     if (
-        os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") != "0"
+        not skip_allq
+        and os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") != "0"
         and sf >= 0.1
         and os.path.isdir(allq_dir)
     ):
@@ -502,16 +626,6 @@ def _coordinate(sf_dir: str, sf: float) -> None:
             full_payload["all_queries"] = allq_payload["all_queries"]
             full_payload["fresh_jvm"]["sections"].append("all-registry")
             full_payload["fresh_jvm"]["n_jvms"] += 1
-    ratios = [_spread_ratio(r) for r in spreads.values() if r]
-    full_payload["contention"] = {
-        "spread_p90": round(_p90(ratios), 3),
-        "spread_max": round(max(ratios), 3) if ratios else 0.0,
-        "micro_sec_start": micro[0] if micro else 0.0,
-        "micro_sec_end": micro[-1] if micro else 0.0,
-        "micro_sec_per_jvm": micro,
-        "disagree_ratio": DISAGREE_RATIO,
-        "max_extra_runs": MAX_EXTRA_RUNS,
-    }
     emit(full_payload)
 
 

@@ -708,8 +708,15 @@ LAST_CC_ROUNDS: int = 0
 # verified near-dup pair set (post exact-collapse) is exactly the kind
 # of heavy-tailed but edge-sparse graph that routinely fits the gate;
 # when it does not, the O(log²)-round contraction takes over unchanged.
+#
+# Default 250k (r10, ADVICE r9): the edges now cross as ONE Arrow batch
+# (two primitive columns), but the union-find itself and the result
+# build are driver-side Python dict work — 250k edges is comfortably
+# sub-second there, while the old 2M default left multi-second
+# single-threaded driver stalls (and, before the Arrow switch, hundreds
+# of MB of Row objects) on the table for edge sets just under the gate.
 CC_DRIVER_MAX_EDGES = int(
-    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "2000000")
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "250000")
 )
 
 
@@ -729,8 +736,7 @@ def _driver_union_find(spark: SparkSession, edge_rows, id_type) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edge_rows:
-        a, b = r[0], r[1]
+    for a, b in edge_rows:
         ra, rb = find(a), find(b)
         if ra == rb:
             continue
@@ -739,9 +745,9 @@ def _driver_union_find(spark: SparkSession, edge_rows, id_type) -> DataFrame:
         else:
             parent[ra] = rb
     nodes = set()
-    for r in edge_rows:
-        nodes.add(r[0])
-        nodes.add(r[1])
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
     out = [(n, find(n)) for n in sorted(nodes)]
     schema = T.StructType(
         [
@@ -792,16 +798,26 @@ def connected_components(
     )
     cap = CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
     if cap > 0:
-        # take(cap+1) aborts the collect as soon as cap+1 rows exist, so
-        # an over-gate edge set costs one distinct pass, never an
-        # unbounded driver transfer; under the gate the rows in hand ARE
-        # the whole edge set and no further jobs run.
-        head = canon.take(cap + 1)
+        # Gate probe (r10, ADVICE r9): canon is persisted so the probe's
+        # distinct pass is paid once — over-gate graphs reuse the cached
+        # partitions at the localCheckpoint below instead of recomputing
+        # the heaviest pre-CC stage; and the capped head crosses as ONE
+        # Arrow batch of two primitive columns (limit().toPandas()), not
+        # cap+1 py4j Row objects (~100+ bytes each — the old take() put
+        # hundreds of MB of Python heap on the driver at the 2M gate).
+        canon = canon.persist()
+        head = canon.limit(cap + 1).toPandas()
         if len(head) <= cap:
             LAST_CC_ROUNDS = 0
             id_type = canon.schema["a"].dataType
-            return _driver_union_find(pairs.sparkSession, head, id_type)
-    edges = canon.localCheckpoint(eager=True)
+            edge_rows = list(zip(head["a"].tolist(), head["b"].tolist()))
+            out = _driver_union_find(pairs.sparkSession, edge_rows, id_type)
+            canon.unpersist()
+            return out
+        edges = canon.localCheckpoint(eager=True)
+        canon.unpersist()
+    else:
+        edges = canon.localCheckpoint(eager=True)
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(

@@ -260,20 +260,60 @@ def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
 
 def lsh_buckets(df: DataFrame, vec: str = "embedding") -> DataFrame:
     """(vec_id, table_id, bucket) — one row per hash table; bucket is the
-    packed sign-bit signature of the table's hyperplanes."""
-    tables = []
-    for ti in range(LSH_TABLES):
-        bucket = F.lit(0)
-        for pi in range(LSH_PLANES_PER_TABLE):
-            bucket = bucket + F.shiftleft(
-                _hyperplane_sign(F.col(vec), ti, pi), pi
-            )
-        tables.append(
-            F.struct(F.lit(ti).alias("table_id"), bucket.alias("bucket"))
+    packed sign-bit signature of the table's hyperplanes.
+
+    r10 (guide §7.2/§3.3 — plan size is a real cost, the same fix as the
+    PQ `_sub_l2_all` tree): the previous shape instantiated the
+    `_hyperplane_sign` aggregate/zip_with tree once per (table, plane) —
+    48 copies that Catalyst re-analyzes on every optimizer pass, making
+    this query planning-bound. This form carries ONE nested
+    lambda-indexed tree (tables × planes from lambda variables). The
+    hash input is the identical string `plane:{t}:{p}:` built by concat,
+    so every sign bit — and therefore every bucket, candidate set, and
+    recall — is bit-identical to the unrolled form (pinned by
+    tests/test_similarity.py's equivalence test). Bucket packing uses
+    Horner form over a descending plane sequence, which equals the
+    shiftleft sum exactly in integer arithmetic."""
+    v = F.col(vec)
+
+    def sign(ti: Column, pi: Column) -> Column:
+        seed = F.concat(
+            F.lit("plane:"),
+            ti.cast("string"),
+            F.lit(":"),
+            pi.cast("string"),
+            F.lit(":"),
         )
-    return df.select(
-        "vec_id", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "tb.table_id", "tb.bucket")
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x.cast("double")
+                * F.when(
+                    F.xxhash64(seed, d).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        return (proj > 0).cast("int")
+
+    tb = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_TABLES - 1)),
+        lambda ti: F.struct(
+            ti.cast("int").alias("table_id"),
+            F.aggregate(
+                F.sequence(
+                    F.lit(LSH_PLANES_PER_TABLE - 1), F.lit(0), F.lit(-1)
+                ),
+                F.lit(0),
+                lambda acc, pi: acc * 2 + sign(ti, pi),
+            ).alias("bucket"),
+        ),
+    )
+    return df.select("vec_id", F.explode(tb).alias("tb")).select(
+        "vec_id", "tb.table_id", "tb.bucket"
+    )
 
 
 @register(
@@ -1672,6 +1712,15 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.filter(F.col("vec_id") % stride == 0).select("vec_id", "embedding")
     # gated collect: ≤ KNN_GRAPH_MAX_VECTORS rows by construction
     rows = e.collect()
+    if not rows:
+        # empty corpus: C would be 1-D and the axis-1 reductions below
+        # would raise; the kNN graph over zero vectors is the typed
+        # empty edge list (same frame the window form produced)
+        return spark.createDataFrame(
+            [],
+            "src_id bigint, dst_id bigint, cosine double, "
+            "rank bigint, mutual boolean",
+        )
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     C = np.array([r.embedding for r in rows], dtype=np.float64)
     order = np.argsort(ids)

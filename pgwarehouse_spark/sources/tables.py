@@ -107,16 +107,27 @@ def _path_sig(path: str):
     except OSError:
         return None
     if os.path.isdir(path):
+        # Recursive signature (r10, ADVICE r9): one scandir level missed
+        # in-place rewrites below the first level of a partitioned/nested
+        # parquet directory, and a scandir failure must disable caching
+        # (returning a degraded-but-stable signature would pin a stale
+        # plan), so it returns None — the caller then reads fresh.
+        def _raise(err: OSError):
+            raise err
+
         try:
-            entries = tuple(
-                sorted(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in os.scandir(path)
-                )
-            )
+            entries = []
+            # onerror re-raises: os.walk swallows listing errors by
+            # default, which would silently shrink the signature
+            for root, dirs, files in os.walk(path, onerror=_raise):
+                dirs.sort()
+                for name in sorted(files):
+                    fst = os.stat(os.path.join(root, name))
+                    rel = os.path.relpath(os.path.join(root, name), path)
+                    entries.append((rel, fst.st_mtime_ns, fst.st_size))
         except OSError:
-            entries = ()
-        return (st.st_mtime_ns, entries)
+            return None
+        return (st.st_mtime_ns, tuple(entries))
     return (st.st_mtime_ns, st.st_size)
 
 

@@ -203,3 +203,39 @@ def test_retrieval_eval_zero_relevant_label(spark, sf_dir, tmp_path):
         if r.query_id == 3
     ][0]
     assert row.n_hits == 0 and row.ndcg_micro == 0 and row.rr_micro == 0
+
+
+def test_lsh_buckets_one_tree_matches_unrolled(spark, sf_dir):
+    """r10: lsh_buckets computes all (table, plane) sign bits from ONE
+    lambda-indexed expression tree; this pins it bit-equal to the
+    original unrolled form (48 separate _hyperplane_sign trees) so the
+    plan-size optimization can never drift the hash family."""
+    from pyspark.sql import functions as F
+
+    from pgwarehouse_spark.operators.similarity import (
+        LSH_PLANES_PER_TABLE,
+        LSH_TABLES,
+        _hyperplane_sign,
+        lsh_buckets,
+    )
+    from pgwarehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # reference: the pre-r10 unrolled form, verbatim
+    tables = []
+    for ti in range(LSH_TABLES):
+        bucket = F.lit(0)
+        for pi in range(LSH_PLANES_PER_TABLE):
+            bucket = bucket + F.shiftleft(
+                _hyperplane_sign(F.col("embedding"), ti, pi), pi
+            )
+        tables.append(
+            F.struct(F.lit(ti).alias("table_id"), bucket.alias("bucket"))
+        )
+    ref = (
+        e.select("vec_id", F.explode(F.array(*tables)).alias("tb"))
+        .select("vec_id", "tb.table_id", "tb.bucket")
+    )
+    got = {(r.vec_id, r.table_id): r.bucket for r in lsh_buckets(e).collect()}
+    want = {(r.vec_id, r.table_id): r.bucket for r in ref.collect()}
+    assert got == want
