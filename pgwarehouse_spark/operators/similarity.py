@@ -998,18 +998,17 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_RERANK raw vectors per query."""
     e = t(spark, sf_dir, "embeddings")
     cb = pq_codebook(e)
-    # localCheckpoint truncates the encode subtree out of the verdict
-    # query's plan (r9, guide §3.3 "materialising an intermediate
-    # truncates the plan"): the full PQ-verdict plan nests encode + ADC
-    # + re-rank + exact top-k, and with AQE re-optimizing after every
-    # stage the driver re-walks that whole tree repeatedly — measured
-    # ~1 s of the query's 4.6 s at sf0.1 was exactly this. The codes
-    # frame is N·M fixed-width rows (the 32×-compressed index — the
-    # thing PQ exists to make small), so the materialization is cheap
-    # at any scale; on a cluster it is the persisted index table.
-    codes = (
-        pq_encode(e, cb).select("vec_id", "m", "code").localCheckpoint()
-    )
+    # NO localCheckpoint on the codes frame (r10): r9 added one to
+    # truncate the encode subtree out of the verdict plan, but the
+    # checkpoint's eager materialization pass (encode executed as
+    # separate blocking jobs + serialize + read-back) costs MORE than
+    # the re-walked plan it saves — quiet-window alternating A/B at
+    # sf0.1: checkpoint 4.63 s vs lazy 3.58 s best-of-4 (the r9
+    # adoption measurement was taken under contention). The codes
+    # subtree feeds exactly one consumer here, so nothing re-executes
+    # without it (guide §5 — caching is only worth it when the frame is
+    # REUSED).
+    codes = pq_encode(e, cb).select("vec_id", "m", "code")
     q = e.filter(F.col("vec_id") < N_QUERIES)
     # per-query distance table: (query_id, m, k, d) — PQ_M*PQ_K rows/query;
     # posexplode of the ONE-tree subspace-distance array (see
@@ -1076,12 +1075,17 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(e)
     assigned = _assign_nearest(e, cents)  # (vec_id, embedding, centroid_id)
     cb = pq_codebook(e)
-    # checkpointed for the same plan-truncation reason as sim_topk_pq's
-    # codes (this plan is even deeper: cell assignment joins the encode
-    # output before ADC); N·M fixed-width rows, cheap at any scale
+    # NO localCheckpoint (r10, same adjudication as sim_topk_pq): the
+    # r9 checkpoint here was the cause of the round's one real
+    # per-query regression (driver 4.52→6.67 s; reproduced in a quiet
+    # window this round at 3.71→5.45). Variant A/B, 4 alternating
+    # rounds in one session: checkpoint 4.20 s / lazy 3.11 s / r8
+    # encode shape 3.37 s — the eager materialization pass costs more
+    # than the plan re-walks it truncates, and the codes⋈assignment
+    # subtree feeds exactly one consumer (the probe-pruned ADC).
     codes = pq_encode(e, cb).join(
         assigned.select("vec_id", "centroid_id"), "vec_id"
-    ).select("vec_id", "centroid_id", "m", "code").localCheckpoint()
+    ).select("vec_id", "centroid_id", "m", "code")
 
     q = e.filter(F.col("vec_id") < N_QUERIES)
     w_probe = W.partitionBy("query_id").orderBy(
