@@ -1476,19 +1476,40 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # big exchanges). Pair multiset verified identical at sf0.1 (1.13M
     # pairs); same 2^-64 collision acceptance as the MinHash family.
     sh = _shingled_hashed(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # ONE corpus shingling pass (r10). The lazy form re-tokenized and
+    # re-hashed the documents once per consumer — and the consumers
+    # multiply: df_s + both self-join sides, then the directed UNION
+    # re-executed that whole subtree per branch = 8 corpus scans in the
+    # static plan (plans/r10/dedup_containment_before.txt). The
+    # (doc_id, s) frame is two longs per shingle occurrence (~40 MB at
+    # the sf1 replica), the cheapest possible materialization point.
+    # The checkpoint also erases the b-side's size ESTIMATE: with
+    # 8-byte hashed keys Catalyst under-estimated the corpus-derived
+    # join side and BROADCAST it (1.88M rows per branch at sf1 —
+    # guide §3.1 "estimates are often badly wrong"); a checkpointed
+    # scan carries no stats, so the pair join stays a shuffle join at
+    # every scale.
+    exploded = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .localCheckpoint()
+    )
+    # shingle arrays are array_distinct, so per-doc occurrence count ==
+    # set size: sizes derives from the checkpointed frame instead of a
+    # second shingling scan. (Docs with zero shingles drop out, but a
+    # doc with zero shingles cannot appear in upairs — inner-join
+    # equivalent, verified row-identical.)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # hot-shingle cap (CONTAINMENT_MAX_SHINGLE_FREQ): one groupBy on the
     # same shingle key the pair join shuffles on, so the filter rides
     # the exchange the join needs anyway
     df_s = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    exploded = (
+    kept = (
         exploded.join(df_s, "s")
         .filter(F.col("df_s") <= CONTAINMENT_MAX_SHINGLE_FREQ)
         .drop("df_s")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    a = kept.alias("a")
+    b = kept.alias("b")
     upairs = (
         a.join(
             b,
@@ -1498,21 +1519,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    directed = upairs.select(
-        F.col("id1").alias("src_id"), F.col("id2").alias("dst_id"), "n_shared"
-    ).unionByName(
-        upairs.select(
-            F.col("id2").alias("src_id"),
-            F.col("id1").alias("dst_id"),
-            "n_shared",
-        )
+    # both directions from ONE pass over upairs: attach both endpoint
+    # sizes, then explode a 2-struct array — the former
+    # upairs-UNION-upairs shape re-executed the entire inverted-index
+    # join and 71M-row aggregation per branch (the pair join is the
+    # query's dominant cost at the duplicate-dense sf1 replica).
+    # Same rows, same arithmetic (double n_shared/n per direction).
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    ns = F.col("n_shared").cast("double")
+    both = upairs.join(s1, "id1").join(s2, "id2").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("src_id"),
+                    F.col("id2").alias("dst_id"),
+                    F.col("n_shared"),
+                    (ns / F.col("n1")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id2").alias("src_id"),
+                    F.col("id1").alias("dst_id"),
+                    F.col("n_shared"),
+                    (ns / F.col("n2")).alias("containment"),
+                ),
+            )
+        ).alias("d")
     )
-    s = sizes.alias("s")
-    containment = F.col("n_shared").cast("double") / F.col("s.n")
     return (
-        directed.join(s, F.col("src_id") == F.col("s.doc_id"))
-        .filter(containment >= CONTAINMENT_THRESHOLD)
-        .select("src_id", "dst_id", "n_shared", containment.alias("containment"))
+        both.filter(F.col("d.containment") >= CONTAINMENT_THRESHOLD)
+        .select("d.src_id", "d.dst_id", "d.n_shared", "d.containment")
         .orderBy("src_id", "dst_id")
     )
 
